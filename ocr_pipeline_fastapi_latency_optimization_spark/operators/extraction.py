@@ -1,0 +1,239 @@
+"""Spark wiring of the extraction pipeline.
+
+One lazy DataFrame DAG (SURVEY §3.1 translation):
+
+    read → [mapInPandas: classify/tokenize/merge/mask/stamp]   (narrow, no shuffle)
+         → preserved-block explode → serialize (pandas UDF)    (narrow)
+         → enrichment left join on (conv_id, turn_idx)         (shuffle or broadcast)
+         → finalize (sentinel substitution, fence strip)       (narrow)
+         [→ optional per-conversation stitch]                  (shuffle on conv_id)
+
+All per-row logic is Arrow-batched pandas (no row-at-a-time Python UDFs);
+everything else is built-in Catalyst-planned DataFrame ops. The extract
+stage is pipelined and shuffle-free, which is what makes near-linear
+scaling achievable: per-partition work dominates, coordination is
+O(partitions) (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions.extract import (
+    enrich_skeleton,
+    extract_turn,
+    serialize_block,
+    strip_code_fences,
+)
+from ..schema import OUTPUT_SCHEMA, SKELETON_SCHEMA
+
+_SKELETON_DDL = (
+    "conv_id string, turn_idx int, kind string, skeleton string, "
+    "spans array<struct<start:int,end:int,label:string,kept:boolean>>, "
+    "preserved array<struct<kind:string,k:int,payload:string>>, "
+    "n_blocks_kept int, n_blocks_dropped int"
+)
+
+
+def extract_stage(df: DataFrame, merge_visual: bool = False) -> DataFrame:
+    """Stage 1: per-turn tokenize→merge→mask→stamp via ``mapInPandas``.
+
+    Narrow transformation — each input partition maps to one output
+    partition with zero shuffle; Arrow batch size bounds Python memory
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``).
+    """
+
+    mv = bool(merge_visual)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            results = [
+                extract_turn(text, int(turn_idx), merge_visual=mv)
+                for text, turn_idx in zip(pdf["text"], pdf["turn_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].values,
+                    "turn_idx": pdf["turn_idx"].astype("int32").values,
+                    "kind": [r["kind"] for r in results],
+                    "skeleton": [r["skeleton"] for r in results],
+                    "spans": [
+                        [
+                            {"start": s, "end": e, "label": lb, "kept": kp}
+                            for (s, e, lb, kp) in r["spans"]
+                        ]
+                        for r in results
+                    ],
+                    "preserved": [
+                        [
+                            {"kind": kind, "k": k, "payload": p}
+                            for (kind, k, p) in r["preserved"]
+                        ]
+                        for r in results
+                    ],
+                    "n_blocks_kept": [r["n_blocks_kept"] for r in results],
+                    "n_blocks_dropped": [r["n_blocks_dropped"] for r in results],
+                }
+            )
+
+    return df.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, schema=_SKELETON_DDL
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _serialize_udf(payload: pd.Series) -> pd.Series:
+    return payload.map(serialize_block)
+
+
+def crops_stage(skeletons: DataFrame) -> DataFrame:
+    """The "crop store" as a DataFrame (J2 analog, ``DLA.py:588-620``):
+    explode preserved blocks, serialize each (X4'), and re-aggregate to
+    one replacements array per turn. Counters ``k`` were assigned once in
+    the extract stage, so stamp and crop enumerations agree (INV-3)."""
+    exploded = (
+        skeletons.select(
+            "conv_id", "turn_idx", F.explode("preserved").alias("pb")
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.concat_ws("_", F.col("pb.kind"), F.col("pb.k")).alias("key"),
+            _serialize_udf(F.col("pb.payload")).alias("content"),
+        )
+    )
+    return exploded.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list(F.struct("key", "content")).alias("replacements")
+    )
+
+
+def finalize_stage(skeletons: DataFrame, crops: DataFrame) -> DataFrame:
+    """Stage 2: the enrichment join (JN1, left join + missing-crop
+    fallback, ``MarkdownEnricher.py:69-94``) followed by sentinel
+    substitution (JN4 dict-callback, ``MarkdownEnricher.py:62-67``) and
+    the code-fence strip (P9)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = []
+            for skeleton, reps in zip(pdf["skeleton"], pdf["replacements"]):
+                mapping = {}
+                if reps is not None:
+                    for entry in reps:
+                        mapping[entry["key"]] = entry["content"]
+                texts.append(strip_code_fences(enrich_skeleton(skeleton, mapping)))
+            out = pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].values,
+                    "turn_idx": pdf["turn_idx"].astype("int32").values,
+                    "extracted_text": texts,
+                    "spans": pdf["spans"].values,
+                    "n_blocks_kept": pdf["n_blocks_kept"].values,
+                    "n_blocks_dropped": pdf["n_blocks_dropped"].values,
+                }
+            )
+            out["chars_extracted"] = [len(t) for t in texts]
+            yield out
+
+    joined = skeletons.join(crops, ["conv_id", "turn_idx"], "left")
+    return joined.mapInPandas(
+        run,
+        schema=(
+            "conv_id string, turn_idx int, extracted_text string, "
+            "spans array<struct<start:int,end:int,label:string,kept:boolean>>, "
+            "n_blocks_kept int, n_blocks_dropped int, chars_extracted long"
+        ),
+    )
+
+
+def extract_pipeline(
+    transcripts: DataFrame,
+    merge_visual: bool = False,
+    broadcast_crops: Optional[bool] = None,
+) -> DataFrame:
+    """Full per-turn pipeline: transcripts in, OUTPUT_SCHEMA rows out.
+
+    The crops side of the enrichment join is derived from the skeleton
+    side, so Catalyst plans a shuffle hash/sort-merge join on
+    ``(conv_id, turn_idx)``; with AQE enabled small crop sides coalesce
+    or broadcast at runtime. ``broadcast_crops=True`` forces the
+    broadcast (the common case: few preserved blocks per corpus slice).
+    """
+    skeletons = extract_stage(transcripts, merge_visual=merge_visual)
+    crops = crops_stage(skeletons)
+    if broadcast_crops:
+        crops = F.broadcast(crops)
+    return finalize_stage(skeletons, crops)
+
+
+STITCH_SEP = "\n\n---\n\n"  # PageProcessor.py:112
+_STITCH_CHUNK = 4096  # turns per salt bucket in the two-phase stitch
+
+
+def stitch_conversations(per_turn: DataFrame) -> DataFrame:
+    """A6 conversation stitch: ordered concat of turn texts per conv_id.
+
+    Ordering comes from data (``array_sort`` over ``struct(turn_idx,
+    text)``), never from the scheduler (O3 analog,
+    ``PageProcessor.py:107-112``).
+    """
+    return (
+        per_turn.groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", "extracted_text"))
+            ).alias("ordered"),
+            F.count("*").alias("n_turns"),
+            F.sum("chars_extracted").alias("chars_extracted"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "chars_extracted",
+            F.array_join(F.col("ordered.extracted_text"), STITCH_SEP).alias(
+                "conversation_text"
+            ),
+        )
+    )
+
+
+def stitch_conversations_salted(
+    per_turn: DataFrame, chunk: int = _STITCH_CHUNK
+) -> DataFrame:
+    """Skew-safe two-phase stitch (SURVEY §4 custom-handling #1): a
+    pathological conversation with 10^6+ turns must not serialize one
+    reducer. Phase 1 groups on ``(conv_id, salt)`` where
+    ``salt = turn_idx div chunk`` covers a *contiguous* turn range, so
+    partial concats are order-correct by construction; phase 2 concats
+    the (few) salted partials in salt order. Both phases are hash
+    aggregations with map-side partials."""
+    partial = (
+        per_turn.withColumn("salt", (F.col("turn_idx") / F.lit(chunk)).cast("int"))
+        .groupBy("conv_id", "salt")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("turn_idx", "extracted_text"))
+                ).extracted_text,
+                STITCH_SEP,
+            ).alias("partial_text"),
+            F.count("*").alias("n_turns"),
+            F.sum("chars_extracted").alias("chars_extracted"),
+        )
+    )
+    return (
+        partial.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.struct("salt", "partial_text"))).partial_text,
+                STITCH_SEP,
+            ).alias("conversation_text"),
+            F.sum("n_turns").alias("n_turns"),
+            F.sum("chars_extracted").alias("chars_extracted"),
+        )
+        .select("conv_id", "n_turns", "chars_extracted", "conversation_text")
+    )
