@@ -1,38 +1,446 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+training-data ops), each ``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+(same column names and types; ratio/score outputs quantized to integers
+so engine rounding can never flip a hash).
+
+Non-SQL-expressible entries (the mapInPandas extraction core, MinHash/
+SimHash signatures) intentionally omit oracle SQL — their equality gate
+is the pytest suite (tests/test_pipeline_equality.py, tests/test_dedup.py)
+against the single-node pandas oracle.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
+        extract_pipeline,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+        documents_as_transcripts,
+    )
+
+    out = extract_pipeline(documents_as_transcripts(spark, sf_dir))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        "n_blocks_kept",
+        "n_blocks_dropped",
+        "chars_extracted",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, SF0001)
+
+
+def _q_extract_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction over the deterministic synthetic transcript corpus
+    (all payload kinds: plain/html/pdf-layout/mangled). Non-SQL; equality
+    vs the pandas oracle is enforced in pytest."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
+        extract_pipeline,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+        gen_transcripts,
+        transcripts_df,
+    )
+
+    pdf = gen_transcripts(n_convs=30, mean_turns=8, seed=42)
+    out = extract_pipeline(transcripts_df(spark, pdf))
+    return out.select(
+        "conv_id", "turn_idx", "extracted_text", "n_blocks_kept",
+        "n_blocks_dropped", "chars_extracted",
+    )
+
+
+def _q_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
+        stitch_conversations,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
+        extract_pipeline,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+        documents_as_transcripts,
+    )
+
+    per_turn = extract_pipeline(documents_as_transcripts(spark, sf_dir))
+    return stitch_conversations(per_turn).orderBy("conv_id")
+
+
+def _q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.tokenize import (
+        classify_payload,
+    )
+
+    cls = F.pandas_udf(lambda s: s.map(classify_payload), T.StringType())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", cls(F.col("text")).alias("kind")).orderBy("doc_id")
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpeish"),
+    ).orderBy("doc_id")
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
+        punct_ratio_e4,
+        quality_score_e4,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        punct_ratio_e4(F.col("text")).alias("punct_e4"),
+        quality_score_e4(F.col("text")).alias("quality_e4"),
+    ).orderBy("doc_id")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
+        lang_id,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
+        fingerprint,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy(
+        "doc_id"
+    )
+
+
+def _q_stringops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
+        mask_token,
+        sanitize_name,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        sanitize_name(
+            F.concat(F.col("source"), F.lit("/"), F.substring("text", 1, 48))
+        ).alias("sanitized"),
+        mask_token(F.md5("text")).alias("masked"),
+    ).orderBy("doc_id")
+
+
+def _wrap(mod_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return mod_fn(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
+        dedup,
+        maintenance,
+        similarity,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction core (SURVEY §2.1/2.9/2.10)
+        "extract_documents": _flagship,
+        "extract_synthetic": _q_extract_synthetic,
+        "stitch_conversations": _q_stitch,
+        "classify_payloads": _q_classify,
+        # maintenance / job-store analogs (SURVEY §2.4/2.5)
+        "status_histogram": _wrap(maintenance.status_histogram),
+        "active_count": _wrap(maintenance.active_count),
+        "top_k_recent": _wrap(maintenance.top_k_recent),
+        "retention_cutoff": _wrap(maintenance.retention_cutoff),
+        "stale_scan": _wrap(maintenance.stale_scan),
+        "rate_window": _wrap(maintenance.rate_window),
+        "row_counters": _wrap(maintenance.row_counters),
+        "ordered_concat": _wrap(maintenance.ordered_concat),
+        "line_bucketing": _wrap(maintenance.line_bucketing),
+        "json_extraction": _wrap(maintenance.json_extraction),
+        "enrichment_join_shape": _wrap(maintenance.enrichment_join_shape),
+        # text analysis (training-data ops)
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality,
+        "lang_id_histogram": _q_lang_id,
+        "doc_fingerprints": _q_fingerprints,
+        "stringops": _q_stringops,
+        # dedup
+        "dedup_exact_groups": _wrap(dedup.exact_duplicate_groups),
+        "dedup_survivors": _wrap(dedup.exact_dedup_survivors),
+        "ngram_jaccard_pairs": _wrap(dedup.ngram_jaccard_pairs),
+        "minhash_lsh_pairs": _wrap(dedup.minhash_lsh_pairs),
+        "simhash_near_dups": _wrap(dedup.simhash_near_dup_pairs),
+        # similarity search
+        "knn_bruteforce": _wrap(similarity.brute_force_knn),
+        "knn_ivf": _wrap(similarity.ivf_knn),
+        "near_dup_cosine": _wrap(similarity.near_dup_pairs_cosine),
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_COS_NORM = (
+    "sqrt(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+)
+
+
+def _cos_e6(a: str, b: str) -> str:
+    dot = (
+        f"list_sum(list_transform(list_zip({a}.embedding, {b}.embedding), "
+        f"x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+    )
+    return f"CAST(floor({dot} / ({a}.nrm * {b}.nrm) * 1000000.0) AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qualify_fp = (
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    )
+    shingle_cte = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM words
+)"""
+    emb_cte = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM embeddings
+)"""
+    return {
+        "extract_documents": """
+SELECT source AS conv_id,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+       text AS extracted_text,
+       CAST(1 AS INTEGER) AS n_blocks_kept,
+       CAST(0 AS INTEGER) AS n_blocks_dropped,
+       CAST(length(text) AS BIGINT) AS chars_extracted
+FROM documents
+""",
+        "stitch_conversations": """
+SELECT source AS conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(length(text)) AS BIGINT) AS chars_extracted,
+       string_agg(text, E'\\n\\n---\\n\\n' ORDER BY doc_id) AS conversation_text
+FROM documents GROUP BY source ORDER BY conv_id
+""",
+        "classify_payloads": """
+SELECT doc_id,
+       CASE WHEN (text LIKE '{%' OR text LIKE '%```%') AND text LIKE '%"pages"%' THEN 'pdf'
+            WHEN regexp_matches(text, '<[a-zA-Z][a-zA-Z0-9]*(\\s[^>]*)?>') THEN 'html'
+            ELSE 'plain' END AS kind
+FROM documents ORDER BY doc_id
+""",
+        "status_histogram": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "active_count": """
+SELECT CAST(sum(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       CAST(count(*) AS BIGINT) AS n_total FROM events
+""",
+        "top_k_recent": """
+SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+""",
+        "retention_cutoff": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_expired
+FROM events
+WHERE floor(epoch(ts)) < (SELECT max(floor(epoch(ts))) - 86400 FROM events)
+GROUP BY event_type ORDER BY event_type
+""",
+        "stale_scan": """
+SELECT CAST(count(*) AS BIGINT) AS n_stale, min(event_id) AS first_id
+FROM events
+WHERE event_type = 'error' AND floor(epoch(ts)) < (SELECT max(floor(epoch(ts))) - 1800 FROM events)
+""",
+        "rate_window": """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_last_60s,
+       (count(*) OVER w <= 30) AS admitted
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 60 PRECEDING AND CURRENT ROW)
+""",
+        "row_counters": """
+SELECT event_id, user_id, event_type,
+       CAST(row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1 AS INTEGER) AS k
+FROM events
+""",
+        "ordered_concat": """
+SELECT user_id,
+       string_agg(event_type, '-' ORDER BY ts, event_id) AS trail,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+        "line_bucketing": """
+WITH numbered AS (
+  SELECT source, CAST(floor((row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) / 53) AS BIGINT) AS page
+  FROM documents)
+SELECT source, page, CAST(count(*) AS BIGINT) AS n_lines
+FROM numbered GROUP BY source, page ORDER BY source, page
+""",
+        "json_extraction": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1)) AS BIGINT) AS sum_k,
+       CAST(max(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "enrichment_join_shape": """
+SELECT COALESCE(o.o_orderpriority, 'MISSING_CROP') AS priority, CAST(count(*) AS BIGINT) AS n
+FROM lineitem l
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 100000.0) o
+  ON l.l_orderkey = o.o_orderkey
+GROUP BY priority ORDER BY priority
+""",
+        "token_counts": """
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS INTEGER) AS n_bpeish
+FROM documents ORDER BY doc_id
+""",
+        "quality_scores": """
+SELECT doc_id,
+  CAST(CASE WHEN length(text) = 0 THEN 0
+       ELSE floor(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}<>/\\\\|@#$%^&*+=~`-]')) * 10000.0 / length(text)) END AS BIGINT) AS punct_e4,
+  CAST(floor((
+      0.4 * least(length(text) / 2000.0, 1.0)
+    + 0.5 * (CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text) END)
+    + 0.1 * (1.0 - least((CASE WHEN length(text) = 0 THEN 1.0 ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}<>/\\\\|@#$%^&*+=~`-]')) * 1.0 / length(text) END) * 5.0, 1.0))
+  ) * 10000.0) AS BIGINT) AS quality_e4
+FROM documents ORDER BY doc_id
+""",
+        "lang_id_histogram": """
+WITH c AS (
+  SELECT len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS en,
+         len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS de,
+         len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|los)\\b')) AS es,
+         len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|une)\\b')) AS fr
+  FROM documents),
+p AS (
+  SELECT CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+              WHEN en = greatest(en, de, es, fr) THEN 'en'
+              WHEN de = greatest(en, de, es, fr) THEN 'de'
+              WHEN es = greatest(en, de, es, fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM c)
+SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY lang_pred ORDER BY lang_pred
+""",
+        "doc_fingerprints": f"""
+SELECT doc_id, {qualify_fp} AS fp FROM documents ORDER BY doc_id
+""",
+        "stringops": """
+SELECT doc_id,
+       substr(regexp_replace(regexp_replace(source || '/' || substr(text, 1, 48), '^.*[/\\\\]', ''), '[\\x00-\\x1f<>:"/\\\\|?*]', '_', 'g'), 1, 200) AS sanitized,
+       substr(md5(text), 1, 10) || '****' || substr(md5(text), length(md5(text)) - 3, 4) AS masked
+FROM documents ORDER BY doc_id
+""",
+        "dedup_exact_groups": f"""
+SELECT {qualify_fp} AS fp, CAST(min(doc_id) AS BIGINT) AS canonical_id, CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY fp HAVING count(*) > 1 ORDER BY canonical_id
+""",
+        "dedup_survivors": f"""
+WITH d AS (SELECT doc_id, {qualify_fp} AS fp FROM documents)
+SELECT doc_id,
+       CAST(min(doc_id) OVER (PARTITION BY fp) AS BIGINT) AS canonical_id,
+       (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS survivor
+FROM d ORDER BY doc_id
+""",
+        "ngram_jaccard_pairs": shingle_cte
+        + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, n_inter,
+       CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 9 * n_inter >= 4 * (sa.n_sh + sb.n_sh)
+ORDER BY doc_a, doc_b
+""",
+        "knn_bruteforce": emb_cte
+        + f"""
+, pairs AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         {_cos_e6('q', 'v')} AS score_e6
+  FROM e q CROSS JOIN e v
+  WHERE q.vec_id < 8 AND v.vec_id != q.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score_e6,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, neighbor_id ASC) AS INTEGER) AS rnk
+  FROM pairs)
+SELECT query_id, neighbor_id, rnk, score_e6 FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+""",
+        "knn_ivf": emb_cte
+        + f"""
+, assign AS (
+  SELECT v.vec_id, v.embedding, v.nrm, c.vec_id AS centroid_id,
+         {_cos_e6('v', 'c')} AS s,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY {_cos_e6('v', 'c')} DESC, c.vec_id ASC) AS rn
+  FROM e v CROSS JOIN (SELECT * FROM e WHERE vec_id < 16) c),
+buckets AS (SELECT vec_id, embedding, nrm, centroid_id AS bucket FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding, nrm, bucket FROM buckets WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         {_cos_e6('q', 'b')} AS score_e6
+  FROM q JOIN buckets b ON b.bucket = q.bucket AND b.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score_e6,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, neighbor_id ASC) AS INTEGER) AS rnk
+  FROM scored)
+SELECT query_id, neighbor_id, rnk, score_e6 FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+""",
+        "near_dup_cosine": emb_cte
+        + f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_e6('a', 'b')} AS score_e6
+FROM e a CROSS JOIN e b
+WHERE a.vec_id < b.vec_id AND {_cos_e6('a', 'b')} >= 800000
+ORDER BY id_a, id_b
+""",
+    }

@@ -1,0 +1,298 @@
+"""Deduplication operators for a training-data pipeline: exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the part that matters at 100 TB):
+
+* exact dedup is one hash-aggregate on a canonical fingerprint — partial
+  aggregation map-side, one shuffle on the 32-byte key;
+* n-gram Jaccard is the *verification* path: shingle-explode → equi-join
+  on shingle → integer-arithmetic threshold (no float compare); its join
+  fan-out is why it only ever runs on LSH candidates at scale;
+* MinHash+LSH is the *scale* path: signatures are built entirely from
+  JVM built-ins (md5/xxhash64 + min aggregates — no Python), banded so
+  candidate generation is a self-join on band buckets, which AQE
+  skew-splits when a bucket is hot;
+* SimHash packs a document into a 60-bit signature (pandas UDF — the
+  designated custom-op slow path) and finds near-dups by banding the
+  signature and verifying with ``bit_count(xor)`` ≤ radius, JVM-side.
+
+Thresholds use integer arithmetic where the DuckDB oracle must agree
+exactly: jaccard ≥ 0.8  ⇔  9·|∩| ≥ 4·(|A|+|B|)   (since
+|∪| = |A|+|B|−|∩|).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..functions.textstats import fingerprint
+
+SHINGLE_WORDS = 5
+MINHASH_PERMS = 32
+MINHASH_BANDS = 8  # 8 bands x 4 rows
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- exact dedup --------------------------------------------------------------
+
+
+def exact_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup: canonical fingerprint → group size +
+    canonical (min) doc id, duplicates only."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+        .orderBy("canonical_id")
+    )
+
+
+def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as the keep-one projection: every doc with its
+    canonical id and a survivor flag (window min over the fingerprint)."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    w = W.partitionBy("fp")
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("survivor"),
+    ).orderBy("doc_id")
+
+
+# --- shingles + exact jaccard ---------------------------------------------------
+
+
+def word_shingles(df: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
+    """Distinct word n-gram shingles per doc — built-ins only:
+    split → sequence → transform(slice+join) → explode → distinct."""
+    words = F.split(F.col("text"), " ")
+    # guard: F.sequence(1, 0) would generate a *descending* [1, 0]
+    shingles = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, n: int = SHINGLE_WORDS
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs at threshold 0.8, via shingle
+    equi-join and integer arithmetic (9·inter ≥ 4·(na+nb)). Emits integer
+    evidence columns so the oracle comparison is exact."""
+    sh = word_shingles(_docs(spark, sf_dir), n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.lit(9) * F.col("n_inter") >= F.lit(4) * (F.col("n_a") + F.col("n_b")))
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------------
+
+
+def _hash60(col: Column, salt: str, fn: str) -> Column:
+    """60-bit integer hash of a string column. ``md5`` is bit-replicable
+    in plain Python (the pytest oracle); ``xxhash64`` is the fast JVM
+    path for benchmarks."""
+    if fn == "xxhash64":
+        return F.abs(F.xxhash64(F.concat(F.lit(salt), F.lit(":"), col)))
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_perms: int = MINHASH_PERMS,
+    n: int = SHINGLE_WORDS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(doc_id, h0..h{P-1}) MinHash signature via P salted hashes + min
+    aggregates — one shuffle, pure JVM expressions, no Python."""
+    sh = word_shingles(df, n=n)
+    aggs = [
+        F.min(_hash60(F.col("shingle"), str(p), hash_fn)).alias(f"h{p}")
+        for p in range(n_perms)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (bands × rows), bucket by
+    the banded sub-signature, self-join buckets. Returns distinct
+    (doc_a < doc_b) candidate pairs — at scale these feed the exact
+    Jaccard verifier instead of an all-pairs join."""
+    sig = minhash_signatures(_docs(spark, sf_dir), n_perms=n_perms, hash_fn=hash_fn)
+    rows = n_perms // bands
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", F.explode(band_entries).alias("e")
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signature_py(text: str, n_perms: int = MINHASH_PERMS, n: int = SHINGLE_WORDS) -> List[int]:
+    """Pure-Python oracle for ``minhash_signatures`` (md5 path) — used by
+    the pytest equality tests."""
+    words = text.split(" ")
+    if len(words) >= n:
+        shingles = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+    else:
+        shingles = set()
+    out = []
+    for p in range(n_perms):
+        best = None
+        for s in shingles:
+            h = int(hashlib.md5(f"{p}:{s}".encode()).hexdigest()[:15], 16)
+            best = h if best is None or h < best else best
+        out.append(best)
+    return out
+
+
+# --- SimHash ------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 4 bands x 15 bits
+SIMHASH_RADIUS = 3
+
+
+def simhash60_py(text: str) -> int:
+    """60-bit SimHash over whitespace tokens (md5-derived bit vectors).
+    Pure function — the same code runs inside the pandas UDF and in the
+    pytest oracle."""
+    acc = [0] * SIMHASH_BITS
+    for tok in text.split():
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for b in range(SIMHASH_BITS):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(SIMHASH_BITS):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def _simhash_udf():
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: simhash60_py(t or ""))
+
+    return udf
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", _simhash_udf()(F.col("text")).alias("simhash")
+    )
+
+
+def simhash_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, radius: int = SIMHASH_RADIUS
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ radius: band the 60-bit
+    signature into 4×15-bit keys (any pair within radius 3 must agree on
+    ≥1 band — pigeonhole), bucket-join candidates, verify with
+    ``bit_count(a XOR b)`` JVM-side."""
+    sig = simhash_signatures(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 15).bitwiseAND(F.lit(0x7FFF)).alias("key"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    buckets = sig.select("doc_id", "simhash", F.explode(bands).alias("e")).select(
+        "doc_id", "simhash", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= radius)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,88 @@
+"""Mimics the driver's correctness gate: for every entry in
+``__spark_entry__.queries()`` that has an ``oracle_sql()`` twin, run the
+Spark query and the DuckDB SQL on the same parquet tables at sf0.01 and
+compare row count, column names, and order-insensitive values. Entries
+without oracle SQL get the weaker runs-and-returns-rows check."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(val):
+    if val is None:
+        return "∅"
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "nan"
+        return repr(round(val, 9))
+    if isinstance(val, bool):
+        return str(bool(val))
+    return str(val)
+
+
+def _row_set(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_vs_oracle(spark, ddb, name):
+    df = QUERIES[name](spark, SF_DIR)
+    pdf = df.toPandas()
+    assert len(pdf) >= 0  # ran
+    if name not in ORACLES:
+        assert len(pdf) > 0 or name in ("dedup_exact_groups",)
+        return
+    want = ddb.execute(ORACLES[name])
+    want_cols = [d[0] for d in want.description]
+    want_rows = want.fetchall()
+    got_cols = list(pdf.columns)
+    assert sorted(got_cols) == sorted(want_cols), f"{name}: column names differ"
+    got_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    gs = _row_set(got_cols, got_rows)
+    ws = _row_set(want_cols, want_rows)
+    assert len(gs) == len(ws), f"{name}: row count {len(gs)} != {len(ws)}"
+    if gs != ws:
+        diff_g = [r for r in gs if r not in set(ws)][:5]
+        diff_w = [r for r in ws if r not in set(gs)][:5]
+        raise AssertionError(
+            f"{name}: value mismatch\n spark-only: {diff_g}\n oracle-only: {diff_w}"
+        )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "extracted_text" in df.columns
