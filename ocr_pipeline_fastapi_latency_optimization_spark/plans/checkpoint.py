@@ -1,0 +1,132 @@
+"""Checkpoint / lineage table + idempotent resume.
+
+The job-store analog (``ThreadSafeJobStore``, ``ocr_app.py:198-305``) and
+the smart-resume memoization (skip work whose outputs already exist,
+``FileIngestor.py:176, 246-251``) re-expressed at corpus scale:
+
+* work is partitioned into ``NB`` deterministic buckets
+  ``pmod(hash(conv_id), NB)`` — conversations never straddle buckets, so
+  a bucket is an independently committable unit;
+* each completed bucket appends (a) its output rows, partitioned by
+  bucket directory, and (b) one lineage row with per-bucket metrics
+  (A7/A8 analog: ``n_turns, n_blocks_kept, n_blocks_dropped,
+  chars_extracted``) to the checkpoint table;
+* a re-run left-anti-joins the bucket list against completed lineage
+  rows and recomputes only the missing buckets — exactly-once output by
+  bucket-directory overwrite, idempotent metrics by bucket key.
+
+In production both tables are Iceberg and the lineage append is a MERGE;
+the sandbox uses parquet + per-bucket directory overwrite, which has the
+same observable semantics (SURVEY §7.4e).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DEFAULT_BUCKETS = 32
+STATUS_COMPLETED = "completed"
+STATUS_FAILED = "failed"  # vocab parity: ocr_app.py:1398
+
+
+def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.hash("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> List[int]:
+    """Bucket ids with a committed 'completed' lineage row."""
+    path = os.path.join(checkpoint_dir, "lineage")
+    try:
+        lineage = spark.read.parquet(path)
+    except Exception:
+        return []
+    rows = (
+        lineage.filter(F.col("status") == STATUS_COMPLETED)
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["bucket"] for r in rows)
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    run_id: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    merge_visual: bool = False,
+    fail_buckets: Optional[set] = None,
+) -> List[int]:
+    """Process every not-yet-completed bucket; returns the bucket ids
+    processed in this invocation. ``fail_buckets`` injects failures for
+    the resume tests (the bucket is attempted, raises mid-flight, and
+    must leave no 'completed' lineage row behind).
+
+    Each bucket is one narrow pipeline run over a hash-pruned slice:
+    the extract stage is shuffle-free, so per-bucket cost is
+    O(bucket rows) and the checkpoint loop adds only O(NB) coordination
+    — the property that makes resume cheap at 10^12 turns.
+    """
+    from ..operators.extraction import extract_pipeline
+
+    done = set(completed_buckets(spark, checkpoint_dir))
+    todo = [b for b in range(n_buckets) if b not in done]
+    lineage_path = os.path.join(checkpoint_dir, "lineage")
+    bucketed = with_bucket(transcripts, n_buckets).cache()
+    processed: List[int] = []
+    try:
+        for b in todo:
+            part = bucketed.filter(F.col("bucket") == b).drop("bucket")
+            out = extract_pipeline(part, merge_visual=merge_visual)
+            if fail_buckets and b in fail_buckets:
+                raise RuntimeError(f"injected failure in bucket {b}")
+            bucket_out = os.path.join(out_dir, f"bucket={b}")
+            out.write.mode("overwrite").parquet(bucket_out)
+            metrics = spark.read.parquet(bucket_out).agg(
+                F.count("*").alias("n_turns"),
+                F.sum("n_blocks_kept").cast("long").alias("n_blocks_kept"),
+                F.sum("n_blocks_dropped").cast("long").alias("n_blocks_dropped"),
+                F.sum("chars_extracted").cast("long").alias("chars_extracted"),
+            )
+            now = F.lit(int(time.time())).cast("timestamp")
+            lineage_row = metrics.select(
+                F.lit(run_id).alias("run_id"),
+                F.lit(b).cast("int").alias("bucket"),
+                F.lit(STATUS_COMPLETED).alias("status"),
+                "n_turns",
+                "n_blocks_kept",
+                "n_blocks_dropped",
+                "chars_extracted",
+                now.alias("created_at"),
+                now.alias("updated_at"),
+            )
+            lineage_row.write.mode("append").parquet(lineage_path)
+            processed.append(b)
+    finally:
+        bucketed.unpersist()
+    return processed
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "bucket=*"))
+
+
+def lineage_metrics(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """The progress/throughput aggregate (A7, ``ocr_app.py:932-952``):
+    corpus-level totals from per-bucket lineage rows."""
+    lineage = spark.read.parquet(os.path.join(checkpoint_dir, "lineage"))
+    return lineage.filter(F.col("status") == STATUS_COMPLETED).agg(
+        F.countDistinct("bucket").alias("buckets_done"),
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("n_blocks_kept").alias("n_blocks_kept"),
+        F.sum("n_blocks_dropped").alias("n_blocks_dropped"),
+        F.sum("chars_extracted").alias("chars_extracted"),
+    )

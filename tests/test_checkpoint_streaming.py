@@ -1,0 +1,166 @@
+"""Resume semantics (SURVEY §5: kill after partial commit → re-run →
+exactly-once rows, idempotent metrics), streaming analogs, multimodal
+plumbing."""
+
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocr_pipeline_fastapi_latency_optimization_spark import oracle
+from ocr_pipeline_fastapi_latency_optimization_spark.plans import checkpoint as cp
+from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+    gen_transcripts,
+    transcripts_df,
+)
+
+N_BUCKETS = 4
+
+
+@pytest.fixture()
+def corpus():
+    return gen_transcripts(n_convs=12, mean_turns=6, seed=11)
+
+
+def test_resume_recomputes_only_failed_buckets(spark, tmp_path, corpus):
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = transcripts_df(spark, corpus)
+
+    # first run dies inside the last bucket
+    with pytest.raises(RuntimeError, match="injected failure"):
+        cp.run_with_checkpoint(
+            spark, df, out_dir, ckpt, run_id="r1",
+            n_buckets=N_BUCKETS, fail_buckets={N_BUCKETS - 1},
+        )
+    done_after_crash = cp.completed_buckets(spark, ckpt)
+    assert len(done_after_crash) == N_BUCKETS - 1
+
+    # resume: only the failed bucket is recomputed
+    processed = cp.run_with_checkpoint(
+        spark, df, out_dir, ckpt, run_id="r2", n_buckets=N_BUCKETS
+    )
+    assert processed == [N_BUCKETS - 1]
+    assert cp.completed_buckets(spark, ckpt) == list(range(N_BUCKETS))
+
+    # exactly-once: output equals the oracle over the whole corpus
+    got = (
+        cp.read_output(spark, out_dir)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want = oracle.extract_frame(corpus)
+    assert len(got) == len(want)
+    assert got["extracted_text"].tolist() == want["extracted_text"].tolist()
+
+    # idempotent metrics: lineage totals match the data
+    m = cp.lineage_metrics(spark, ckpt).collect()[0]
+    assert m["buckets_done"] == N_BUCKETS
+    assert m["n_turns"] == len(want)
+    assert m["chars_extracted"] == int(want["chars_extracted"].sum())
+
+
+def test_rerun_after_completion_is_noop(spark, tmp_path, corpus):
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = transcripts_df(spark, corpus)
+    first = cp.run_with_checkpoint(
+        spark, df, out_dir, ckpt, run_id="r1", n_buckets=N_BUCKETS
+    )
+    assert first == list(range(N_BUCKETS))
+    again = cp.run_with_checkpoint(
+        spark, df, out_dir, ckpt, run_id="r2", n_buckets=N_BUCKETS
+    )
+    assert again == []
+
+
+def test_streaming_extract_matches_batch(spark, tmp_path, corpus):
+    from ocr_pipeline_fastapi_latency_optimization_spark.streaming.rate_window import (
+        streaming_extract,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.schema import (
+        TRANSCRIPTS_SCHEMA,
+    )
+
+    src = str(tmp_path / "stream_src")
+    transcripts_df(spark, corpus).write.parquet(src)
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(src)
+    name = f"out_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_extract(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql(f"SELECT * FROM {name}")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want = oracle.extract_frame(corpus)
+    assert got["extracted_text"].tolist() == want["extracted_text"].tolist()
+
+
+def test_streaming_rate_counts(spark, tmp_path):
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.streaming.rate_window import (
+        streaming_rate_counts,
+    )
+
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        {"user_id": 1, "ts": base + timedelta(seconds=s)} for s in range(0, 90, 2)
+    ] + [{"user_id": 2, "ts": base + timedelta(seconds=s)} for s in (0, 45)]
+    src = str(tmp_path / "rate_src")
+    spark.createDataFrame(pd.DataFrame(rows)).select(
+        "user_id", F.col("ts").cast("timestamp")
+    ).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_rate_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql(f"SELECT * FROM {name}").toPandas()
+    # user 1 posts every 2s: a full 60s window holds 30 events → admitted
+    u1 = out[out.user_id == 1]
+    assert (u1.n_in_window <= 30).all()
+    assert u1.n_in_window.max() == 30
+    u2 = out[out.user_id == 2]
+    assert u2.n_in_window.max() <= 2
+    assert bool(u2.admitted.all())
+
+
+def test_multimodal_features_and_sampling(spark):
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources import multimodal as mm
+
+    media = mm.gen_media(spark, n=24)
+    feats = mm.extract_features(media, codec="fake").toPandas()
+    assert len(feats) == 24
+    assert (feats["decode_status"] == "ok").all()
+    assert all(len(f) == mm.N_FEATURES for f in feats["feat"])
+    # deterministic: same payload → same features
+    again = mm.extract_features(media, codec="fake").toPandas()
+    assert feats.sort_values("media_id")["sha256"].tolist() == again.sort_values(
+        "media_id"
+    )["sha256"].tolist()
+
+    # real codecs are stubbed, not silently fake
+    stubbed = mm.extract_features(media, codec="image").toPandas()
+    assert (stubbed["decode_status"] == "codec_unavailable").all()
+
+    frames = mm.frame_sample_plan(media, every_ms=1000).toPandas()
+    assert (frames.groupby("media_id").size() > 1).all()

@@ -1,0 +1,86 @@
+"""Equality of the JVM-side MinHash/SimHash against their pure-Python
+oracles, and LSH recall on planted near-duplicates."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_minhash_matches_python_oracle(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    sig = dedup.minhash_signatures(docs, n_perms=8, hash_fn="md5").toPandas()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for _, row in sig.iterrows():
+        want = dedup.minhash_signature_py(texts[row["doc_id"]], n_perms=8)
+        got = [row[f"h{p}"] for p in range(8)]
+        assert got == want, f"doc {row['doc_id']}"
+
+
+def test_simhash_matches_python_oracle(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    sig = dedup.simhash_signatures(spark, SF_DIR).toPandas().head(40)
+    texts = dict(
+        duckdb.sql(
+            f"select doc_id, text from '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    )
+    for _, row in sig.iterrows():
+        assert row["simhash"] == dedup.simhash60_py(texts[row["doc_id"]])
+
+
+@pytest.fixture()
+def planted(spark, tmp_path):
+    """Corpus with exact dups, near dups (one word changed), and noise."""
+    base = " ".join(f"token{i}" for i in range(60))
+    near = base.replace("token30", "tokenX")
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (1, base, "en", "s", len(base)),  # exact dup of 0
+        (2, near, "en", "s", len(near)),  # near dup of 0
+        (3, " ".join(f"other{i}" for i in range(60)), "en", "s", 1),
+        (4, " ".join(f"noise{i}" for i in range(60)), "en", "s", 1),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    path = str(tmp_path / "planted")
+    spark.createDataFrame(pdf).write.parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_lsh_finds_planted_near_dups(spark, planted):
+    pairs = dedup.minhash_lsh_pairs(spark, planted, n_perms=16, bands=4).toPandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in found  # exact dup always collides
+    assert (0, 2) in found or (1, 2) in found  # near dup lands in ≥1 band
+    assert (3, 4) not in found
+
+
+def test_exact_jaccard_verifies_near_dups(spark, planted):
+    pairs = dedup.ngram_jaccard_pairs(spark, planted).toPandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in found
+    # one word changed in 60 kills 5 of 56 shingles: jaccard ≈ 0.84 ≥ 0.8
+    assert (0, 2) in found
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in found)
+
+
+def test_simhash_near_dups_on_planted(spark, planted):
+    pairs = dedup.simhash_near_dup_pairs(spark, planted, radius=6).toPandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in found  # identical text → distance 0
+    assert pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)]["hamming"].iloc[0] == 0
+
+
+def test_xxhash_variant_runs(spark, planted):
+    pairs = dedup.minhash_lsh_pairs(
+        spark, planted, n_perms=16, bands=4, hash_fn="xxhash64"
+    ).toPandas()
+    assert (0, 1) in set(zip(pairs["doc_a"], pairs["doc_b"]))
