@@ -1,0 +1,153 @@
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ..., "turns_per_sec": ..., ...}
+
+Runs on local[$SPARK_GRAFT_CPUS] (default 32) against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) plus a deterministic
+synthetic transcript corpus (generated once, cached on disk, generation
+time reported separately and excluded from query timings).
+
+Scaling evidence (local[8] vs local[32]) lives in bench/scaling_run.py →
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "12000"))
+MEAN_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_MEAN_TURNS", "12"))
+SEED = 42
+CORPUS_DIR = f"/tmp/spark_graft_bench_corpus_c{BENCH_CONVS}_m{MEAN_TURNS}_s{SEED}"
+
+
+def _force(df) -> int:
+    """Materialize a plan without collecting it (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
+        bpe_ish_token_count,
+        fingerprint,
+        lang_id,
+        quality_score_e4,
+        token_count,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
+        dedup,
+        maintenance,
+        similarity,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
+        extract_pipeline,
+        stitch_conversations_salted,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.session import get_spark
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+        documents_as_transcripts,
+        gen_transcripts_spark,
+        read_transcripts,
+    )
+
+    spark = get_spark(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- corpus (generated once, reused across rounds) ---
+    t0 = time.time()
+    if not os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
+        gen_transcripts_spark(
+            spark, BENCH_CONVS, MEAN_TURNS, seed=SEED, partitions=CPUS * 2
+        ).write.mode("overwrite").parquet(CORPUS_DIR)
+    extras["corpus_gen_sec"] = round(time.time() - t0, 3)
+    corpus = read_transcripts(spark, CORPUS_DIR)
+    n_turns = corpus.count()
+    extras["bench_turns"] = n_turns
+
+    def timed(name: str, fn) -> None:
+        t = time.time()
+        fn()
+        timings[name] = round(time.time() - t, 3)
+
+    # 1. headline: full per-turn extraction over the transcript corpus
+    # (fused single-stage plan — zero shuffles)
+    timed("extract_transcripts", lambda: _force(extract_pipeline(corpus)))
+    extras["turns_per_sec"] = round(n_turns / timings["extract_transcripts"], 1)
+
+    # 1b. the explicit JN1 join-shaped plan, for comparison (runs the
+    # extract stage twice — one per join side; see operators/extraction.py)
+    timed(
+        "extract_join_mode", lambda: _force(extract_pipeline(corpus, mode="join"))
+    )
+
+    # 2. extraction over the driver documents table
+    timed(
+        "extract_documents",
+        lambda: _force(extract_pipeline(documents_as_transcripts(spark, SF_DIR))),
+    )
+
+    # 3. skew-safe conversation stitch over materialized per-turn output
+    # (untimed write so the stitch timing is the stitch, not re-extraction)
+    per_turn_dir = f"{CORPUS_DIR}_per_turn"
+    if not os.path.exists(os.path.join(per_turn_dir, "_SUCCESS")):
+        extract_pipeline(corpus).write.mode("overwrite").parquet(per_turn_dir)
+    per_turn = spark.read.parquet(per_turn_dir)
+    timed("stitch_salted", lambda: _force(stitch_conversations_salted(per_turn)))
+
+    # 4. dedup: minhash LSH (fast JVM hash) + exact groups
+    timed(
+        "dedup_minhash_lsh",
+        lambda: _force(
+            dedup.minhash_lsh_pairs(spark, SF_DIR, hash_fn="xxhash64")
+        ),
+    )
+    timed("dedup_exact", lambda: _force(dedup.exact_duplicate_groups(spark, SF_DIR)))
+
+    # 5. similarity: IVF ANN over embeddings
+    timed("knn_ivf", lambda: _force(similarity.ivf_knn(spark, SF_DIR)))
+
+    # 6. text analysis single-pass over documents
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    stats = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tok"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        quality_score_e4(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lang"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    timed("textstats", lambda: _force(stats))
+
+    # 7. maintenance shapes over events
+    timed("rate_window", lambda: _force(maintenance.rate_window(spark, SF_DIR)))
+    timed("top_k_recent", lambda: _force(maintenance.top_k_recent(spark, SF_DIR)))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (extraction + dedup + similarity + maintenance)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -150,19 +150,80 @@ def finalize_stage(skeletons: DataFrame, crops: DataFrame) -> DataFrame:
     )
 
 
+_OUTPUT_DDL = (
+    "conv_id string, turn_idx int, extracted_text string, "
+    "spans array<struct<start:int,end:int,label:string,kept:boolean>>, "
+    "n_blocks_kept int, n_blocks_dropped int, chars_extracted long"
+)
+
+
+def fused_extract_stage(df: DataFrame, merge_visual: bool = False) -> DataFrame:
+    """The whole per-turn pipeline — tokenize→merge→mask→stamp→serialize→
+    enrich→fence-strip — in ONE narrow ``mapInPandas`` stage with zero
+    shuffles.
+
+    This is the scale-preferred physical strategy: unlike the reference,
+    where crops are separate files that force a join
+    (``MarkdownEnricher.py:69-94``), our preserved blocks never leave
+    their row, so the "join" degenerates to an in-row lookup. ``explain``
+    on the join variant shows Catalyst running the extract stage twice
+    (once per join side) — a 2× cost the fused stage eliminates. The
+    join variant remains below for shape parity and as the path you'd
+    use if crops ever became a genuinely separate table.
+    """
+    from ..functions.extract import extract_turn_full
+
+    mv = bool(merge_visual)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            results = [
+                extract_turn_full(text, int(turn_idx), merge_visual=mv)
+                for text, turn_idx in zip(pdf["text"], pdf["turn_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].values,
+                    "turn_idx": pdf["turn_idx"].astype("int32").values,
+                    "extracted_text": [r["extracted_text"] for r in results],
+                    "spans": [
+                        [
+                            {"start": s, "end": e, "label": lb, "kept": kp}
+                            for (s, e, lb, kp) in r["spans"]
+                        ]
+                        for r in results
+                    ],
+                    "n_blocks_kept": [r["n_blocks_kept"] for r in results],
+                    "n_blocks_dropped": [r["n_blocks_dropped"] for r in results],
+                    "chars_extracted": [r["chars_extracted"] for r in results],
+                }
+            )
+
+    return df.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, schema=_OUTPUT_DDL
+    )
+
+
 def extract_pipeline(
     transcripts: DataFrame,
     merge_visual: bool = False,
     broadcast_crops: Optional[bool] = None,
+    mode: str = "fused",
 ) -> DataFrame:
     """Full per-turn pipeline: transcripts in, OUTPUT_SCHEMA rows out.
 
-    The crops side of the enrichment join is derived from the skeleton
-    side, so Catalyst plans a shuffle hash/sort-merge join on
-    ``(conv_id, turn_idx)``; with AQE enabled small crop sides coalesce
-    or broadcast at runtime. ``broadcast_crops=True`` forces the
-    broadcast (the common case: few preserved blocks per corpus slice).
+    ``mode='fused'`` (default): one shuffle-free mapInPandas stage — see
+    ``fused_extract_stage``.
+
+    ``mode='join'``: the explicit JN1-shaped plan — extract skeletons,
+    explode+serialize preserved blocks, left-join replacements back on
+    ``(conv_id, turn_idx)``, substitute sentinels. Catalyst broadcasts
+    the crop side when small; AQE handles the rest. Costs a second run
+    of the extract stage (both join sides derive from it), which is why
+    it is not the default.
     """
+    if mode == "fused":
+        return fused_extract_stage(transcripts, merge_visual=merge_visual)
     skeletons = extract_stage(transcripts, merge_visual=merge_visual)
     crops = crops_stage(skeletons)
     if broadcast_crops:

@@ -222,6 +222,88 @@ def gen_transcripts(
     return pdf
 
 
+def gen_transcripts_spark(
+    spark: SparkSession,
+    n_convs: int,
+    mean_turns: int = 10,
+    seed: int = 42,
+    skew_conv: Optional[str] = None,
+    skew_turns: int = 0,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Distributed deterministic corpus generator for benchmarks: the
+    per-turn payload is a pure function of ``(conv_id, turn_idx, seed)``
+    (seeded sha256 RNG), so the output is identical under any
+    partitioning or parallelism — which is exactly what lets the scaling
+    benchmark compare local[8] vs local[32] on *the same* input.
+
+    Conversation lengths come from a hash (mean ≈ ``mean_turns``), with
+    an optional planted skew conversation.
+    """
+    from pyspark.sql import types as T
+
+    conv = spark.range(n_convs, numPartitions=partitions).select(
+        F.format_string("conv%06d", F.col("id")).alias("conv_id"),
+        F.col("id").alias("conv_no"),
+    )
+    n_turns = F.lit(1) + F.pmod(
+        F.xxhash64(F.col("conv_id"), F.lit(seed)), F.lit(max(1, 2 * mean_turns - 1))
+    )
+    if skew_conv and skew_turns:
+        n_turns = F.when(F.col("conv_id") == skew_conv, F.lit(skew_turns)).otherwise(
+            n_turns
+        )
+    skeleton = conv.select(
+        "conv_id",
+        "conv_no",
+        F.explode(F.sequence(F.lit(0), (n_turns - 1).cast("int"))).alias("turn_idx"),
+    )
+
+    def fill(batches):
+        for pdf in batches:
+            roles, texts, tools, tss = [], [], [], []
+            for conv_id, conv_no, t in zip(
+                pdf["conv_id"], pdf["conv_no"], pdf["turn_idx"]
+            ):
+                rng = _rng_for(conv_id, int(t), seed)
+                role = rng.choices(ROLES, weights=ROLE_WEIGHTS, k=1)[0]
+                draw = rng.random()
+                if draw < 0.40:
+                    text = _gen_plain(rng)
+                elif draw < 0.75:
+                    text = _gen_html(rng)
+                elif draw < 0.95:
+                    text = _gen_pdf(rng)
+                else:
+                    text = _gen_mangled(rng)
+                roles.append(role)
+                texts.append(text)
+                tools.append(rng.choice(TOOLS) if role == "tool" else None)
+                tss.append(
+                    EPOCH
+                    + timedelta(hours=int(conv_no) % 8760)
+                    + timedelta(seconds=30 * int(t))
+                )
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].values,
+                    "turn_idx": pdf["turn_idx"].astype("int32").values,
+                    "role": roles,
+                    "text": texts,
+                    "tool": tools,
+                    "ts": tss,
+                }
+            )
+
+    return skeleton.mapInPandas(
+        fill,
+        schema=(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        ),
+    )
+
+
 def transcripts_df(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
     """pandas → Spark with the fixed schema (Arrow path)."""
     return spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)

@@ -64,8 +64,14 @@ def test_per_turn_equality_merge_visual(spark, corpus):
     assert got["extracted_text"].tolist() == want["extracted_text"].tolist()
 
 
-def test_broadcast_crops_same_result(spark, corpus):
-    got = _spark_per_turn(spark, corpus, broadcast_crops=True)
+def test_join_mode_same_result(spark, corpus):
+    got = _spark_per_turn(spark, corpus, mode="join")
+    want = oracle.extract_frame(corpus)
+    assert got["extracted_text"].tolist() == want["extracted_text"].tolist()
+
+
+def test_join_mode_broadcast_same_result(spark, corpus):
+    got = _spark_per_turn(spark, corpus, mode="join", broadcast_crops=True)
     want = oracle.extract_frame(corpus)
     assert got["extracted_text"].tolist() == want["extracted_text"].tolist()
 
