@@ -1,0 +1,128 @@
+"""Determinism properties (SURVEY §2.13 INV-1..4): output must be
+independent of input row order, partitioning, and parallelism — the
+properties that make resume/exactly-once meaningful — plus
+hypothesis-driven robustness of the extraction core (never raises,
+always well-formed, idempotent metrics)."""
+
+import hypothesis
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from ocr_pipeline_fastapi_latency_optimization_spark.functions.extract import (
+    extract_turn_full,
+)
+from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
+    extract_pipeline,
+)
+from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+    gen_transcripts,
+    transcripts_df,
+)
+
+
+def _sorted_texts(df):
+    out = df.toPandas().sort_values(["conv_id", "turn_idx"], kind="stable")
+    return out["extracted_text"].tolist()
+
+
+def test_output_independent_of_row_order_and_partitioning(spark):
+    corpus = gen_transcripts(n_convs=10, mean_turns=8, seed=5)
+    base = _sorted_texts(extract_pipeline(transcripts_df(spark, corpus)))
+
+    shuffled = corpus.sample(frac=1.0, random_state=99).reset_index(drop=True)
+    assert _sorted_texts(extract_pipeline(transcripts_df(spark, shuffled))) == base
+
+    repart = transcripts_df(spark, corpus).repartition(17)
+    assert _sorted_texts(extract_pipeline(repart)) == base
+
+    single = transcripts_df(spark, corpus).coalesce(1)
+    assert _sorted_texts(extract_pipeline(single)) == base
+
+
+def test_spark_generator_matches_itself_across_partitionings(spark):
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+        gen_transcripts_spark,
+    )
+
+    a = (
+        gen_transcripts_spark(spark, 30, 6, seed=9, partitions=3)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        gen_transcripts_spark(spark, 30, 6, seed=9, partitions=13)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert a["text"].tolist() == b["text"].tolist()
+    assert a["role"].tolist() == b["role"].tolist()
+
+
+# --- hypothesis: the core is total, deterministic, and self-consistent ---
+
+payloads = st.one_of(
+    st.text(max_size=400),
+    st.text(alphabet="<>/abp \n\t&;#x0-9", max_size=400),
+    st.builds(
+        lambda inner: f"<p>{inner}</p><table><tr><td>{inner[:20]}</td></tr></table>",
+        st.text(max_size=100),
+    ),
+    st.builds(
+        lambda n: '{"pages": [{"w": 100, "h": 100, "blocks": '
+        + str([{"bbox": [0, i, 50, i + 10], "label": "text", "conf": 0.9, "text": "b"} for i in range(n)]).replace("'", '"')
+        + "}]}",
+        st.integers(0, 6),
+    ),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=payloads, turn=st.integers(0, 99))
+def test_extract_total_and_deterministic(text, turn):
+    r1 = extract_turn_full(text, turn)
+    r2 = extract_turn_full(text, turn)
+    assert r1["extracted_text"] == r2["extracted_text"]
+    assert r1["spans"] == r2["spans"]
+    assert isinstance(r1["extracted_text"], str)
+    assert r1["chars_extracted"] == len(r1["extracted_text"])
+    assert r1["n_blocks_kept"] == sum(1 for s in r1["spans"] if s[3])
+    assert r1["n_blocks_dropped"] == sum(1 for s in r1["spans"] if not s[3])
+    assert "```" not in r1["extracted_text"]  # P9 invariant
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    rows=st.lists(
+        st.lists(st.text(alphabet="ab |", min_size=0, max_size=8), max_size=4),
+        max_size=5,
+    )
+)
+def test_table_serializer_total(rows):
+    import json
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.extract import (
+        serialize_block,
+    )
+
+    out = serialize_block(json.dumps({"type": "table_rows", "rows": rows}))
+    assert isinstance(out, str)
+    lines = out.split("\n")
+    if len(lines) > 1:
+        # well-formed pipe table: every line same leading/trailing pipe
+        assert all(l.startswith("|") and l.endswith("|") for l in lines)
+
+
+def test_skew_conv_does_not_change_results(spark):
+    # a 300-turn conversation among 5 small ones: salted stitch equality is
+    # covered elsewhere; here assert the per-turn path is skew-agnostic
+    corpus = gen_transcripts(
+        n_convs=5, mean_turns=4, seed=13, skew_conv="conv000002", skew_turns=300
+    )
+    got = _sorted_texts(extract_pipeline(transcripts_df(spark, corpus)))
+    from ocr_pipeline_fastapi_latency_optimization_spark import oracle
+
+    want = oracle.extract_frame(corpus)["extracted_text"].tolist()
+    assert got == want
