@@ -174,10 +174,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
         dedup,
         maintenance,
+        olap,
         similarity,
     )
 
     return {
+        # general OLAP patterns
+        "sessionize": _wrap(olap.sessionize),
+        "top_k_per_group": _wrap(olap.top_k_per_group),
+        "rollup_counts": _wrap(olap.rollup_counts),
+        "asof_last_click": _wrap(olap.asof_last_click),
+        "revenue_by_nation": _wrap(olap.revenue_by_nation),
+        "pricing_summary": _wrap(olap.pricing_summary),
         # extraction core (SURVEY §2.1/2.9/2.10)
         "extract_documents": _flagship,
         "extract_synthetic": _q_extract_synthetic,
@@ -250,6 +258,75 @@ WITH e AS (
   SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM embeddings
 )"""
     return {
+        "sessionize": """
+WITH g AS (
+  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te,
+         CASE WHEN COALESCE(
+             CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w,
+             1801) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, te,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g),
+per AS (
+  SELECT user_id, session_id, count(*) AS n_events, min(te) AS start_epoch, max(te) AS end_epoch
+  FROM s GROUP BY user_id, session_id)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       CAST(sum(end_epoch - start_epoch) AS BIGINT) AS total_session_sec
+FROM per GROUP BY user_id ORDER BY user_id
+""",
+        "top_k_per_group": """
+SELECT user_id, CAST(rnk AS INTEGER) AS rnk, event_id,
+       CAST(floor(value * 100) AS BIGINT) AS value_cents
+FROM (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+      FROM events)
+WHERE rnk <= 3 ORDER BY user_id, rnk
+""",
+        "rollup_counts": """
+WITH ev AS (SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS weekday, value FROM events)
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       CAST(COALESCE(weekday, -1) AS INTEGER) AS weekday,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(floor(value * 100)) AS BIGINT) AS value_cents
+FROM ev GROUP BY ROLLUP(event_type, weekday)
+ORDER BY event_type, weekday
+""",
+        "asof_last_click": """
+SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       COALESCE(last_click_epoch, -1) AS last_click_epoch
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_epoch
+  FROM events)
+WHERE event_type = 'purchase' ORDER BY event_id
+""",
+        "revenue_by_nation": """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(floor(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS sum_disc_cents,
+       CAST(count(*) AS BIGINT) AS count_order,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
         "extract_documents": """
 SELECT source AS conv_id,
        CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
