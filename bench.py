@@ -76,6 +76,10 @@ def main() -> None:
     n_turns = corpus.count()
     extras["bench_turns"] = n_turns
 
+    # untimed warm-up: spin up all Python workers (spark.python.worker.reuse
+    # keeps them) and JIT the extract path, so timings below are steady-state
+    _force(extract_pipeline(corpus.sample(0.05, seed=1)))
+
     def timed(name: str, fn) -> None:
         t = time.time()
         fn()
@@ -110,7 +114,7 @@ def main() -> None:
     timed(
         "dedup_minhash_lsh",
         lambda: _force(
-            dedup.minhash_lsh_pairs(spark, SF_DIR, hash_fn="xxhash64")
+            dedup.minhash_lsh_pairs(spark, SF_DIR, hash_fn="affine")
         ),
     )
     timed("dedup_exact", lambda: _force(dedup.exact_duplicate_groups(spark, SF_DIR)))

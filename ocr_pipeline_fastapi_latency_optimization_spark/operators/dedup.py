@@ -137,19 +137,67 @@ def _hash60(col: Column, salt: str, fn: str) -> Column:
     ).cast("long")
 
 
+# Affine-permutation MinHash: ONE base hash per shingle, then
+# h_p(s) = A[p]·(base(s) mod 2^31) + B[p] — the classic universal-hashing
+# construction. Replaces P string hashes per shingle with P multiply-adds
+# on longs. Operands stay < 2^31 so products stay < 2^63: no overflow,
+# which matters because Spark 4's ANSI mode would throw on a wrapping
+# multiply. Bit-replicable in plain Python by construction.
+_AFFINE_SEED = 0x9E3779B97F4A7C15
+_MASK31 = 0x7FFFFFFF
+
+
+def _affine_consts(n: int):
+    consts = []
+    x = _AFFINE_SEED
+    for _ in range(n):
+        # splitmix64-ish stream of deterministic odd multipliers + offsets
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        a = (x & _MASK31) | 1
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        b = x & _MASK31
+        consts.append((a, b))
+    return consts
+
+
+def _affine_base_py(digest60: int) -> int:
+    return digest60 & _MASK31
+
+
+def _affine_base(col: Column, fn: str) -> Column:
+    if fn == "md5_affine":
+        h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    else:  # 'affine' fast path
+        h = F.xxhash64(col)
+    return h.bitwiseAND(F.lit(_MASK31))
+
+
+def _affine_hashes(base31: Column, n_perms: int):
+    return [
+        base31 * F.lit(a) + F.lit(b) for a, b in _affine_consts(n_perms)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     n_perms: int = MINHASH_PERMS,
     n: int = SHINGLE_WORDS,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """(doc_id, h0..h{P-1}) MinHash signature via P salted hashes + min
-    aggregates — one shuffle, pure JVM expressions, no Python."""
+    """(doc_id, h0..h{P-1}) MinHash signature via min aggregates over
+    per-shingle hashes — one shuffle, pure JVM expressions, no Python.
+
+    ``hash_fn``: 'md5' / 'xxhash64' hash the salted shingle P times;
+    'affine' (fast, default for benchmarks) / 'md5_affine'
+    (Python-oracle-replicable) hash once and derive P permutations by
+    wrapping multiply-add."""
     sh = word_shingles(df, n=n)
-    aggs = [
-        F.min(_hash60(F.col("shingle"), str(p), hash_fn)).alias(f"h{p}")
-        for p in range(n_perms)
-    ]
+    if hash_fn in ("affine", "md5_affine"):
+        base = _affine_base(F.col("shingle"), hash_fn)
+        hashes = _affine_hashes(base, n_perms)
+    else:
+        hashes = [_hash60(F.col("shingle"), str(p), hash_fn) for p in range(n_perms)]
+    aggs = [F.min(h).alias(f"h{p}") for p, h in enumerate(hashes)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -199,19 +247,43 @@ def minhash_lsh_pairs(
     )
 
 
+def _shingle_set(text: str, n: int) -> set:
+    words = text.split(" ")
+    if len(words) >= n:
+        return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+    return set()
+
+
 def minhash_signature_py(text: str, n_perms: int = MINHASH_PERMS, n: int = SHINGLE_WORDS) -> List[int]:
     """Pure-Python oracle for ``minhash_signatures`` (md5 path) — used by
     the pytest equality tests."""
-    words = text.split(" ")
-    if len(words) >= n:
-        shingles = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
-    else:
-        shingles = set()
+    shingles = _shingle_set(text, n)
     out = []
     for p in range(n_perms):
         best = None
         for s in shingles:
             h = int(hashlib.md5(f"{p}:{s}".encode()).hexdigest()[:15], 16)
+            best = h if best is None or h < best else best
+        out.append(best)
+    return out
+
+
+def minhash_signature_affine_py(
+    text: str, n_perms: int = MINHASH_PERMS, n: int = SHINGLE_WORDS
+) -> List[int]:
+    """Pure-Python oracle for the 'md5_affine' path: same base hash, same
+    wrapping 64-bit multiply-add as the JVM expression."""
+    shingles = _shingle_set(text, n)
+    consts = _affine_consts(n_perms)
+    bases = [
+        _affine_base_py(int(hashlib.md5(s.encode()).hexdigest()[:15], 16))
+        for s in shingles
+    ]
+    out = []
+    for a, b in consts:
+        best = None
+        for base in bases:
+            h = a * base + b
             best = h if best is None or h < best else best
         out.append(best)
     return out

@@ -79,6 +79,25 @@ def test_simhash_near_dups_on_planted(spark, planted):
     assert pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)]["hamming"].iloc[0] == 0
 
 
+def test_minhash_affine_matches_python_oracle(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    sig = dedup.minhash_signatures(docs, n_perms=8, hash_fn="md5_affine").toPandas()
+    texts = {
+        r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()
+    }
+    for _, row in sig.iterrows():
+        want = dedup.minhash_signature_affine_py(texts[row["doc_id"]], n_perms=8)
+        got = [row[f"h{p}"] for p in range(8)]
+        assert got == want, f"doc {row['doc_id']}"
+
+
+def test_affine_variant_finds_planted(spark, planted):
+    pairs = dedup.minhash_lsh_pairs(
+        spark, planted, n_perms=16, bands=4, hash_fn="affine"
+    ).toPandas()
+    assert (0, 1) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
 def test_xxhash_variant_runs(spark, planted):
     pairs = dedup.minhash_lsh_pairs(
         spark, planted, n_perms=16, bands=4, hash_fn="xxhash64"
