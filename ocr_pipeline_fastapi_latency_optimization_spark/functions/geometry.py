@@ -41,8 +41,10 @@ def pairwise_stats(boxes: np.ndarray):
 def pairwise_iou(boxes: np.ndarray, zero_diag: bool = False) -> np.ndarray:
     """Symmetric IoU matrix. Analog of ``utils.py:44-55``."""
     _, inter, union = pairwise_stats(boxes)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        iou = np.where(union > 0, inter / union, 0.0)
+    # zero union ⇒ zero intersection, so a tiny floor on the denominator
+    # yields exactly 0 there and the identical quotient everywhere else
+    # (cheaper than errstate+where on the hot path)
+    iou = inter / np.maximum(union, 1e-300)
     if zero_diag:
         np.fill_diagonal(iou, 0.0)
     return iou
@@ -59,8 +61,8 @@ def pairwise_inclusion(boxes: np.ndarray, zero_diag: bool = False) -> np.ndarray
     inside base i".
     """
     area, inter, _ = pairwise_stats(boxes)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        incl = np.where(area[None, :] > 0, inter / area[None, :], 0.0)
+    # zero-area box ⇒ zero intersection, so the floored denominator is exact
+    incl = inter / np.maximum(area[None, :], 1e-300)
     if zero_diag:
         np.fill_diagonal(incl, 0.0)
     return incl

@@ -160,23 +160,19 @@ def merge_object_pair(
         n = len(page)
         if n == 0:
             return page
-        is_base = np.array([c in rlabel for c in page.classes], dtype=bool)
+        classes_arr = np.array(page.classes)
+        is_base = np.isin(classes_arr, rlabel)
         if not is_base.any():
             return page
         incl = pairwise_inclusion(page.boxes, zero_diag=True)
         keep = np.ones(n, dtype=bool)
         changed = False
-        for i in range(n):
-            if not is_base[i]:
-                continue
-            if tlabel is None:
-                cand = np.array([c == page.classes[i] for c in page.classes])
-            else:
-                cand = np.array([c in tlabel for c in page.classes])
-            scores = incl[i].copy()
-            scores[~cand] = 0.0
-            scores[scores < threshold] = 0.0
-            merged = np.nonzero(scores > 0.0)[0]
+        # candidate mask is invariant across bases when tlabel is fixed
+        tmask = None if tlabel is None else np.isin(classes_arr, tlabel)
+        for i in np.nonzero(is_base)[0]:
+            cand = (classes_arr == classes_arr[i]) if tmask is None else tmask
+            scores = np.where(cand, incl[i], 0.0)
+            merged = np.nonzero((scores >= threshold) & (scores > 0.0))[0]
             if merged.size:
                 page.boxes[i] = union_box(page.boxes[[i, *merged]]).astype(np.int64)
                 _merge_text_into(page.texts, i, merged.tolist())

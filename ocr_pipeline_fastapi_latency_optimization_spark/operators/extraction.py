@@ -204,11 +204,30 @@ def fused_extract_stage(df: DataFrame, merge_visual: bool = False) -> DataFrame:
     )
 
 
+# O10 analog (OCR.py:62-79 downscales oversized images before the
+# expensive call): guard against pathological payloads before the UDF.
+MAX_PAYLOAD_CHARS = 1_000_000
+
+
+def truncate_payloads(df: DataFrame, max_chars: int = MAX_PAYLOAD_CHARS) -> DataFrame:
+    """Bound per-row payload size JVM-side (substring is codegen'd);
+    adds a ``truncated`` flag column for lineage metrics."""
+    return df.withColumn(
+        "truncated", F.length("text") > max_chars
+    ).withColumn(
+        "text",
+        F.when(F.col("truncated"), F.substring("text", 1, max_chars)).otherwise(
+            F.col("text")
+        ),
+    )
+
+
 def extract_pipeline(
     transcripts: DataFrame,
     merge_visual: bool = False,
     broadcast_crops: Optional[bool] = None,
     mode: str = "fused",
+    max_payload_chars: Optional[int] = None,
 ) -> DataFrame:
     """Full per-turn pipeline: transcripts in, OUTPUT_SCHEMA rows out.
 
@@ -222,6 +241,8 @@ def extract_pipeline(
     of the extract stage (both join sides derive from it), which is why
     it is not the default.
     """
+    if max_payload_chars is not None:
+        transcripts = truncate_payloads(transcripts, max_payload_chars)
     if mode == "fused":
         return fused_extract_stage(transcripts, merge_visual=merge_visual)
     skeletons = extract_stage(transcripts, merge_visual=merge_visual)
