@@ -154,12 +154,24 @@ def _q_stringops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # downscale factor (F5 analog, OCR.py:62-79): sqrt(budget/total)·0.99
+    # capped at 1, quantized e4
+    downscale = F.floor(
+        F.least(
+            F.sqrt(F.lit(200000.0) / F.greatest(F.col("n_chars"), F.lit(1)))
+            * F.lit(0.99),
+            F.lit(1.0),
+        )
+        * 10000
+    ).cast("long")
     return docs.select(
         "doc_id",
         sanitize_name(
             F.concat(F.col("source"), F.lit("/"), F.substring("text", 1, 48))
         ).alias("sanitized"),
         mask_token(F.md5("text")).alias("masked"),
+        F.base64(F.substring("text", 1, 24).cast("binary")).alias("b64_prefix"),
+        downscale.alias("downscale_e4"),
     ).orderBy("doc_id")
 
 
@@ -452,7 +464,9 @@ SELECT doc_id, {qualify_fp} AS fp FROM documents ORDER BY doc_id
         "stringops": """
 SELECT doc_id,
        substr(regexp_replace(regexp_replace(source || '/' || substr(text, 1, 48), '^.*[/\\\\]', ''), '[\\x00-\\x1f<>:"/\\\\|?*]', '_', 'g'), 1, 200) AS sanitized,
-       substr(md5(text), 1, 10) || '****' || substr(md5(text), length(md5(text)) - 3, 4) AS masked
+       substr(md5(text), 1, 10) || '****' || substr(md5(text), length(md5(text)) - 3, 4) AS masked,
+       to_base64(encode(substr(text, 1, 24))) AS b64_prefix,
+       CAST(floor(least(sqrt(200000.0 / greatest(n_chars, 1)) * 0.99, 1.0) * 10000) AS BIGINT) AS downscale_e4
 FROM documents ORDER BY doc_id
 """,
         "dedup_exact_groups": f"""

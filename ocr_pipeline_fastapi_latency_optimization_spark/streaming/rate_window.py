@@ -44,6 +44,23 @@ def streaming_rate_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Stateful sessionization on a stream: ``session_window`` groups
+    events into gap-closed sessions per user under a watermark — the
+    streaming twin of ``operators/olap.py::sessionize``."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 def streaming_extract(transcripts_stream: DataFrame, merge_visual: bool = False) -> DataFrame:
     """The per-turn extract stage on a stream. The stage is stateless and
     narrow, so it runs unchanged under micro-batch execution; the

@@ -144,6 +144,48 @@ def test_streaming_rate_counts(spark, tmp_path):
     assert bool(u2.admitted.all())
 
 
+def test_streaming_sessions(spark, tmp_path):
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.streaming.rate_window import (
+        streaming_sessions,
+    )
+
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    rows = (
+        [{"user_id": 1, "ts": base + timedelta(minutes=m)} for m in (0, 5, 10)]
+        + [{"user_id": 1, "ts": base + timedelta(minutes=m)} for m in (120, 125)]
+        + [{"user_id": 2, "ts": base}]
+    )
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(pd.DataFrame(rows)).select(
+        "user_id", F.col("ts").cast("timestamp")
+    ).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_sessions(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = (
+        spark.sql(f"SELECT user_id, n_events FROM {name} ORDER BY user_id, n_events")
+        .toPandas()
+        .to_dict("records")
+    )
+    # user 1: one 3-event session + one 2-event session; user 2: singleton
+    assert out == [
+        {"user_id": 1, "n_events": 2},
+        {"user_id": 1, "n_events": 3},
+        {"user_id": 2, "n_events": 1},
+    ]
+
+
 def test_multimodal_features_and_sampling(spark):
     from ocr_pipeline_fastapi_latency_optimization_spark.sources import multimodal as mm
 
