@@ -175,6 +175,84 @@ def _q_stringops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_blocks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
+        blocks_table,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+        documents_as_transcripts,
+    )
+
+    return blocks_table(documents_as_transcripts(spark, sf_dir))
+
+
+def _q_pivot_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy("source")
+        .pivot("lang", ["en", "de", "es", "fr", "zh"])
+        .count()
+        .na.fill(0)
+        .orderBy("source")
+    )
+
+
+def _q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, t-digest percentiles) — no
+    cross-engine oracle by nature; sanity-bounded in pytest."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("value_quartiles"),
+    )
+
+
+def _lsh_oracle_sql() -> str:
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
+        LSH_BANDS,
+        LSH_PLANES,
+        _PLANES,
+    )
+
+    bit_exprs = []
+    for i, plane in enumerate(_PLANES):
+        lit = "[" + ", ".join(repr(w) for w in plane) + "]"
+        bit_exprs.append(
+            f"CASE WHEN list_sum(list_transform(list_zip(embedding, {lit}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN 1 ELSE 0 END AS bit{i}"
+        )
+    per_band = LSH_PLANES // LSH_BANDS
+    band_selects = []
+    for b in range(LSH_BANDS):
+        key = " + ".join(
+            f"bit{b * per_band + r} * {2 ** (per_band - 1 - r)}"
+            for r in range(per_band)
+        )
+        band_selects.append(
+            f"SELECT vec_id, embedding, nrm, {b} AS band, {key} AS key FROM sig"
+        )
+    dot = (
+        "list_sum(list_transform(list_zip(ea, eb), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM embeddings),
+sig AS (SELECT vec_id, embedding, nrm, {", ".join(bit_exprs)} FROM e),
+bands AS ({" UNION ALL ".join(band_selects)}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb, a.nrm AS na, b.nrm AS nb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       CAST(floor({dot} / (na * nb) * 1000000.0) AS BIGINT) AS score_e6
+FROM cand
+WHERE CAST(floor({dot} / (na * nb) * 1000000.0) AS BIGINT) >= 700000
+ORDER BY id_a, id_b
+"""
+
+
 def _wrap(mod_fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return mod_fn(spark, sf_dir)
@@ -231,6 +309,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": _wrap(similarity.brute_force_knn),
         "knn_ivf": _wrap(similarity.ivf_knn),
         "near_dup_cosine": _wrap(similarity.near_dup_pairs_cosine),
+        "cosine_lsh_pairs": _wrap(similarity.cosine_lsh_pairs),
+        # block-level inspection, pivot, approx stats
+        "blocks_table": _q_blocks_table,
+        "pivot_lang_by_source": _q_pivot_lang,
+        "approx_stats": _q_approx_stats,
     }
 
 
@@ -269,7 +352,18 @@ WITH words AS (
 WITH e AS (
   SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM embeddings
 )"""
+    lsh_sql = _lsh_oracle_sql()
     return {
+        "cosine_lsh_pairs": lsh_sql,
+        "pivot_lang_by_source": """
+SELECT source,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+FROM documents GROUP BY source ORDER BY source
+""",
         "sessionize": """
 WITH g AS (
   SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te,

@@ -204,6 +204,44 @@ def fused_extract_stage(df: DataFrame, merge_visual: bool = False) -> DataFrame:
     )
 
 
+def blocks_table(df: DataFrame, merge_visual: bool = False) -> DataFrame:
+    """Exploded block-level view (UDTF shape): one row per tokenized
+    block with its label, keep-verdict and source span — the
+    interpretability surface for 'why was this block dropped?'.
+    Narrow mapInPandas; snippet is the raw source slice when offsets
+    exist (html/plain), empty for box-addressed pdf blocks."""
+    from ..functions.extract import extract_turn
+
+    mv = bool(merge_visual)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "conv_id": [], "turn_idx": [], "block_idx": [],
+                "label": [], "kept": [], "start": [], "end": [], "snippet": [],
+            }
+            for conv, turn, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                r = extract_turn(text, int(turn), merge_visual=mv)
+                for bi, (s, e, lb, kp) in enumerate(r["spans"]):
+                    out["conv_id"].append(conv)
+                    out["turn_idx"].append(int(turn))
+                    out["block_idx"].append(bi)
+                    out["label"].append(lb)
+                    out["kept"].append(bool(kp))
+                    out["start"].append(s)
+                    out["end"].append(e)
+                    out["snippet"].append(text[s:e][:120] if s >= 0 and text else "")
+            yield pd.DataFrame(out)
+
+    return df.select("conv_id", "turn_idx", "text").mapInPandas(
+        run,
+        schema=(
+            "conv_id string, turn_idx int, block_idx int, label string, "
+            "kept boolean, start int, end int, snippet string"
+        ),
+    )
+
+
 # O10 analog (OCR.py:62-79 downscales oversized images before the
 # expensive call): guard against pathological payloads before the UDF.
 MAX_PAYLOAD_CHARS = 1_000_000

@@ -106,6 +106,90 @@ def near_dup_pairs_cosine(
     )
 
 
+# --- random-hyperplane LSH (SimHash for vectors): the bucketing that
+# turns the all-pairs near-dup scan into a band-bucket join at scale ----
+
+import random as _random
+
+LSH_PLANES = 16
+LSH_DIM = 64
+LSH_BANDS = 4  # 4 bands x 4 bits
+
+
+def _hyperplanes(n_planes: int = LSH_PLANES, dim: int = LSH_DIM, seed: int = 42):
+    rng = _random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+_PLANES = _hyperplanes()
+
+
+def _signature_bits(emb: Column):
+    """16 sign bits of projections onto fixed seeded hyperplanes — pure
+    JVM higher-order expressions over literal plane arrays."""
+    bits = []
+    for plane in _PLANES:
+        lit_plane = F.array(*[F.lit(w) for w in plane])
+        proj = F.aggregate(
+            F.zip_with(emb, lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append((proj >= 0).cast("int"))
+    return bits
+
+
+def cosine_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_e6: int = 700000,
+) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH: band the 16-bit
+    sign signature into 4×4-bit keys, bucket-join candidates sharing a
+    band, verify with exact quantized cosine ≥ threshold. At corpus
+    scale this replaces the O(N²) cross join with bucket-local joins."""
+    emb = _emb(spark, sf_dir)
+    bits = _signature_bits(F.col("embedding"))
+    band_cols = []
+    per_band = LSH_PLANES // LSH_BANDS
+    for b in range(LSH_BANDS):
+        key = F.lit(0)
+        for r in range(per_band):
+            key = key * 2 + bits[b * per_band + r]
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    sig = emb.select(
+        "vec_id", "embedding", F.explode(F.array(*band_cols)).alias("e")
+    ).select(
+        "vec_id", "embedding", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a", "id_b", cosine_e6(F.col("ea"), F.col("eb")).alias("score_e6")
+        )
+        .filter(F.col("score_e6") >= threshold_e6)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def ivf_assignments(
     spark: SparkSession, sf_dir: str, n_centroids: int = IVF_CENTROIDS
 ) -> DataFrame:

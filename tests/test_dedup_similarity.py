@@ -98,6 +98,59 @@ def test_affine_variant_finds_planted(spark, planted):
     assert (0, 1) in set(zip(pairs["doc_a"], pairs["doc_b"]))
 
 
+def test_cosine_lsh_recall_vs_bruteforce(spark):
+    """The hyperplane-LSH near-dup pairs must be a subset of the exact
+    all-pairs result at the same threshold (verification is exact), and
+    recall the top pairs (same-band probability rises with cosine)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import similarity
+
+    exact = similarity.near_dup_pairs_cosine(
+        spark, SF_DIR, threshold_e6=700000
+    ).toPandas()
+    lsh = similarity.cosine_lsh_pairs(spark, SF_DIR, threshold_e6=700000).toPandas()
+    exact_set = set(zip(exact["id_a"], exact["id_b"]))
+    lsh_set = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert lsh_set <= exact_set  # no false positives after verification
+    if exact_set:
+        # recall on the genuinely-similar population
+        assert len(lsh_set) >= 0.5 * len(exact_set)
+
+
+def test_blocks_table_consistent_with_pipeline(spark):
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
+        blocks_table,
+        extract_pipeline,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+        gen_transcripts,
+        transcripts_df,
+    )
+
+    corpus = gen_transcripts(n_convs=6, mean_turns=5, seed=4)
+    df = transcripts_df(spark, corpus)
+    blocks = blocks_table(df).toPandas()
+    per_turn = extract_pipeline(df).toPandas()
+    got = (
+        blocks.groupby(["conv_id", "turn_idx"])["kept"]
+        .agg(["sum", "count"])
+        .reset_index()
+    )
+    want = per_turn.set_index(["conv_id", "turn_idx"])
+    for _, r in got.iterrows():
+        w = want.loc[(r["conv_id"], r["turn_idx"])]
+        assert r["sum"] == w["n_blocks_kept"]
+        assert r["count"] - r["sum"] == w["n_blocks_dropped"]
+
+
+def test_approx_stats_sane(spark):
+    import __spark_entry__ as e
+
+    row = e.queries()["approx_stats"](spark, SF_DIR).collect()[0]
+    assert abs(row["approx_users"] - row["exact_users"]) <= 0.05 * row["exact_users"]
+    q = row["value_quartiles"]
+    assert q[0] <= q[1] <= q[2]
+
+
 def test_xxhash_variant_runs(spark, planted):
     pairs = dedup.minhash_lsh_pairs(
         spark, planted, n_perms=16, bands=4, hash_fn="xxhash64"
