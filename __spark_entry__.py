@@ -23,6 +23,7 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
         extract_pipeline,
     )
@@ -43,6 +44,7 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _pin_session(spark)
     return _flagship(spark, SF0001)
 
 
@@ -50,6 +52,7 @@ def _q_extract_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction over the deterministic synthetic transcript corpus
     (all payload kinds: plain/html/pdf-layout/mangled). Non-SQL; equality
     vs the pandas oracle is enforced in pytest."""
+    _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
         extract_pipeline,
     )
@@ -67,6 +70,7 @@ def _q_extract_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
         stitch_conversations,
     )
@@ -82,6 +86,7 @@ def _q_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     from pyspark.sql import types as T
 
     from ocr_pipeline_fastapi_latency_optimization_spark.functions.tokenize import (
@@ -95,6 +100,7 @@ def _q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
         bpe_ish_token_count,
         token_count,
@@ -109,6 +115,7 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
         punct_ratio_e4,
         quality_score_e4,
@@ -123,6 +130,7 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
         lang_id,
     )
@@ -137,6 +145,7 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
         fingerprint,
     )
@@ -148,6 +157,7 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_stringops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
         mask_token,
         sanitize_name,
@@ -176,6 +186,7 @@ def _q_stringops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_blocks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
         blocks_table,
     )
@@ -187,6 +198,7 @@ def _q_blocks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pivot_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         docs.groupBy("source")
@@ -200,6 +212,7 @@ def _q_pivot_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, t-digest percentiles) — no
     cross-engine oracle by nature; sanity-bounded in pytest."""
+    _pin_session(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
@@ -253,8 +266,17 @@ ORDER BY id_a, id_b
 """
 
 
+def _pin_session(spark: SparkSession) -> None:
+    """The driver owns the session; pin the two confs our oracle
+    comparisons assume (UTC epochs; Arrow for the pandas stages).
+    Both are runtime-settable."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
 def _wrap(mod_fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _pin_session(spark)
         return mod_fn(spark, sf_dir)
 
     return run

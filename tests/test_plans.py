@@ -1,0 +1,116 @@
+"""Physical-plan regression tests: the properties that make the engine
+scale are asserted on the plans themselves, so a refactor that silently
+adds a shuffle, loses a pushdown, or drops a broadcast fails CI — not a
+100 TB run."""
+
+import contextlib
+import io
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
+    extract_pipeline,
+)
+from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+    gen_transcripts,
+    transcripts_df,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "transcripts")
+    transcripts_df(spark, gen_transcripts(n_convs=5, mean_turns=4, seed=2)).write.parquet(
+        path
+    )
+    return path
+
+
+def test_fused_extract_is_shuffle_free(spark, corpus_path):
+    from ocr_pipeline_fastapi_latency_optimization_spark.schema import (
+        TRANSCRIPTS_SCHEMA,
+    )
+
+    df = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(corpus_path)
+    plan = plan_str(extract_pipeline(df))
+    assert "Exchange" not in plan, "fused extract must not shuffle"
+    assert plan.count("MapInPandas (") == 1, "fused extract is ONE python stage"
+
+
+def test_join_mode_has_single_join_shuffle_shape(spark, corpus_path):
+    from ocr_pipeline_fastapi_latency_optimization_spark.schema import (
+        TRANSCRIPTS_SCHEMA,
+    )
+
+    df = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(corpus_path)
+    plan = plan_str(extract_pipeline(df, mode="join"))
+    assert "Join" in plan  # the explicit JN1 join exists in this mode
+
+
+def test_filter_pushdown_reaches_parquet(spark, corpus_path):
+    from ocr_pipeline_fastapi_latency_optimization_spark.schema import (
+        TRANSCRIPTS_SCHEMA,
+    )
+
+    df = (
+        spark.read.schema(TRANSCRIPTS_SCHEMA)
+        .parquet(corpus_path)
+        .filter(F.col("role") == "assistant")
+        .select("conv_id", "turn_idx", "text")
+    )
+    plan = plan_str(df)
+    assert "PushedFilters: [IsNotNull(role), EqualTo(role,assistant)" in plan
+    # column pruning: ts/tool never reach the scan
+    assert "ReadSchema" in plan and "tool" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.olap import (
+        revenue_by_nation,
+    )
+
+    plan = plan_str(revenue_by_nation(spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 1
+
+
+def test_top_k_plans_take_ordered(spark):
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.maintenance import (
+        top_k_recent,
+    )
+
+    plan = plan_str(top_k_recent(spark, SF_DIR), mode="simple")
+    assert "TakeOrderedAndProject" in plan, "limit+orderBy must plan a true top-k"
+
+
+def test_exact_dedup_has_partial_aggregation(spark):
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        exact_duplicate_groups,
+    )
+
+    plan = plan_str(exact_duplicate_groups(spark, SF_DIR))
+    # map-side partial agg before the exchange: two HashAggregate rounds
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_probe_is_bucket_equi_join(spark):
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
+        ivf_knn,
+    )
+
+    plan = plan_str(ivf_knn(spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""
+    ), "the probe must be an equi-join on bucket, not a cross product"
