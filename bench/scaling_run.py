@@ -92,6 +92,7 @@ def _mp_work(reps: int) -> int:
 
 def mp_control(workers: int, reps: int = 3) -> float:
     with mp.Pool(workers, initializer=_mp_setup) as pool:
+        pool.map(_mp_work, [1] * workers)  # warm: imports + JIT, untimed
         t0 = time.time()
         counts = pool.map(_mp_work, [reps] * workers * 2)
         wall = time.time() - t0
@@ -100,7 +101,16 @@ def mp_control(workers: int, reps: int = 3) -> float:
 
 def main() -> None:
     ensure_corpus()
-    levels = {c: run_level(c) for c in LEVELS}
+    # ambient load on this shared VM drifts on a minutes scale, so
+    # interleave rounds across levels and keep each level's best —
+    # the least-contended sample of identical deterministic work
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    levels = {}
+    for _ in range(rounds):
+        for c in LEVELS:
+            r = run_level(c)
+            if c not in levels or r["turns_per_sec"] > levels[c]["turns_per_sec"]:
+                levels[c] = r
     control = {c: round(mp_control(c), 1) for c in LEVELS if c >= 8}
 
     def eff(lo: int, hi: int) -> float:

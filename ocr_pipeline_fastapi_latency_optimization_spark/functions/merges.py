@@ -149,28 +149,43 @@ def merge_object_pair(
     rows/columns so they can't merge twice within the sweep (INV-2).
     Removed boxes are compacted *after* the sweep.
     """
-    if isinstance(rlabel, str):
-        rlabel = [rlabel]
-    if isinstance(tlabel, str):
-        tlabel = [tlabel]
+    rset = frozenset([rlabel] if isinstance(rlabel, str) else rlabel)
+    tset = (
+        None
+        if tlabel is None
+        else frozenset([tlabel] if isinstance(tlabel, str) else tlabel)
+    )
     page = PageBlocks(
         page.boxes.copy(), page.conf.copy(), list(page.classes), list(page.texts)
     )
     while True:
         n = len(page)
-        if n == 0:
+        if n <= 1:
             return page
-        classes_arr = np.array(page.classes)
-        is_base = np.isin(classes_arr, rlabel)
+        cls = page.classes
+        # set membership beats np.isin at these tiny N
+        is_base = np.fromiter((c in rset for c in cls), dtype=bool, count=n)
         if not is_base.any():
+            return page
+        # candidate mask is invariant across bases when tlabel is fixed;
+        # no candidates at all ⇒ skip the O(N²) matrix entirely
+        tmask = (
+            None
+            if tset is None
+            else np.fromiter((c in tset for c in cls), dtype=bool, count=n)
+        )
+        if tmask is not None and not tmask.any():
             return page
         incl = pairwise_inclusion(page.boxes, zero_diag=True)
         keep = np.ones(n, dtype=bool)
         changed = False
-        # candidate mask is invariant across bases when tlabel is fixed
-        tmask = None if tlabel is None else np.isin(classes_arr, tlabel)
         for i in np.nonzero(is_base)[0]:
-            cand = (classes_arr == classes_arr[i]) if tmask is None else tmask
+            ci = cls[i]
+            cand = (
+                np.fromiter((c == ci for c in cls), dtype=bool, count=n)
+                if tmask is None
+                else tmask
+            )
             scores = np.where(cand, incl[i], 0.0)
             merged = np.nonzero((scores >= threshold) & (scores > 0.0))[0]
             if merged.size:
