@@ -134,7 +134,21 @@ def main() -> None:
     )
     timed("textstats", lambda: _force(stats))
 
-    # 7. maintenance shapes over events
+    # 7. similarity scale path + block inspection
+    timed(
+        "cosine_lsh",
+        lambda: _force(similarity.cosine_lsh_pairs(spark, SF_DIR)),
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
+        blocks_table,
+    )
+
+    timed(
+        "blocks_table",
+        lambda: _force(blocks_table(documents_as_transcripts(spark, SF_DIR))),
+    )
+
+    # 8. maintenance shapes over events
     timed("rate_window", lambda: _force(maintenance.rate_window(spark, SF_DIR)))
     timed("top_k_recent", lambda: _force(maintenance.top_k_recent(spark, SF_DIR)))
 

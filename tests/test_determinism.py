@@ -115,6 +115,37 @@ def test_table_serializer_total(rows):
         assert all(l.startswith("|") and l.endswith("|") for l in lines)
 
 
+def test_large_payload_single_turn(spark):
+    # a ~300KB html turn must extract correctly and not distort batches
+    body = "".join(
+        f"<p>paragraph number {i} with enough words to be kept</p>" for i in range(4000)
+    )
+    html = f"<nav><a href='/'>x</a></nav>{body}<footer>f</footer>"
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [
+            {"conv_id": "c0", "turn_idx": 0, "role": "user", "text": html,
+             "tool": None, "ts": None},
+            {"conv_id": "c0", "turn_idx": 1, "role": "user", "text": "tiny turn",
+             "tool": None, "ts": None},
+        ]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    out = (
+        extract_pipeline(transcripts_df(spark, pdf))
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    # adjacent <p> fragments with markup-only gaps fold into ONE block
+    assert out.loc[0, "n_blocks_kept"] == 1
+    assert out.loc[0, "n_blocks_dropped"] == 2  # nav + footer
+    assert "paragraph number 0" in out.loc[0, "extracted_text"]
+    assert "paragraph number 3999" in out.loc[0, "extracted_text"]
+    assert out.loc[1, "extracted_text"] == "tiny turn"
+
+
 def test_skew_conv_does_not_change_results(spark):
     # a 300-turn conversation among 5 small ones: salted stitch equality is
     # covered elsewhere; here assert the per-turn path is skew-agnostic
