@@ -298,6 +298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": _wrap(olap.asof_last_click),
         "revenue_by_nation": _wrap(olap.revenue_by_nation),
         "pricing_summary": _wrap(olap.pricing_summary),
+        "window_functions": _wrap(olap.window_functions),
+        "set_ops": _wrap(olap.set_ops),
+        "semi_anti_joins": _wrap(olap.semi_anti_joins),
         # extraction core (SURVEY §2.1/2.9/2.10)
         "extract_documents": _flagship,
         "extract_synthetic": _q_extract_synthetic,
@@ -385,6 +388,39 @@ SELECT source,
        CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
        CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
 FROM documents GROUP BY source ORDER BY source
+""",
+        "window_functions": """
+SELECT user_id, event_id,
+       CAST(rank() OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       COALESCE(lag(event_type) OVER w, '(none)') AS prev_type,
+       COALESCE(lead(event_type) OVER w, '(none)') AS next_type,
+       CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_e6
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+ORDER BY user_id, event_id
+""",
+        "set_ops": """
+WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+errs AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+tagged AS (
+  SELECT user_id, 'both' AS tag FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM errs)
+  UNION ALL
+  SELECT user_id, 'buy_only' AS tag FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM errs)
+  UNION ALL
+  SELECT user_id, 'any' AS tag FROM (SELECT user_id FROM buyers UNION SELECT user_id FROM errs))
+SELECT tag, CAST(count(*) AS BIGINT) AS n_users FROM tagged GROUP BY tag ORDER BY tag
+""",
+        "semi_anti_joins": """
+WITH tagged AS (
+  SELECT c_mktsegment, 'with_orders' AS tag FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  UNION ALL
+  SELECT c_mktsegment, 'no_orders' AS tag FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+SELECT c_mktsegment, tag, CAST(count(*) AS BIGINT) AS n
+FROM tagged GROUP BY c_mktsegment, tag ORDER BY c_mktsegment, tag
 """,
         "sessionize": """
 WITH g AS (

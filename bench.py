@@ -80,7 +80,11 @@ def main() -> None:
     # keeps them) and JIT the extract path, so timings below are steady-state
     _force(extract_pipeline(corpus.sample(0.05, seed=1)))
 
+    warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") == "1"
+
     def timed(name: str, fn) -> None:
+        if warm:  # steady-state: first run pays per-shape codegen/shuffle setup
+            fn()
         t = time.time()
         fn()
         timings[name] = round(time.time() - t, 3)

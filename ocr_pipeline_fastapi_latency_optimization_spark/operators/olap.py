@@ -155,6 +155,61 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/navigation window family over one partition spec:
+    rank, dense_rank, ntile, lag/lead, cume_dist (quantized) — one
+    shuffle on user_id serves all six."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.coalesce(F.lag("event_type").over(w), F.lit("(none)")).alias("prev_type"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("(none)")).alias("next_type"),
+        F.floor(F.cume_dist().over(w) * 1000000).cast("long").alias("cume_e6"),
+    ).orderBy("user_id", "event_id")
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over user-id sets (purchasers vs
+    erroring users), folded into one tagged result."""
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    errors = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = buyers.intersect(errors).withColumn("tag", F.lit("both"))
+    only_buy = buyers.exceptAll(errors.distinct()).withColumn("tag", F.lit("buy_only"))
+    any_of = buyers.union(errors).distinct().withColumn("tag", F.lit("any"))
+    return (
+        both.unionByName(only_buy)
+        .unionByName(any_of)
+        .groupBy("tag")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("tag")
+    )
+
+
+def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left-semi and left-anti joins: customers
+    with and without orders, aggregated per market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_mktsegment", F.lit("with_orders").alias("tag"))
+    without = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_mktsegment", F.lit("no_orders").alias("tag"))
+    return (
+        with_orders.unionByName(without)
+        .groupBy("c_mktsegment", "tag")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c_mktsegment", "tag")
+    )
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: groupBy two flags, several
     aggregates, quantized; exact distinct order count."""
