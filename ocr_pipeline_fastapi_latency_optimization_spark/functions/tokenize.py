@@ -150,8 +150,14 @@ def tokenize_plain(text: str) -> List[Block]:
 
 # --- html tokenizer -----------------------------------------------------------
 
+# one scanner for real tags AND invisible markup (comments, doctype,
+# processing instructions) so comment bodies never leak into blocks
 _TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>])*)>",
+    r"<!--.*?-->"  # comments (non-greedy, may span lines)
+    r"|<![^>]*>"  # <!DOCTYPE ...>, CDATA-ish declarations
+    r"|<\?[^>]*>"  # processing instructions
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>])*)>",
+    re.DOTALL,
 )
 
 # Tags that terminate the current text block when opened or closed.
@@ -265,6 +271,8 @@ def tokenize_html(text: str) -> List[Block]:
             elif cur_parts:
                 cur_parts.append(" ")
         pos = m.end()
+        if m.group(2) is None:
+            continue  # comment/doctype/PI: invisible, no block boundary
         closing, tag = m.group(1) == "/", m.group(2).lower()
 
         if tag == "a":
@@ -336,17 +344,14 @@ def tokenize_html(text: str) -> List[Block]:
     return blocks
 
 
-_TAG_STRIP = re.compile(r"<[^>]*>")
-
-
 def gap_has_visible_text(source: str, a_end: int, b_start: int) -> bool:
     """True when the source between two blocks contains visible (non-tag,
-    non-whitespace) characters — the adjacency predicate for the M1a-style
-    fragment merge."""
+    non-comment, non-whitespace) characters — the adjacency predicate for
+    the M1a-style fragment merge."""
     if b_start <= a_end:
         return False
     gap = source[a_end:b_start]
-    return bool(_html.unescape(_TAG_STRIP.sub("", gap)).strip())
+    return bool(_html.unescape(_TAG_RE.sub("", gap)).strip())
 
 
 def _link_heavy(blk: Block) -> bool:

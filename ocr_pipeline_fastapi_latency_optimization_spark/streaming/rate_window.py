@@ -61,6 +61,38 @@ def streaming_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def streaming_conv_progress(transcripts_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-conversation progress (turns seen, chars seen) carried across
+    micro-batches — the streaming analog of the job-progress record
+    (``ocr_app.py:932-952``). State schema: (n_turns, chars_seen)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state):
+        (conv_id,) = key
+        n_turns, chars = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            chars += int(pdf["text"].fillna("").str.len().sum())
+        state.update((n_turns, chars))
+        yield pd.DataFrame(
+            {"conv_id": [conv_id], "n_turns": [n_turns], "chars_seen": [chars]}
+        )
+
+    return (
+        transcripts_stream.select("conv_id", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="conv_id string, n_turns long, chars_seen long",
+            stateStructType="n_turns long, chars_seen long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_extract(transcripts_stream: DataFrame, merge_visual: bool = False) -> DataFrame:
     """The per-turn extract stage on a stream. The stage is stateless and
     narrow, so it runs unchanged under micro-batch execution; the

@@ -186,6 +186,70 @@ def test_streaming_sessions(spark, tmp_path):
     ]
 
 
+def test_streaming_stateful_progress_across_batches(spark, tmp_path):
+    """State must survive micro-batch boundaries: two files, one trigger
+    each (maxFilesPerTrigger=1) — the second batch's output includes the
+    first batch's counts."""
+    import pandas as pd
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.streaming.rate_window import (
+        streaming_conv_progress,
+    )
+
+    src = tmp_path / "prog_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "prog_ckpt")
+
+    def batch(path, texts):
+        pdf = pd.DataFrame(
+            {
+                "conv_id": ["c0"] * len(texts),
+                "turn_idx": list(range(len(texts))),
+                "role": ["user"] * len(texts),
+                "text": texts,
+                "tool": [None] * len(texts),
+                "ts": [None] * len(texts),
+            }
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        from ocr_pipeline_fastapi_latency_optimization_spark.schema import (
+            TRANSCRIPTS_SCHEMA,
+        )
+
+        spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    batch(str(src / "f1"), ["aaaa", "bb"])
+    batch(str(src / "f2"), ["cccccc"])
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.schema import (
+        TRANSCRIPTS_SCHEMA,
+    )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    name = f"prog_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_conv_progress(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql(f"SELECT * FROM {name}").toPandas()
+    # cumulative across batches: final row sees all 3 turns / 12 chars
+    assert out["n_turns"].max() == 3
+    assert out["chars_seen"].max() == 12
+    assert len(out) >= 2  # state emitted once per triggering batch
+
+
 def test_multimodal_features_and_sampling(spark):
     from ocr_pipeline_fastapi_latency_optimization_spark.sources import multimodal as mm
 

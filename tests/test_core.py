@@ -268,6 +268,36 @@ def test_no_merge_across_non_text_block():
     assert [b.label for b in blocks] == ["text", "table", "text"]
 
 
+def test_comments_doctype_invisible():
+    html = (
+        "<!DOCTYPE html><!-- header comment with words -->"
+        "<p>real content paragraph here</p>"
+        "<!-- gap comment > with a bracket --><p>second real paragraph text</p>"
+        "<?xml-stylesheet foo?>"
+    )
+    blocks = merge_adjacent_text_blocks(tokenize_html(html), html)
+    # comments never appear as text, and comment-only gaps still merge
+    assert len(blocks) == 1
+    assert "comment" not in blocks[0].text
+    assert blocks[0].text == (
+        "real content paragraph here second real paragraph text"
+    )
+
+
+def test_script_style_dropped():
+    html = (
+        "<p>keep this visible sentence</p>"
+        "<script>var x = 'drop me';</script>"
+        "<style>.a { color: red }</style>"
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.extract import (
+        extract_turn_full,
+    )
+
+    r = extract_turn_full(html, 0)
+    assert r["extracted_text"] == "keep this visible sentence"
+
+
 def test_stray_text_between_paragraphs_folds_in():
     # visible text between </p> and <p> is itself a block; markup-only
     # gaps on both sides -> all three fold into one content block
