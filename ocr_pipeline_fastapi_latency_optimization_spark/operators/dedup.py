@@ -76,9 +76,13 @@ def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- shingles + exact jaccard ---------------------------------------------------
 
 
-def word_shingles(df: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
-    """Distinct word n-gram shingles per doc — built-ins only:
-    split → sequence → transform(slice+join) → explode → distinct."""
+def word_shingles(
+    df: DataFrame, n: int = SHINGLE_WORDS, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per doc — built-ins only: split → sequence →
+    transform(slice+join) → explode. ``distinct=True`` (a shuffle) is
+    required for set-semantics consumers (Jaccard counts); MinHash skips
+    it — duplicate shingles cannot change a min."""
     words = F.split(F.col("text"), " ")
     # guard: F.sequence(1, 0) would generate a *descending* [1, 0]
     shingles = F.when(
@@ -88,10 +92,8 @@ def word_shingles(df: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
             lambda i: F.array_join(F.slice(words, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select("doc_id", F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    out = df.select("doc_id", F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -191,7 +193,7 @@ def minhash_signatures(
     'affine' (fast, default for benchmarks) / 'md5_affine'
     (Python-oracle-replicable) hash once and derive P permutations by
     wrapping multiply-add."""
-    sh = word_shingles(df, n=n)
+    sh = word_shingles(df, n=n, distinct=False)  # min() ignores duplicates
     if hash_fn in ("affine", "md5_affine"):
         base = _affine_base(F.col("shingle"), hash_fn)
         hashes = _affine_hashes(base, n_perms)
