@@ -309,11 +309,23 @@ def transcripts_df(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
     return spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
 
 
-def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    """Schema-checked parquet read (Iceberg in production; parquet is the
-    sandbox stand-in with identical downstream semantics)."""
-    df = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
-    return df
+def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Schema-checked transcript read. ``fmt`` ∈ parquet|json|csv — the
+    table-level analog of the reference's multi-format ingestion
+    dispatch (``FileIngestor.py:119-168``): whatever the container, the
+    same fixed schema and the same downstream plan. Parquet is the
+    production default (Iceberg in a real deployment); JSON/CSV cover
+    interchange dumps."""
+    reader = spark.read.schema(TRANSCRIPTS_SCHEMA)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "json":
+        return reader.json(path)
+    if fmt == "csv":
+        return reader.option("header", True).option("multiLine", True).option(
+            "escape", '"'
+        ).csv(path)
+    raise ValueError(f"unsupported transcript format: {fmt}")
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

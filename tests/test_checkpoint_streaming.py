@@ -76,6 +76,45 @@ def test_rerun_after_completion_is_noop(spark, tmp_path, corpus):
     assert again == []
 
 
+def test_multiformat_sources_same_result(spark, tmp_path, corpus):
+    """parquet/json/csv containers of the same transcripts produce the
+    identical extraction output (format dispatch at the table level)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
+        extract_pipeline,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+        read_transcripts,
+    )
+
+    base = transcripts_df(spark, corpus)
+    paths = {}
+    for fmt in ("parquet", "json", "csv"):
+        p = str(tmp_path / f"src_{fmt}")
+        w = base.write.mode("overwrite")
+        if fmt == "csv":
+            # the CSV *writer* trims whitespace by default — disable to
+            # keep payloads byte-exact through the round trip
+            w = (
+                w.option("header", True)
+                .option("escape", '"')
+                .option("ignoreLeadingWhiteSpace", False)
+                .option("ignoreTrailingWhiteSpace", False)
+            )
+        getattr(w, fmt)(p)
+        paths[fmt] = p
+
+    outs = {}
+    for fmt, p in paths.items():
+        outs[fmt] = (
+            extract_pipeline(read_transcripts(spark, p, fmt=fmt))
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"], kind="stable")["extracted_text"]
+            .tolist()
+        )
+    assert outs["parquet"] == outs["json"]
+    assert outs["parquet"] == outs["csv"]
+
+
 def test_streaming_extract_matches_batch(spark, tmp_path, corpus):
     from ocr_pipeline_fastapi_latency_optimization_spark.streaming.rate_window import (
         streaming_extract,
