@@ -185,6 +185,38 @@ def _q_stringops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup: extract → stitch → canonical
+    fingerprint → duplicate groups. Composes the extraction pipeline
+    with the dedup operators end-to-end."""
+    _pin_session(spark)
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
+        fingerprint,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
+        extract_pipeline,
+        stitch_conversations,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+        documents_as_transcripts,
+    )
+
+    stitched = stitch_conversations(
+        extract_pipeline(documents_as_transcripts(spark, sf_dir))
+    )
+    return (
+        stitched.select(
+            "conv_id", fingerprint(F.col("conversation_text")).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("conv_id").alias("canonical_conv"),
+            F.count("*").alias("n_convs"),
+        )
+        .orderBy("canonical_conv")
+    )
+
+
 def _q_blocks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
@@ -336,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_cosine": _wrap(similarity.near_dup_pairs_cosine),
         "cosine_lsh_pairs": _wrap(similarity.cosine_lsh_pairs),
         # block-level inspection, pivot, approx stats
+        "dedup_conversations": _q_dedup_conversations,
         "blocks_table": _q_blocks_table,
         "pivot_lang_by_source": _q_pivot_lang,
         "approx_stats": _q_approx_stats,
@@ -490,6 +523,16 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+        "dedup_conversations": """
+WITH stitched AS (
+  SELECT source AS conv_id,
+         string_agg(text, E'\n\n---\n\n' ORDER BY doc_id) AS conversation_text
+  FROM documents GROUP BY source)
+SELECT md5(trim(regexp_replace(lower(conversation_text), '\s+', ' ', 'g'))) AS fp,
+       min(conv_id) AS canonical_conv,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM stitched GROUP BY fp ORDER BY canonical_conv
 """,
         "extract_documents": """
 SELECT source AS conv_id,
