@@ -1,0 +1,48 @@
+"""Table-catalog shim: Iceberg when available, parquet otherwise.
+
+Production deployments run the transcripts/output/checkpoint tables on
+Iceberg (partition pruning by bucket spec, snapshot isolation, MERGE
+for the lineage table). This sandbox has no Iceberg jars, so the shim
+probes the runtime once and degrades to directory-backed parquet with
+the same call sites — the downstream plans are identical either way
+(SURVEY §7.4e).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG_CATALOG = "spark_catalog"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg SparkCatalog is on the classpath and
+    configured. Probe is conf-based — never raises."""
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{ICEBERG_CATALOG}", None)
+        if impl and "iceberg" in impl.lower():
+            return True
+        # classpath probe: the catalog class must be loadable
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, identifier: str) -> DataFrame:
+    """``identifier`` is an Iceberg table name when the catalog exists,
+    else a parquet path."""
+    if iceberg_available(spark) and not identifier.startswith("/"):
+        return spark.read.format("iceberg").load(identifier)
+    return spark.read.parquet(identifier)
+
+
+def write_table(df: DataFrame, identifier: str, mode: str = "append") -> None:
+    spark = df.sparkSession
+    if iceberg_available(spark) and not identifier.startswith("/"):
+        df.writeTo(identifier).append() if mode == "append" else df.writeTo(
+            identifier
+        ).createOrReplace()
+        return
+    df.write.mode(mode if mode != "replace" else "overwrite").parquet(identifier)
