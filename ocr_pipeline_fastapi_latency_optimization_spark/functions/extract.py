@@ -32,7 +32,7 @@ import json
 import re
 from typing import Dict, List, Optional, Tuple
 
-from .merges import PageBlocks, preprocess_page, run_merges, xy_cut_order
+from .merges import preprocess_page, run_merges, xy_cut_order
 from .tokenize import (
     Block,
     classify_payload,

@@ -25,7 +25,7 @@ from __future__ import annotations
 import html as _html
 import json
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 # --- payload classification (S3 analog, FileIngestor.py:119-168) ----------

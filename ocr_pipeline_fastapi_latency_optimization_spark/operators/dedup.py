@@ -24,7 +24,7 @@ exactly: jaccard ≥ 0.8  ⇔  9·|∩| ≥ 4·(|A|+|B|)   (since
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, List
+from typing import List
 
 import pandas as pd
 

@@ -29,7 +29,6 @@ from ..functions.extract import (
     serialize_block,
     strip_code_fences,
 )
-from ..schema import OUTPUT_SCHEMA, SKELETON_SCHEMA
 
 _SKELETON_DDL = (
     "conv_id string, turn_idx int, kind string, skeleton string, "

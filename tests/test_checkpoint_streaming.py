@@ -289,6 +289,20 @@ def test_streaming_stateful_progress_across_batches(spark, tmp_path):
     assert len(out) >= 2  # state emitted once per triggering batch
 
 
+def test_catalog_parquet_fallback(spark, tmp_path):
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources import catalog
+
+    # no Iceberg jars in this container: shim must degrade, not raise
+    assert catalog.iceberg_available(spark) is False
+    src = "/root/testdata/sf0.001/documents.parquet"
+    df = catalog.read_table(spark, src)
+    assert df.count() == 500
+    out = str(tmp_path / "cat")
+    catalog.write_table(df.limit(3), out, mode="replace")
+    catalog.write_table(df.limit(2), out, mode="append")
+    assert spark.read.parquet(out).count() == 5
+
+
 def test_multimodal_features_and_sampling(spark):
     from ocr_pipeline_fastapi_latency_optimization_spark.sources import multimodal as mm
 
