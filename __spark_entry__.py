@@ -217,6 +217,45 @@ def _q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data curation funnel as one plan: quality
+    gate -> language gate -> exact-dedup survivor gate, with per-stage
+    survivor counts (a row per stage, monotonically non-increasing)."""
+    _pin_session(spark)
+    from pyspark.sql import Window as W
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
+        fingerprint,
+        lang_id,
+        quality_score_e4,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select(
+        "doc_id",
+        quality_score_e4(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lp"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    w = W.partitionBy("fp")
+    staged = staged.withColumn(
+        "survivor", F.col("doc_id") == F.min("doc_id").over(w)
+    )
+    gates = staged.select(
+        F.count("*").alias("n_input"),
+        F.sum(F.when(F.col("q") >= 3000, 1).otherwise(0)).alias("n_quality"),
+        F.sum(
+            F.when((F.col("q") >= 3000) & (F.col("lp") == "en"), 1).otherwise(0)
+        ).alias("n_lang"),
+        F.sum(
+            F.when(
+                (F.col("q") >= 3000) & (F.col("lp") == "en") & F.col("survivor"), 1
+            ).otherwise(0)
+        ).alias("n_final"),
+    )
+    return gates
+
+
 def _q_blocks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
@@ -369,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_lsh_pairs": _wrap(similarity.cosine_lsh_pairs),
         # block-level inspection, pivot, approx stats
         "dedup_conversations": _q_dedup_conversations,
+        "curation_funnel": _q_curation_funnel,
         "blocks_table": _q_blocks_table,
         "pivot_lang_by_source": _q_pivot_lang,
         "approx_stats": _q_approx_stats,
@@ -523,6 +563,35 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+        "curation_funnel": """
+WITH staged AS (
+  SELECT doc_id,
+    CAST(floor((
+        0.4 * least(length(text) / 2000.0, 1.0)
+      + 0.5 * (CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text) END)
+      + 0.1 * (1.0 - least((CASE WHEN length(text) = 0 THEN 1.0 ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}<>/\\\\|@#$%^&*+=~`-]')) * 1.0 / length(text) END) * 5.0, 1.0))
+    ) * 10000.0) AS BIGINT) AS q,
+    CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+         WHEN en = greatest(en, de, es, fr) THEN 'en'
+         WHEN de = greatest(en, de, es, fr) THEN 'de'
+         WHEN es = greatest(en, de, es, fr) THEN 'es'
+         ELSE 'fr' END AS lp,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM (
+    SELECT *,
+      len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS en,
+      len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS de,
+      len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|los)\\b')) AS es,
+      len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|une)\\b')) AS fr
+    FROM documents)),
+surv AS (
+  SELECT *, (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS survivor FROM staged)
+SELECT CAST(count(*) AS BIGINT) AS n_input,
+       CAST(sum(CASE WHEN q >= 3000 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN q >= 3000 AND lp = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(sum(CASE WHEN q >= 3000 AND lp = 'en' AND survivor THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+FROM surv
 """,
         "dedup_conversations": """
 WITH stitched AS (
