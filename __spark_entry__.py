@@ -144,6 +144,21 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
+        lang_id_trigram,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(lang_id_trigram(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
@@ -393,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
         "lang_id_histogram": _q_lang_id,
+        "lang_id_trigram": _q_lang_id_trigram,
         "doc_fingerprints": _q_fingerprints,
         "stringops": _q_stringops,
         # dedup
@@ -712,6 +728,22 @@ WITH c AS (
          len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS de,
          len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|los)\\b')) AS es,
          len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|une)\\b')) AS fr
+  FROM documents),
+p AS (
+  SELECT CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+              WHEN en = greatest(en, de, es, fr) THEN 'en'
+              WHEN de = greatest(en, de, es, fr) THEN 'de'
+              WHEN es = greatest(en, de, es, fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM c)
+SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY lang_pred ORDER BY lang_pred
+""",
+        "lang_id_trigram": """
+WITH c AS (
+  SELECT len(regexp_extract_all(lower(text), 'the')) + len(regexp_extract_all(lower(text), 'and')) + len(regexp_extract_all(lower(text), 'ing')) + len(regexp_extract_all(lower(text), ' of')) + len(regexp_extract_all(lower(text), 'ion')) AS en,
+         len(regexp_extract_all(lower(text), 'der')) + len(regexp_extract_all(lower(text), 'ein')) + len(regexp_extract_all(lower(text), 'sch')) + len(regexp_extract_all(lower(text), 'und')) + len(regexp_extract_all(lower(text), 'cht')) AS de,
+         len(regexp_extract_all(lower(text), 'que')) + len(regexp_extract_all(lower(text), ' de')) + len(regexp_extract_all(lower(text), 'ión')) + len(regexp_extract_all(lower(text), 'los')) + len(regexp_extract_all(lower(text), ' la')) AS es,
+         len(regexp_extract_all(lower(text), 'les')) + len(regexp_extract_all(lower(text), ' le')) + len(regexp_extract_all(lower(text), 'ent')) + len(regexp_extract_all(lower(text), 'des')) + len(regexp_extract_all(lower(text), 'une')) AS fr
   FROM documents),
 p AS (
   SELECT CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'

@@ -13,6 +13,8 @@ strip ``PageProcessor.py:116``.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, functions as F
 
 # language → discriminative stopwords (word-boundary regex, RE2/Java-safe)
@@ -68,6 +70,42 @@ def lang_id(text: Column) -> Column:
     all-zero → 'und'. The n-gram-heuristic language-ID of a training-data
     pipeline, built entirely from JVM expressions."""
     counts = stopword_counts(text)
+    best = F.greatest(*[counts[l] for l in _LANG_ORDER])
+    expr = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        expr = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# distinctive character trigrams per language (the n-gram profile
+# heuristic proper; space-padded to anchor word boundaries)
+TRIGRAMS = {
+    "en": ["the", "and", "ing", " of", "ion"],
+    "de": ["der", "ein", "sch", "und", "cht"],
+    "es": ["que", " de", "ión", "los", " la"],
+    "fr": ["les", " le", "ent", "des", "une"],
+}
+
+
+def trigram_counts(text: Column) -> dict:
+    low = F.lower(text)
+    out = {}
+    for lang, grams in TRIGRAMS.items():
+        total = None
+        for g in grams:
+            # literal occurrence count, overlap-free (regex-escaped)
+            c = F.size(
+                F.regexp_extract_all(low, F.lit(re.escape(g)), 0)
+            )
+            total = c if total is None else total + c
+        out[lang] = total
+    return out
+
+
+def lang_id_trigram(text: Column) -> Column:
+    """Character-trigram-profile language ID: argmax over per-language
+    trigram hit totals, ties in _LANG_ORDER, all-zero → 'und'."""
+    counts = trigram_counts(text)
     best = F.greatest(*[counts[l] for l in _LANG_ORDER])
     expr = F.lit("und")
     for lang in reversed(_LANG_ORDER):

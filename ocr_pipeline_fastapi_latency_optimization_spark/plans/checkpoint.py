@@ -89,7 +89,11 @@ def run_with_checkpoint(
             if fail_buckets and b in fail_buckets:
                 raise RuntimeError(f"injected failure in bucket {b}")
             bucket_out = os.path.join(out_dir, f"bucket={b}")
-            out.write.mode("overwrite").parquet(bucket_out)
+            # deterministic file order within every output partition
+            # (ordering from data, never the scheduler — INV-1/O3)
+            out.sortWithinPartitions("conv_id", "turn_idx").write.mode(
+                "overwrite"
+            ).parquet(bucket_out)
             metrics = spark.read.parquet(bucket_out).agg(
                 F.count("*").alias("n_turns"),
                 F.sum("n_blocks_kept").cast("long").alias("n_blocks_kept"),
