@@ -350,6 +350,25 @@ def test_strip_code_fences():
     assert strip_code_fences("a```b```c") == "abc"
 
 
+def test_sentinel_injection_is_deterministic():
+    """A payload that already contains our sentinel grammar resolves
+    against the SAME turn's preserved blocks (or the missing-crop
+    message) — never another turn's, never nondeterministically. This is
+    the JN1 semantics under adversarial input: attempted resolution,
+    left-join survival (MarkdownEnricher.py:69-94)."""
+    html = (
+        "<p>user pasted [[TURN 9 table_0]] into their message</p>"
+        "<table><tr><td>42</td></tr></table>"
+    )
+    r = extract_turn_full(html, 3)
+    # the injected tag resolves to THIS turn's table_0 serialization
+    # (key is (kind, k); the turn number in the tag is display-only)
+    assert r["extracted_text"].count("| 42 |") == 2
+    # and with no table present, the injected tag becomes missing-crop
+    r2 = extract_turn_full("<p>xx [[TURN 9 table_0]] yy</p>", 3)
+    assert "[missing table_0]" in r2["extracted_text"]
+
+
 def test_extract_full_plain_metrics():
     r = extract_turn_full("hello world\n\n***", 0)
     assert r["extracted_text"] == "hello world"
