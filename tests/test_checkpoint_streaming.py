@@ -289,6 +289,58 @@ def test_streaming_stateful_progress_across_batches(spark, tmp_path):
     assert len(out) >= 2  # state emitted once per triggering batch
 
 
+def test_streaming_restart_processes_only_new_files(spark, tmp_path, corpus):
+    """Exactly-once continuous ingestion: a file-source stream with a
+    checkpointLocation, stopped and restarted after new data lands,
+    extracts each turn exactly once (the streaming twin of the batch
+    bucket-resume semantics)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.schema import (
+        TRANSCRIPTS_SCHEMA,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.streaming.rate_window import (
+        streaming_extract,
+    )
+
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    out = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    first = corpus[corpus.conv_id < "conv000010"]
+    second = corpus[corpus.conv_id >= "conv000010"]
+    transcripts_df(spark, first).coalesce(1).write.parquet(str(src / "f1"))
+
+    def run_once():
+        stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(str(src) + "/*")
+        q = (
+            streaming_extract(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == len(first)
+
+    transcripts_df(spark, second).coalesce(1).write.parquet(str(src / "f2"))
+    run_once()  # restart from the same checkpoint
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+    )
+    assert len(got) == len(corpus)  # exactly once: no dupes, no gaps
+    from ocr_pipeline_fastapi_latency_optimization_spark import oracle
+
+    want = oracle.extract_frame(corpus)
+    assert got["extracted_text"].tolist() == want["extracted_text"].tolist()
+
+
 def test_catalog_parquet_fallback(spark, tmp_path):
     from ocr_pipeline_fastapi_latency_optimization_spark.sources import catalog
 
