@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--merge-visual", action="store_true")
     p.add_argument("--stitch", action="store_true", help="also write conv-level stitch")
     p.add_argument("--cpus", type=int, default=None, help="local[N] when no cluster")
+    p.add_argument(
+        "--concurrency", type=int, default=1,
+        help="buckets processed concurrently (driver-side worker pool)",
+    )
     return p
 
 
@@ -78,6 +82,7 @@ def main(argv=None) -> int:
         run_id=args.run_id,
         n_buckets=args.buckets,
         merge_visual=args.merge_visual,
+        concurrency=args.concurrency,
     )
     print(f"processed {len(processed)} buckets: {processed[:16]}{'…' if len(processed) > 16 else ''}")
     m = lineage_metrics(spark, args.checkpoint).collect()[0]

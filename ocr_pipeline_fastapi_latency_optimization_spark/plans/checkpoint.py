@@ -41,7 +41,9 @@ def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
 
 def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> List[int]:
     """Bucket ids with a committed 'completed' lineage row."""
-    path = os.path.join(checkpoint_dir, "lineage")
+    # per-bucket lineage subdirectories: concurrent bucket workers never
+    # write the same path, so no commit-protocol races
+    path = os.path.join(checkpoint_dir, "lineage", "bucket=*")
     try:
         lineage = spark.read.parquet(path)
     except Exception:
@@ -64,6 +66,7 @@ def run_with_checkpoint(
     n_buckets: int = DEFAULT_BUCKETS,
     merge_visual: bool = False,
     fail_buckets: Optional[set] = None,
+    concurrency: int = 1,
 ) -> List[int]:
     """Process every not-yet-completed bucket; returns the bucket ids
     processed in this invocation. ``fail_buckets`` injects failures for
@@ -75,48 +78,76 @@ def run_with_checkpoint(
     O(bucket rows) and the checkpoint loop adds only O(NB) coordination
     — the property that makes resume cheap at 10^12 turns.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.extraction import extract_pipeline
 
     done = set(completed_buckets(spark, checkpoint_dir))
     todo = [b for b in range(n_buckets) if b not in done]
-    lineage_path = os.path.join(checkpoint_dir, "lineage")
     bucketed = with_bucket(transcripts, n_buckets).cache()
+
+    def process_bucket(b: int) -> int:
+        part = bucketed.filter(F.col("bucket") == b).drop("bucket")
+        out = extract_pipeline(part, merge_visual=merge_visual)
+        if fail_buckets and b in fail_buckets:
+            raise RuntimeError(f"injected failure in bucket {b}")
+        bucket_out = os.path.join(out_dir, f"bucket={b}")
+        # deterministic file order within every output partition
+        # (ordering from data, never the scheduler — INV-1/O3)
+        out.sortWithinPartitions("conv_id", "turn_idx").write.mode(
+            "overwrite"
+        ).parquet(bucket_out)
+        metrics = spark.read.parquet(bucket_out).agg(
+            F.count("*").alias("n_turns"),
+            F.sum("n_blocks_kept").cast("long").alias("n_blocks_kept"),
+            F.sum("n_blocks_dropped").cast("long").alias("n_blocks_dropped"),
+            F.sum("chars_extracted").cast("long").alias("chars_extracted"),
+        )
+        now = F.lit(int(time.time())).cast("timestamp")
+        lineage_row = metrics.select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(b).cast("int").alias("bucket"),
+            F.lit(STATUS_COMPLETED).alias("status"),
+            "n_turns",
+            "n_blocks_kept",
+            "n_blocks_dropped",
+            "chars_extracted",
+            now.alias("created_at"),
+            now.alias("updated_at"),
+        )
+        # per-bucket lineage dir: the completed marker commits atomically
+        # with the bucket, and concurrent workers never share a path
+        lineage_row.write.mode("overwrite").parquet(
+            os.path.join(checkpoint_dir, "lineage", f"bucket={b}")
+        )
+        return b
+
     processed: List[int] = []
     try:
-        for b in todo:
-            part = bucketed.filter(F.col("bucket") == b).drop("bucket")
-            out = extract_pipeline(part, merge_visual=merge_visual)
-            if fail_buckets and b in fail_buckets:
-                raise RuntimeError(f"injected failure in bucket {b}")
-            bucket_out = os.path.join(out_dir, f"bucket={b}")
-            # deterministic file order within every output partition
-            # (ordering from data, never the scheduler — INV-1/O3)
-            out.sortWithinPartitions("conv_id", "turn_idx").write.mode(
-                "overwrite"
-            ).parquet(bucket_out)
-            metrics = spark.read.parquet(bucket_out).agg(
-                F.count("*").alias("n_turns"),
-                F.sum("n_blocks_kept").cast("long").alias("n_blocks_kept"),
-                F.sum("n_blocks_dropped").cast("long").alias("n_blocks_dropped"),
-                F.sum("chars_extracted").cast("long").alias("chars_extracted"),
-            )
-            now = F.lit(int(time.time())).cast("timestamp")
-            lineage_row = metrics.select(
-                F.lit(run_id).alias("run_id"),
-                F.lit(b).cast("int").alias("bucket"),
-                F.lit(STATUS_COMPLETED).alias("status"),
-                "n_turns",
-                "n_blocks_kept",
-                "n_blocks_dropped",
-                "chars_extracted",
-                now.alias("created_at"),
-                now.alias("updated_at"),
-            )
-            lineage_row.write.mode("append").parquet(lineage_path)
-            processed.append(b)
+        if concurrency <= 1:
+            for b in todo:
+                processed.append(process_bucket(b))
+        else:
+            # the outer worker pool (the reference's two-level pool, O5
+            # analog, ocr_app.py:414-443): Spark schedules concurrent
+            # jobs from multiple driver threads; each bucket is
+            # independent, so failures stop new submissions but already
+            # completed buckets stay committed
+            with ThreadPoolExecutor(max_workers=concurrency) as pool:
+                futures = {pool.submit(process_bucket, b): b for b in todo}
+                from concurrent.futures import as_completed
+
+                errors = []
+                for fut in as_completed(futures):
+                    try:
+                        processed.append(fut.result())
+                    except Exception as exc:
+                        errors.append(exc)
+                if errors:
+                    raise errors[0]
     finally:
         bucketed.unpersist()
-    return processed
+    return sorted(processed)
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -126,7 +157,7 @@ def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
 def lineage_metrics(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     """The progress/throughput aggregate (A7, ``ocr_app.py:932-952``):
     corpus-level totals from per-bucket lineage rows."""
-    lineage = spark.read.parquet(os.path.join(checkpoint_dir, "lineage"))
+    lineage = spark.read.parquet(os.path.join(checkpoint_dir, "lineage", "bucket=*"))
     return lineage.filter(F.col("status") == STATUS_COMPLETED).agg(
         F.countDistinct("bucket").alias("buckets_done"),
         F.sum("n_turns").alias("n_turns"),

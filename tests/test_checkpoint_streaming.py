@@ -62,6 +62,47 @@ def test_resume_recomputes_only_failed_buckets(spark, tmp_path, corpus):
     assert m["chars_extracted"] == int(want["chars_extracted"].sum())
 
 
+def test_concurrent_buckets_match_sequential(spark, tmp_path, corpus):
+    df = transcripts_df(spark, corpus)
+    seq_out, seq_ckpt = str(tmp_path / "so"), str(tmp_path / "sc")
+    par_out, par_ckpt = str(tmp_path / "po"), str(tmp_path / "pc")
+    cp.run_with_checkpoint(spark, df, seq_out, seq_ckpt, "r1", n_buckets=N_BUCKETS)
+    done = cp.run_with_checkpoint(
+        spark, df, par_out, par_ckpt, "r1", n_buckets=N_BUCKETS, concurrency=4
+    )
+    assert done == list(range(N_BUCKETS))
+    a = (
+        cp.read_output(spark, seq_out)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+    )
+    b = (
+        cp.read_output(spark, par_out)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+    )
+    assert a["extracted_text"].tolist() == b["extracted_text"].tolist()
+    ma = cp.lineage_metrics(spark, seq_ckpt).collect()[0]
+    mb = cp.lineage_metrics(spark, par_ckpt).collect()[0]
+    assert ma["chars_extracted"] == mb["chars_extracted"]
+
+
+def test_concurrent_failure_keeps_completed_buckets(spark, tmp_path, corpus):
+    df = transcripts_df(spark, corpus)
+    out, ckpt = str(tmp_path / "fo"), str(tmp_path / "fc")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        cp.run_with_checkpoint(
+            spark, df, out, ckpt, "r1",
+            n_buckets=N_BUCKETS, concurrency=4, fail_buckets={1},
+        )
+    done = cp.completed_buckets(spark, ckpt)
+    assert 1 not in done and len(done) == N_BUCKETS - 1
+    resumed = cp.run_with_checkpoint(
+        spark, df, out, ckpt, "r2", n_buckets=N_BUCKETS, concurrency=4
+    )
+    assert resumed == [1]
+
+
 def test_rerun_after_completion_is_noop(spark, tmp_path, corpus):
     out_dir = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
