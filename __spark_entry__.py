@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _wrap(olap.sessionize),
         "top_k_per_group": _wrap(olap.top_k_per_group),
         "rollup_counts": _wrap(olap.rollup_counts),
+        "cube_counts": _wrap(olap.cube_counts),
         "asof_last_click": _wrap(olap.asof_last_click),
         "revenue_by_nation": _wrap(olap.revenue_by_nation),
         "pricing_summary": _wrap(olap.pricing_summary),
@@ -546,6 +547,15 @@ SELECT COALESCE(event_type, '(all)') AS event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(floor(value * 100)) AS BIGINT) AS value_cents
 FROM ev GROUP BY ROLLUP(event_type, weekday)
+ORDER BY event_type, weekday
+""",
+        "cube_counts": """
+WITH ev AS (SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS weekday, value FROM events)
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       CAST(COALESCE(weekday, -1) AS INTEGER) AS weekday,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(floor(value * 100)) AS BIGINT) AS value_cents
+FROM ev GROUP BY CUBE(event_type, weekday)
 ORDER BY event_type, weekday
 """,
         "asof_last_click": """

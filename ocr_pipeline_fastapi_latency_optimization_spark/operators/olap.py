@@ -96,6 +96,29 @@ def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, weekday): all grouping-set combinations,
+    null keys coalesced to sentinels (completes the grouping-sets family
+    next to ROLLUP)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("weekday"), "value"
+    )
+    return (
+        ev.cube("event_type", "weekday")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100)).cast("long").alias("value_cents"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("weekday", F.lit(-1)).cast("int").alias("weekday"),
+            "n",
+            "value_cents",
+        )
+        .orderBy("event_type", "weekday")
+    )
+
+
 def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark lacks a native one): for every purchase event,
     the most recent preceding click by the same user — expressed as
