@@ -383,6 +383,35 @@ def test_extract_never_raises_on_garbage():
         assert isinstance(r["extracted_text"], str)
 
 
+def test_giant_table_and_nested_lists():
+    rows = "".join(
+        f"<tr><td>r{i}</td><td>{i * 7}</td></tr>" for i in range(1000)
+    )
+    html = (
+        "<ul><li>item one text</li><li>item two text"
+        "<ul><li>nested item text</li></ul></li></ul>"
+        f"<table><tr><th>k</th><th>v</th></tr>{rows}</table>"
+    )
+    r = extract_turn_full(html, 0)
+    assert "| r999 | 6993 |" in r["extracted_text"]
+    assert "nested item text" in r["extracted_text"]
+
+
+def test_unclosed_table_still_flushes():
+    html = "<p>before the table text</p><table><tr><td>cell x</td></tr>"
+    r = extract_turn_full(html, 0)
+    assert "before the table text" in r["extracted_text"]
+    assert "| cell x |" in r["extracted_text"]
+
+
+def test_figure_nested_inside_table_is_table_content():
+    # capture containers don't nest: inner <figure> text stays in the table
+    html = "<table><tr><td><figure><figcaption>fc</figcaption></figure>v1</td></tr></table>"
+    r = extract_turn_full(html, 0)
+    assert r["n_blocks_kept"] == 1
+    assert "fc" in r["extracted_text"]
+
+
 def test_extract_pdf_conf_ties_stable():
     # two blocks with identical confidence keep input order (INV-1)
     payload = json.dumps(
