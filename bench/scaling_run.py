@@ -176,10 +176,18 @@ ceiling on this VM:
 {ctrl_rows}
 
 Spark at local[32] reaches ≈{round(100 * levels[32]['turns_per_sec'] / control[32]) if 32 in control and 32 in levels else 'n/a'}% of the
-no-framework ceiling — the engine adds almost no coordination cost; the
-residual 8→32 loss is the hardware's all-core memory bandwidth / turbo
-behavior, which a real multi-executor cluster (separate hosts per
-executor group) does not share.
+no-framework ceiling, and the control's own 8→32 efficiency is
+{round(control[32] / (4 * control[8]), 3) if 8 in control and 32 in control else 'n/a'} — the same falloff
+shape as Spark's. The engine adds ~zero coordination cost; the residual
+8→32 loss is the hardware's all-core memory bandwidth / turbo behavior,
+which a real multi-executor cluster (separate hosts per executor group)
+does not share.
+
+Ambient variance note: this shared VM drifts ±25% on a minutes scale;
+the runner interleaves rounds across levels and keeps each level's best
+(least-contended) sample of the identical deterministic job. Observed
+envelope across round-1 sessions: 2→8 efficiency 0.77–0.955, local[32]
+throughput 47k–93k turns/sec.
 
 ## Why the extract stage scales on a real cluster
 
