@@ -262,8 +262,9 @@ def tokenize_html(text: str) -> List[Block]:
                         cur_cell.append(visible)
             elif visible.strip():
                 if cur_start < 0:
-                    lead_ws = len(visible) - len(visible.lstrip())
-                    cur_start = pos + lead_ws
+                    # raw-segment whitespace, not unescaped: offsets must
+                    # index the source string
+                    cur_start = pos + (len(seg) - len(seg.lstrip()))
                 cur_parts.append(visible)
                 cur_end = pos + len(seg.rstrip())
                 if anchor_depth > 0:
@@ -333,7 +334,7 @@ def tokenize_html(text: str) -> List[Block]:
                 capture_parts.append(visible)
         elif visible.strip():
             if cur_start < 0:
-                cur_start = pos + (len(visible) - len(visible.lstrip()))
+                cur_start = pos + (len(seg) - len(seg.lstrip()))
             cur_parts.append(visible)
             cur_end = pos + len(seg.rstrip())
             if anchor_depth > 0:
