@@ -271,6 +271,24 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gates
 
 
+def _q_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via a grouped-agg pandas UDF: per-source median doc
+    length (quantized x10 so the even-count interpolated median stays an
+    exact integer across engines)."""
+    _pin_session(spark)
+    from pyspark.sql import types as T
+
+    median10 = F.pandas_udf(
+        lambda s: float(s.median()) * 10.0, T.DoubleType(), F.PandasUDFType.GROUPED_AGG
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy("source")
+        .agg(median10(F.col("n_chars")).cast("long").alias("median_chars_x10"))
+        .orderBy("source")
+    )
+
+
 def _q_blocks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
@@ -426,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # block-level inspection, pivot, approx stats
         "dedup_conversations": _q_dedup_conversations,
         "curation_funnel": _q_curation_funnel,
+        "median_chars_by_source": _q_median_chars,
         "blocks_table": _q_blocks_table,
         "pivot_lang_by_source": _q_pivot_lang,
         "approx_stats": _q_approx_stats,
@@ -589,6 +608,10 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+        "median_chars_by_source": """
+SELECT source, CAST(median(n_chars) * 10 AS BIGINT) AS median_chars_x10
+FROM documents GROUP BY source ORDER BY source
 """,
         "curation_funnel": """
 WITH staged AS (
