@@ -320,6 +320,38 @@ def stitch_conversations(per_turn: DataFrame) -> DataFrame:
     )
 
 
+def stitch_conversations_grouped(per_turn: DataFrame) -> DataFrame:
+    """A6 stitch as a grouped-map ``applyInPandas`` (the SURVEY §2.12
+    UDF-surface form): one pandas frame per conversation, sorted and
+    joined in Python. Semantically identical to the collect_list form;
+    the aggregate form is preferred at scale (map-side partials), this
+    one exists for groups needing arbitrary per-conversation Python."""
+    import pandas as pd
+
+    def stitch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("turn_idx", kind="stable")
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "n_turns": [len(pdf)],
+                "chars_extracted": [int(pdf["chars_extracted"].sum())],
+                "conversation_text": [STITCH_SEP.join(pdf["extracted_text"])],
+            }
+        )
+
+    return (
+        per_turn.select("conv_id", "turn_idx", "extracted_text", "chars_extracted")
+        .groupBy("conv_id")
+        .applyInPandas(
+            stitch,
+            schema=(
+                "conv_id string, n_turns long, chars_extracted long, "
+                "conversation_text string"
+            ),
+        )
+    )
+
+
 def stitch_conversations_salted(
     per_turn: DataFrame, chunk: int = _STITCH_CHUNK
 ) -> DataFrame:

@@ -115,6 +115,70 @@ def test_table_serializer_total(rows):
         assert all(l.startswith("|") and l.endswith("|") for l in lines)
 
 
+@settings(max_examples=150, deadline=None)
+@given(
+    blocks=st.lists(
+        st.tuples(
+            st.integers(0, 900),  # x0
+            st.integers(0, 900),  # y0
+            st.integers(1, 100),  # w
+            st.integers(1, 100),  # h
+            st.sampled_from(
+                ["text", "table", "figure", "formula", "footer", "doc_title",
+                 "aside_text", "chart", "image", "abstract"]
+            ),
+            st.floats(0.0, 1.0, allow_nan=False),
+        ),
+        max_size=12,
+    ),
+    merge_visual=st.booleans(),
+)
+def test_pdf_branch_fuzz(blocks, merge_visual):
+    """Random layout payloads: extraction is total, deterministic, and
+    the XY-cut order is a permutation (no block lost or duplicated
+    before masking)."""
+    import json
+
+    payload = {
+        "pages": [
+            {
+                "w": 1000,
+                "h": 1000,
+                "blocks": [
+                    {
+                        "bbox": [x, y, x + w, y + h],
+                        "label": lab,
+                        "conf": round(c, 4),
+                        "text": f"t{j}",
+                    }
+                    for j, (x, y, w, h, lab, c) in enumerate(blocks)
+                ],
+            }
+        ]
+    }
+    text = json.dumps(payload)
+    r1 = extract_turn_full(text, 0, merge_visual=merge_visual)
+    r2 = extract_turn_full(text, 0, merge_visual=merge_visual)
+    assert r1["extracted_text"] == r2["extracted_text"]
+    assert r1["spans"] == r2["spans"]
+    # spans count == surviving blocks after merges; never exceeds input
+    assert len(r1["spans"]) <= len(blocks)
+    assert r1["n_blocks_kept"] + r1["n_blocks_dropped"] == len(r1["spans"])
+
+
+def test_xy_cut_is_permutation():
+    import numpy as np
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.merges import (
+        xy_cut_order,
+    )
+
+    rngless = [(i * 37 % 900, i * 53 % 900, 40 + i % 60, 30 + i % 40) for i in range(25)]
+    boxes = np.array([[x, y, x + w, y + h] for x, y, w, h in rngless])
+    order = xy_cut_order(boxes)
+    assert sorted(order) == list(range(len(boxes)))
+
+
 def test_large_payload_single_turn(spark):
     # a ~300KB html turn must extract correctly and not distort batches
     body = "".join(

@@ -109,6 +109,16 @@ def test_m2_table_gap_rule():
     assert out.classes == ["table"]
 
 
+def test_m2_figure_inclusion_overrides_right_edge():
+    # candidate ends left of center BUT is ≥50% inside the figure -> merge
+    pg = _page(
+        [[100, 100, 500, 300], [120, 260, 250, 299]],
+        ["figure", "text"],
+    )
+    out = M.merge_text_figure_table(pg)
+    assert out.classes == ["figure"]
+
+
 def test_m2_figure_right_edge_rule():
     # candidate right edge < figure center and inclusion < 0.5 -> no merge
     pg = _page(

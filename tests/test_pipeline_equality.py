@@ -90,6 +90,29 @@ def test_stitch_equality(spark, corpus):
     assert got["n_turns"].tolist() == want["n_turns"].tolist()
 
 
+def test_grouped_map_stitch_matches_plain(spark, corpus):
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
+        stitch_conversations_grouped,
+    )
+
+    per_turn = extract_pipeline(transcripts_df(spark, corpus))
+    plain = (
+        stitch_conversations(per_turn)
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    grouped = (
+        stitch_conversations_grouped(per_turn)
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert plain["conversation_text"].tolist() == grouped["conversation_text"].tolist()
+    assert plain["n_turns"].tolist() == grouped["n_turns"].tolist()
+    assert plain["chars_extracted"].tolist() == grouped["chars_extracted"].tolist()
+
+
 def test_salted_stitch_matches_plain(spark):
     # skewed corpus: one conversation much longer than the rest; the
     # two-phase salted stitch must produce the identical ordered concat
