@@ -433,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_exact_groups": _wrap(dedup.exact_duplicate_groups),
         "dedup_survivors": _wrap(dedup.exact_dedup_survivors),
+        "incremental_dedup": _wrap(dedup.incremental_dedup),
         "ngram_jaccard_pairs": _wrap(dedup.ngram_jaccard_pairs),
         "minhash_lsh_pairs": _wrap(dedup.minhash_lsh_pairs),
         "simhash_near_dups": _wrap(dedup.simhash_near_dup_pairs),
@@ -808,6 +809,14 @@ SELECT doc_id,
        CAST(min(doc_id) OVER (PARTITION BY fp) AS BIGINT) AS canonical_id,
        (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS survivor
 FROM d ORDER BY doc_id
+""",
+        "incremental_dedup": f"""
+WITH d AS (SELECT doc_id, {qualify_fp} AS fp FROM documents),
+existing AS (SELECT DISTINCT fp FROM d WHERE doc_id < 250),
+new AS (SELECT * FROM d WHERE doc_id >= 250)
+SELECT doc_id,
+       CASE WHEN fp IN (SELECT fp FROM existing) THEN 'dup_of_existing' ELSE 'new' END AS verdict
+FROM new ORDER BY doc_id
 """,
         "ngram_jaccard_pairs": shingle_cte
         + """

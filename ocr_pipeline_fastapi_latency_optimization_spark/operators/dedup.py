@@ -73,6 +73,28 @@ def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def incremental_dedup(
+    spark: SparkSession, sf_dir: str, boundary: int = 250
+) -> DataFrame:
+    """Incremental ingestion dedup: which docs of the NEW batch duplicate
+    the EXISTING corpus (fingerprint semi-join) vs are genuinely new
+    (anti-join) — the production mode where dedup runs per-ingest against
+    a fingerprint index, never corpus x corpus. ``boundary`` splits the
+    documents table into existing (< boundary) and new (>= boundary)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    existing = docs.filter(F.col("doc_id") < boundary).select("fp").distinct()
+    new = docs.filter(F.col("doc_id") >= boundary)
+    dups = new.join(existing, "fp", "left_semi").select(
+        "doc_id", F.lit("dup_of_existing").alias("verdict")
+    )
+    fresh = new.join(existing, "fp", "left_anti").select(
+        "doc_id", F.lit("new").alias("verdict")
+    )
+    return dups.unionByName(fresh).orderBy("doc_id")
+
+
 # --- shingles + exact jaccard ---------------------------------------------------
 
 

@@ -93,8 +93,8 @@ def _gen_html(rng: random.Random) -> str:
             f"<figure><img src='x.png'/><figcaption>{_sentence(rng, 5)}</figcaption></figure>"
         )
     if rng.random() < 0.6:
-        parts.append(f"<footer><a href='/c'>contact</a> © 2026</footer>")
-    rng.shuffle(parts) if False else None  # document order is load-bearing
+        parts.append("<footer><a href='/c'>contact</a> © 2026</footer>")
+    # document order is load-bearing: parts are never shuffled
     return "\n".join(parts)
 
 
