@@ -318,6 +318,16 @@ def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
     interchange dumps."""
     reader = spark.read.schema(TRANSCRIPTS_SCHEMA)
     if fmt == "parquet":
+        # enforcing a schema on mismatched parquet silently yields null
+        # columns — validate the footer names instead of ingesting garbage
+        # (the S2 allow-list's table-level analog, ocr_app.py:589-598)
+        actual = {f.name for f in spark.read.parquet(path).schema.fields}
+        required = {f.name for f in TRANSCRIPTS_SCHEMA.fields}
+        missing = required - actual
+        if missing:
+            raise ValueError(
+                f"not a transcripts table: {path} lacks columns {sorted(missing)}"
+            )
         return reader.parquet(path)
     if fmt == "json":
         return reader.json(path)

@@ -382,6 +382,15 @@ def test_streaming_restart_processes_only_new_files(spark, tmp_path, corpus):
     assert got["extracted_text"].tolist() == want["extracted_text"].tolist()
 
 
+def test_read_transcripts_rejects_wrong_schema(spark):
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+        read_transcripts,
+    )
+
+    with pytest.raises(ValueError, match="lacks columns"):
+        read_transcripts(spark, "/root/testdata/sf0.001/documents.parquet")
+
+
 def test_catalog_parquet_fallback(spark, tmp_path):
     from ocr_pipeline_fastapi_latency_optimization_spark.sources import catalog
 
