@@ -403,6 +403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": _wrap(olap.asof_last_click),
         "revenue_by_nation": _wrap(olap.revenue_by_nation),
         "pricing_summary": _wrap(olap.pricing_summary),
+        "time_buckets": _wrap(olap.time_buckets),
+        "sql_api_revenue": _wrap(olap.sql_api_revenue),
         "window_functions": _wrap(olap.window_functions),
         "set_ops": _wrap(olap.set_ops),
         "semi_anti_joins": _wrap(olap.semi_anti_joins),
@@ -590,6 +592,22 @@ FROM (
 WHERE event_type = 'purchase' ORDER BY event_id
 """,
         "revenue_by_nation": """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+""",
+        "time_buckets": """
+SELECT CAST(floor(floor(epoch(ts)) / 21600) AS BIGINT) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(floor(value * 100)) AS BIGINT) AS value_cents
+FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type
+""",
+        "sql_api_revenue": """
 SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
        CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS revenue_cents
 FROM lineitem l

@@ -233,6 +233,46 @@ def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_buckets(spark: SparkSession, sf_dir: str, bucket_s: int = 21600) -> DataFrame:
+    """Time-series rollup: fixed 6-hour epoch buckets per event type —
+    the time-bucketed aggregation shape (hypertable-rollup analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / bucket_s).cast("long").alias("bucket"),
+            "event_type",
+            "value",
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100)).cast("long").alias("value_cents"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same star join as ``revenue_by_nation`` expressed through the
+    SQL front-end (temp views + ``spark.sql``) — Catalyst plans both the
+    same way; this entry proves the engine's SQL surface end-to-end."""
+    for t in ("region", "nation", "customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT r_name, n_name, count(*) AS n_items,
+               CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)
+                 AS revenue_cents
+        FROM v_lineitem l
+        JOIN v_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN v_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """
+    )
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: groupBy two flags, several
     aggregates, quantized; exact distinct order count."""
