@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _wrap(dedup.exact_duplicate_groups),
         "dedup_survivors": _wrap(dedup.exact_dedup_survivors),
         "incremental_dedup": _wrap(dedup.incremental_dedup),
+        "fuzzy_name_pairs": _wrap(dedup.fuzzy_name_pairs),
         "ngram_jaccard_pairs": _wrap(dedup.ngram_jaccard_pairs),
         "minhash_lsh_pairs": _wrap(dedup.minhash_lsh_pairs),
         "simhash_near_dups": _wrap(dedup.simhash_near_dup_pairs),
@@ -827,6 +828,14 @@ SELECT doc_id,
        CAST(min(doc_id) OVER (PARTITION BY fp) AS BIGINT) AS canonical_id,
        (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS survivor
 FROM d ORDER BY doc_id
+""",
+        "fuzzy_name_pairs": """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 8
+ORDER BY key_a, key_b
 """,
         "incremental_dedup": f"""
 WITH d AS (SELECT doc_id, {qualify_fp} AS fp FROM documents),

@@ -95,6 +95,34 @@ def incremental_dedup(
     return dups.unionByName(fresh).orderBy("doc_id")
 
 
+def fuzzy_name_pairs(
+    spark: SparkSession, sf_dir: str, max_dist: int = 8
+) -> DataFrame:
+    """Blocked fuzzy matching: Levenshtein pairs WITHIN brand blocks —
+    the classic record-linkage shape (block on a cheap equality key so
+    the quadratic edit-distance only runs inside blocks, never corpus x
+    corpus)."""
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_name"
+    )
+    a = parts.alias("a")
+    b = parts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .orderBy("key_a", "key_b")
+    )
+
+
 # --- shingles + exact jaccard ---------------------------------------------------
 
 
