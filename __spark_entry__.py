@@ -129,6 +129,23 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_quality_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-wave quality signals: mean word length and character
+    entropy (gibberish detector)."""
+    _pin_session(spark)
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
+        avg_word_len_e2,
+        char_entropy_e4,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ent = char_entropy_e4(docs, "doc_id", "text")
+    base = docs.select(
+        "doc_id", avg_word_len_e2(F.col("text")).alias("avg_word_len_e2")
+    )
+    return base.join(ent, "doc_id").orderBy("doc_id")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
@@ -428,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis (training-data ops)
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
+        "quality_signals_v2": _q_quality_v2,
         "lang_id_histogram": _q_lang_id,
         "lang_id_trigram": _q_lang_id_trigram,
         "doc_fingerprints": _q_fingerprints,
@@ -774,6 +792,26 @@ SELECT doc_id,
     + 0.1 * (1.0 - least((CASE WHEN length(text) = 0 THEN 1.0 ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}<>/\\\\|@#$%^&*+=~`-]')) * 1.0 / length(text) END) * 5.0, 1.0))
   ) * 10000.0) AS BIGINT) AS quality_e4
 FROM documents ORDER BY doc_id
+""",
+        "quality_signals_v2": """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents
+), counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars WHERE length(ch) > 0 GROUP BY doc_id, ch
+), totals AS (
+  SELECT doc_id, sum(c) AS tot FROM counts GROUP BY doc_id
+), ent AS (
+  SELECT c.doc_id,
+         CAST(floor(-sum((c.c * 1.0 / t.tot) * log2(c.c * 1.0 / t.tot)) * 10000) AS BIGINT) AS entropy_e4
+  FROM counts c JOIN totals t ON c.doc_id = t.doc_id GROUP BY c.doc_id
+), awl AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE floor(len(regexp_extract_all(text, '[A-Za-z0-9]')) * 100.0
+                   / len(regexp_split_to_array(trim(text), '\s+'))) END AS BIGINT) AS avg_word_len_e2
+  FROM documents)
+SELECT a.doc_id, a.avg_word_len_e2, e.entropy_e4
+FROM awl a JOIN ent e ON a.doc_id = e.doc_id ORDER BY a.doc_id
 """,
         "lang_id_histogram": """
 WITH c AS (

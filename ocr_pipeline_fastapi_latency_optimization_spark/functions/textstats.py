@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # language → discriminative stopwords (word-boundary regex, RE2/Java-safe)
 STOPWORDS = {
@@ -129,6 +129,38 @@ def quality_score_e4(text: Column) -> Column:
         + F.lit(0.1) * (F.lit(1.0) - F.least(punct_term * F.lit(5.0), F.lit(1.0)))
     )
     return F.floor(score * F.lit(10000.0)).cast("long")
+
+
+def avg_word_len_e2(text: Column) -> Column:
+    """floor(100 · mean word length) — the readability-style ratio."""
+    t = F.trim(text)
+    words = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    letters = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]"), 0))
+    return F.when(words == 0, F.lit(0)).otherwise(
+        F.floor(letters * F.lit(100.0) / words)
+    ).cast("long")
+
+
+def char_entropy_e4(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shannon entropy (bits/char) of each document's character
+    distribution, quantized e4 — a cheap gibberish/compression-ratio
+    signal. Pure built-ins: explode chars → per-(doc, char) counts →
+    -Σ p·log2 p. One shuffle on (doc, char), one on doc."""
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    totals = counts.groupBy(id_col).agg(F.sum("c").alias("tot"))
+    return (
+        counts.join(totals, id_col)
+        .withColumn("p", F.col("c") / F.col("tot"))
+        .groupBy(id_col)
+        .agg(
+            F.floor(
+                -F.sum(F.col("p") * F.log2("p")) * 10000
+            ).cast("long").alias("entropy_e4")
+        )
+    )
 
 
 def fingerprint(text: Column) -> Column:
