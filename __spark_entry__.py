@@ -146,6 +146,22 @@ def _q_quality_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(ent, "doc_id").orderBy("doc_id")
 
 
+def _q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (training-data pipelines segment
+    constantly): split on terminator+space (RE2-safe, no lookbehind so
+    the DuckDB oracle splits identically), per-doc counts + extremes."""
+    _pin_session(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sents = F.split(F.col("text"), r"[.!?]\s+")
+    lens = F.transform(sents, lambda s: F.length(s))
+    return docs.select(
+        "doc_id",
+        F.size(sents).alias("n_sentences"),
+        F.array_max(lens).alias("max_sentence_chars"),
+        F.array_min(lens).alias("min_sentence_chars"),
+    ).orderBy("doc_id")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
@@ -446,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
         "quality_signals_v2": _q_quality_v2,
+        "sentence_stats": _q_sentence_stats,
         "lang_id_histogram": _q_lang_id,
         "lang_id_trigram": _q_lang_id_trigram,
         "doc_fingerprints": _q_fingerprints,
@@ -792,6 +809,14 @@ SELECT doc_id,
     + 0.1 * (1.0 - least((CASE WHEN length(text) = 0 THEN 1.0 ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}<>/\\\\|@#$%^&*+=~`-]')) * 1.0 / length(text) END) * 5.0, 1.0))
   ) * 10000.0) AS BIGINT) AS quality_e4
 FROM documents ORDER BY doc_id
+""",
+        "sentence_stats": """
+WITH s AS (SELECT doc_id, regexp_split_to_array(text, '[.!?]\s+') AS sents FROM documents)
+SELECT doc_id,
+       CAST(len(sents) AS INTEGER) AS n_sentences,
+       CAST(list_max(list_transform(sents, x -> length(x))) AS INTEGER) AS max_sentence_chars,
+       CAST(list_min(list_transform(sents, x -> length(x))) AS INTEGER) AS min_sentence_chars
+FROM s ORDER BY doc_id
 """,
         "quality_signals_v2": """
 WITH chars AS (
