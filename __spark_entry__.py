@@ -362,6 +362,7 @@ def _lsh_oracle_sql() -> str:
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
         LSH_BANDS,
         LSH_PLANES,
+        NEAR_DUP_THRESHOLD_E6,
         _PLANES,
     )
 
@@ -398,7 +399,7 @@ cand AS (
 SELECT id_a, id_b,
        CAST(floor({dot} / (na * nb) * 1000000.0) AS BIGINT) AS score_e6
 FROM cand
-WHERE CAST(floor({dot} / (na * nb) * 1000000.0) AS BIGINT) >= 700000
+WHERE CAST(floor({dot} / (na * nb) * 1000000.0) AS BIGINT) >= {NEAR_DUP_THRESHOLD_E6}
 ORDER BY id_a, id_b
 """
 
@@ -959,7 +960,7 @@ SELECT query_id, neighbor_id, rnk, score_e6 FROM ranked WHERE rnk <= 5 ORDER BY 
         + f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_e6('a', 'b')} AS score_e6
 FROM e a CROSS JOIN e b
-WHERE a.vec_id < b.vec_id AND {_cos_e6('a', 'b')} >= 800000
+WHERE a.vec_id < b.vec_id AND {_cos_e6('a', 'b')} >= 400000
 ORDER BY id_a, id_b
 """,
     }

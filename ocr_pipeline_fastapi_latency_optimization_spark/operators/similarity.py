@@ -113,51 +113,101 @@ def brute_force_knn(
     )
 
 
+NEAR_DUP_THRESHOLD_E6 = 400000
+NEAR_DUP_BLOCK_ROWS = 4096
+
+
 def near_dup_pairs_cosine(
-    spark: SparkSession, sf_dir: str, threshold_e6: int = 800000
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_e6: int = NEAR_DUP_THRESHOLD_E6,
+    block_rows: int = NEAR_DUP_BLOCK_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: all (a < b) with quantized cosine
-    ≥ threshold — as a block-nested-loop with one side broadcast: the
-    full matrix (N×64 doubles — a dimension-table-sized broadcast) goes
-    to every executor once; each partition does ONE BLAS matmul of its
-    block against it and emits only the surviving pairs. Arrow moves
-    O(|result|), never O(N²) pair rows. At 100 TB the exact all-pairs
-    scan is replaced by ``cosine_lsh_pairs``; this is the verification
-    baseline."""
+    ≥ threshold — as a fully distributed blocked grid. Every vector gets
+    a block id (``vec_id % nb``); each unordered block-pair cell (i ≤ j)
+    is one ``applyInPandas`` group that does a single bounded BLAS matmul
+    (≤ ``block_rows``² scores, ~2 MB of doubles per side) and emits only
+    the surviving pairs. Nothing is ever materialized on the driver and
+    no executor holds more than two blocks — the O(N²) *compute* of an
+    exact all-pairs scan is inherent, but memory and shuffle stay
+    bounded (each vector is replicated nb times, nb = ⌈N/block_rows⌉).
+    At 100 TB the exact scan is replaced by ``cosine_lsh_pairs``; this is
+    the verification baseline and the verifier for its candidates."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     emb = _emb(spark, sf_dir)
-    pdf_all = emb.orderBy("vec_id").toPandas()
-    ids_all = pdf_all["vec_id"].to_numpy()
-    mat_all = np.array(pdf_all["embedding"].tolist(), dtype=np.float64)
-    norms_all = np.linalg.norm(mat_all, axis=1)
-    bc = spark.sparkContext.broadcast((ids_all, mat_all, norms_all))
+    # parquet row-count only (metadata scan) — sizes the grid to the corpus
+    nb = max(1, math.ceil(emb.count() / block_rows))
     thr = int(threshold_e6)
 
-    def block(batches):
-        b_ids, b_mat, b_norms = bc.value
-        safe_b = np.where(b_norms > 0, b_norms, 1.0)
-        for pdf in batches:
-            ids = pdf["vec_id"].to_numpy()
-            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(mat, axis=1)
-            safe = np.where(norms > 0, norms, 1.0)
-            sims = np.floor((mat @ b_mat.T) / np.outer(safe, safe_b) * 1e6)
-            sims[norms == 0, :] = 0
-            sims[:, b_norms == 0] = 0
-            ai, bj = np.nonzero((sims >= thr) & (ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": ids[ai],
-                    "id_b": b_ids[bj],
-                    "score_e6": sims[ai, bj].astype(np.int64),
-                }
-            )
+    blk = emb.withColumn("blk", (F.col("vec_id") % nb).cast("int"))
+    # side a covers cells (blk, j) for j >= blk; side b covers (i, blk)
+    # for i < blk — every unordered pair of blocks meets in exactly one
+    # cell, and the diagonal cell holds each vector exactly once.
+    as_a = blk.select(
+        "vec_id",
+        "embedding",
+        F.col("blk").alias("ci"),
+        F.explode(F.sequence(F.col("blk"), F.lit(nb - 1))).alias("cj"),
+        F.lit(0).alias("side"),
+    )
+    as_b = blk.filter(F.col("blk") > 0).select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("ci"),
+        F.col("blk").alias("cj"),
+        F.lit(1).alias("side"),
+    )
+    cells = as_a.unionByName(as_b)
 
-    return emb.mapInPandas(
-        block, schema="id_a long, id_b long, score_e6 long"
-    ).orderBy("id_a", "id_b")
+    # no annotations: pandas_udf/applyInPandas type-hint inference breaks
+    # under `from __future__ import annotations` (round-1 gotcha)
+    def cell(key, pdf):
+        i, j = key
+        a = pdf[pdf["side"] == 0]
+        b = a if i == j else pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score_e6": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "score_e6": "int64"}
+            )
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        ma = np.array(a["embedding"].tolist(), dtype=np.float64)
+        mb = np.array(b["embedding"].tolist(), dtype=np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb_ = np.linalg.norm(mb, axis=1)
+        sims = np.floor(
+            (ma @ mb.T)
+            / np.outer(np.where(na > 0, na, 1.0), np.where(nb_ > 0, nb_, 1.0))
+            * 1e6
+        )
+        sims[na == 0, :] = 0
+        sims[:, nb_ == 0] = 0
+        mask = sims >= thr
+        if i == j:
+            # strict upper triangle within the block
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ai, bj = np.nonzero(mask)
+        ua, ub = ids_a[ai], ids_b[bj]
+        # blocks are disjoint off-diagonal: canonicalize (min, max) —
+        # filtering on a<b here would drop pairs whose a-side id is larger
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ua, ub),
+                "id_b": np.maximum(ua, ub),
+                "score_e6": sims[ai, bj].astype(np.int64),
+            }
+        )
+
+    return (
+        cells.groupBy("ci", "cj")
+        .applyInPandas(cell, schema="id_a long, id_b long, score_e6 long")
+        .orderBy("id_a", "id_b")
+    )
 
 
 # --- random-hyperplane LSH (SimHash for vectors): the bucketing that
@@ -206,7 +256,7 @@ def _signature_udf():
 def cosine_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
-    threshold_e6: int = 700000,
+    threshold_e6: int = NEAR_DUP_THRESHOLD_E6,
 ) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH: band the 16-bit
     sign signature into 4×4-bit keys, bucket-join candidates sharing a
@@ -244,11 +294,15 @@ def cosine_lsh_pairs(
         )
         .distinct()
     )
+    # re-attach vectors to surviving candidates with PLAIN equi-joins:
+    # the embedding table is corpus-sized, so a broadcast hint here would
+    # ship the whole corpus to every executor — AQE still picks a
+    # broadcast join on its own whenever the side is genuinely small
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     scored = (
-        cands.join(F.broadcast(ea), "id_a")
-        .join(F.broadcast(eb), "id_b")
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
         .select(
             "id_a", "id_b", cosine_e6(F.col("ea"), F.col("eb")).alias("score_e6")
         )
