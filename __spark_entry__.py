@@ -894,10 +894,13 @@ SELECT doc_id,
 FROM d ORDER BY doc_id
 """,
         "fuzzy_name_pairs": """
+WITH r AS (
+  SELECT p_partkey, p_name,
+         row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rnk
+  FROM part)
 SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-FROM part a JOIN part b
-  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 10
 WHERE levenshtein(a.p_name, b.p_name) <= 8
 ORDER BY key_a, key_b
 """,

@@ -95,28 +95,98 @@ def incremental_dedup(
     return dups.unionByName(fresh).orderBy("doc_id")
 
 
-def fuzzy_name_pairs(
-    spark: SparkSession, sf_dir: str, max_dist: int = 8
+def global_sorted_rank(
+    df: DataFrame, cols: List[str], n_ranges: int = 32
 ) -> DataFrame:
-    """Blocked fuzzy matching: Levenshtein pairs WITHIN brand blocks —
-    the classic record-linkage shape (block on a cheap equality key so
-    the quadratic edit-distance only runs inside blocks, never corpus x
-    corpus)."""
-    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_brand", "p_name"
+    """Deterministic dense global rank (0-based) over ``cols`` WITHOUT a
+    single-partition window — the scale-safe two-pass construction:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` puts every row in
+       an ordered, non-overlapping range partition;
+    2. one ``mapInPandas`` emits the per-partition local rank (narrow —
+       no shuffle);
+    3. per-partition row counts (one tiny agg, ≤ n_ranges rows) become
+       broadcast offsets added to the local rank.
+
+    ``cols`` must be a total order (include a unique tie-break key) or
+    ranks are partition-placement-dependent."""
+    import pandas as pd
+
+    ranged = df.repartitionByRange(n_ranges, *cols).sortWithinPartitions(*cols)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+
+    def local_rank(batches):
+        seen = 0
+        for pdf in batches:
+            out = pdf.copy()
+            out["_lrank"] = range(seen, seen + len(pdf))
+            seen += len(pdf)
+            yield out
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(with_pid.schema.fields) + [T.StructField("_lrank", T.LongType())]
     )
-    a = parts.alias("a")
-    b = parts.alias("b")
+    local = with_pid.mapInPandas(local_rank, schema=schema)
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    from pyspark.sql import Window as W
+
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
     return (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-        )
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("rank", F.col("_lrank") + F.col("_off"))
+        .drop("_pid", "_lrank", "_off")
+    )
+
+
+FUZZY_WINDOW = 10
+
+
+def fuzzy_name_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_dist: int = 8,
+    window: int = FUZZY_WINDOW,
+) -> DataFrame:
+    """Sorted-neighborhood fuzzy matching: rank every part by
+    (p_name, p_partkey) with the two-pass global rank, then compare each
+    row only to its ``window`` successors in sort order — O(N·window)
+    Levenshtein evaluations instead of the O(N²/25) of equality blocking
+    on the 25-value p_brand key (round-1 verdict finding #3: a blocking
+    key whose cardinality does not grow with N is a scale-killer). The
+    candidate join is an equi-join on rank (a.rank + d == b.rank), so it
+    shuffles O(N·window) rows and AQE handles any residual skew."""
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_name"
+    )
+    ranked = global_sorted_rank(parts, ["p_name", "p_partkey"])
+    a = ranked.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + window)
+        ).alias("target_rank"),
+    )
+    b = ranked.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("rank").alias("target_rank"),
+    )
+    return (
+        a.join(b, "target_rank")
         .select(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+            "key_a",
+            "key_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).alias("dist"),
         )
         .filter(F.col("dist") <= max_dist)
         .orderBy("key_a", "key_b")

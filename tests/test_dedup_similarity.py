@@ -161,6 +161,38 @@ def test_similarity_corpus_path_never_materializes_on_driver():
         assert "F.broadcast" not in inspect.getsource(fn)
 
 
+def test_global_sorted_rank_matches_window_rank(spark):
+    """The two-pass global rank (range partition → local rank → offset
+    join) must equal row_number() over a global sort, with many more
+    range partitions than cores so multi-partition offsets are real."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    parts = spark.read.parquet("/root/testdata/sf0.001/part.parquet").select(
+        "p_partkey", "p_name"
+    )
+    got = dedup.global_sorted_rank(
+        parts, ["p_name", "p_partkey"], n_ranges=17
+    ).toPandas()
+    want = parts.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy("p_name", "p_partkey")) - 1,
+    ).toPandas()
+    g = got.sort_values("p_partkey").reset_index(drop=True)
+    w = want.sort_values("p_partkey").reset_index(drop=True)
+    assert list(g["rank"]) == list(w["rank"])
+
+
+def test_fuzzy_pairs_linear_in_window(spark):
+    """Sorted-neighborhood emits at most N·window candidate pairs — the
+    scale property that replaced the O(N²/25) brand blocking."""
+    n = spark.read.parquet("/root/testdata/sf0.001/part.parquet").count()
+    pairs = dedup.fuzzy_name_pairs(
+        spark, "/root/testdata/sf0.001", max_dist=100, window=5
+    )
+    assert 0 < pairs.count() <= n * 5
+
+
 def test_blocks_table_consistent_with_pipeline(spark):
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
         blocks_table,
