@@ -358,6 +358,159 @@ def _q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups over the corpus plus a deterministic planted
+    slice (every 50th doc re-ingested under a shifted id): the raw
+    driver corpus has no exact duplicates at sf0.01, so the bare operator
+    would return 0 rows — a vacuously-green hash match (round-1 verdict
+    finding #4). Planting keeps the check non-empty at every SF while the
+    operator itself stays pure."""
+    _pin_session(spark)
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return dedup.exact_duplicate_groups_df(docs.unionByName(planted))
+
+
+# --- MinHash / SimHash DuckDB oracles: the md5-based hashes are exactly
+# replicable in SQL once hex→int exists; this 60-bit kernel mirrors
+# Spark's conv(substring(md5(x),1,15),16,10) with pure integer arithmetic
+# (powers of 16 exceed 2^53, so each term must be a BIGINT, never DOUBLE)
+
+
+def _hex60_sql(h: str) -> str:
+    return (
+        "list_sum(list_transform(generate_series(1,15), i -> "
+        f"CAST(strpos('0123456789abcdef', substr({h}, i, 1)) - 1 AS BIGINT) * "
+        "(CAST(1 AS BIGINT) << CAST(4*(15-i) AS INTEGER))))"
+    )
+
+
+def _minhash_buckets_sql() -> str:
+    """CTE chain ending in ``buckets(doc_id, band, bucket)`` — the exact
+    SQL twin of dedup.minhash_signatures(hash_fn='md5_affine') +
+    banding."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        _MASK31,
+        _affine_consts,
+    )
+
+    consts = _affine_consts(MINHASH_PERMS)
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    mins = ", ".join(
+        f"min({a} * b + {b_}) AS h{p}" for p, (a, b_) in enumerate(consts)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"h{b * rows + r}" for r in range(rows))
+        + ")) AS bucket FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM words),
+base AS (SELECT doc_id, ({_hex60_sql('md5(shingle)')} & {_MASK31}) AS b FROM sh),
+sig AS (SELECT doc_id, {mins} FROM base GROUP BY doc_id),
+buckets AS ({band_selects})"""
+
+
+def _minhash_pairs_sql() -> str:
+    return (
+        "WITH "
+        + _minhash_buckets_sql()
+        + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    """Connected components over the MinHash-LSH candidate pairs as a
+    recursive reachability closure + min-label fold — the DuckDB twin of
+    dedup.connected_components."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_buckets_sql()
+        + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.d AS node, reach.r FROM reach JOIN sym e ON e.s = reach.node),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM cc GROUP BY cluster_id)
+SELECT node AS doc_id, cluster_id, (node = cluster_id) AS survivor, cluster_size
+FROM cc JOIN sizes USING (cluster_id) ORDER BY doc_id
+"""
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    """SQL twin of dedup.simhash_near_dup_pairs: per-token 60-bit md5
+    hash, ±1 bit accumulation, sign-packing, 4×15-bit banding, exact
+    Hamming verify. Docs with no tokens get signature 0 (matching
+    simhash60_py(''))."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        SIMHASH_BANDS,
+        SIMHASH_RADIUS,
+    )
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * 15}) & 32767 AS key FROM sig2"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            t -> length(t) > 0)) AS tok
+  FROM documents),
+th AS (SELECT doc_id, {_hex60_sql('md5(tok)')} AS h FROM toks),
+bits AS (
+  SELECT doc_id, bs.bit,
+         sum(CASE WHEN (h >> bs.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bs
+  GROUP BY doc_id, bs.bit),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                  ELSE CAST(0 AS BIGINT) END) AS simhash
+  FROM bits GROUP BY doc_id),
+sig2 AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sig s USING (doc_id)),
+buckets AS ({band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_RADIUS}
+ORDER BY doc_a, doc_b
+"""
+
+
 def _lsh_oracle_sql() -> str:
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
         LSH_BANDS,
@@ -469,13 +622,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_fingerprints,
         "stringops": _q_stringops,
         # dedup
-        "dedup_exact_groups": _wrap(dedup.exact_duplicate_groups),
+        "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_survivors": _wrap(dedup.exact_dedup_survivors),
         "incremental_dedup": _wrap(dedup.incremental_dedup),
         "fuzzy_name_pairs": _wrap(dedup.fuzzy_name_pairs),
         "ngram_jaccard_pairs": _wrap(dedup.ngram_jaccard_pairs),
         "minhash_lsh_pairs": _wrap(dedup.minhash_lsh_pairs),
         "simhash_near_dups": _wrap(dedup.simhash_near_dup_pairs),
+        "dedup_clusters": _wrap(dedup.dedup_clusters),
         # similarity search
         "knn_bruteforce": _wrap(similarity.brute_force_knn),
         "knn_ivf": _wrap(similarity.ivf_knn),
@@ -698,7 +852,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_input,
        CAST(sum(CASE WHEN q >= 3000 AND lp = 'en' AND survivor THEN 1 ELSE 0 END) AS BIGINT) AS n_final
 FROM surv
 """,
-        "dedup_conversations": """
+        "dedup_conversations": r"""
 WITH stitched AS (
   SELECT source AS conv_id,
          string_agg(text, E'\n\n---\n\n' ORDER BY doc_id) AS conversation_text
@@ -811,7 +965,7 @@ SELECT doc_id,
   ) * 10000.0) AS BIGINT) AS quality_e4
 FROM documents ORDER BY doc_id
 """,
-        "sentence_stats": """
+        "sentence_stats": r"""
 WITH s AS (SELECT doc_id, regexp_split_to_array(text, '[.!?]\s+') AS sents FROM documents)
 SELECT doc_id,
        CAST(len(sents) AS INTEGER) AS n_sentences,
@@ -819,7 +973,7 @@ SELECT doc_id,
        CAST(list_min(list_transform(sents, x -> length(x))) AS INTEGER) AS min_sentence_chars
 FROM s ORDER BY doc_id
 """,
-        "quality_signals_v2": """
+        "quality_signals_v2": r"""
 WITH chars AS (
   SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents
 ), counts AS (
@@ -883,9 +1037,16 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """,
         "dedup_exact_groups": f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0)
 SELECT {qualify_fp} AS fp, CAST(min(doc_id) AS BIGINT) AS canonical_id, CAST(count(*) AS BIGINT) AS dup_count
-FROM documents GROUP BY fp HAVING count(*) > 1 ORDER BY canonical_id
+FROM d GROUP BY fp HAVING count(*) > 1 ORDER BY canonical_id
 """,
+        "minhash_lsh_pairs": _minhash_pairs_sql(),
+        "simhash_near_dups": _simhash_pairs_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "dedup_survivors": f"""
 WITH d AS (SELECT doc_id, {qualify_fp} AS fp FROM documents)
 SELECT doc_id,

@@ -44,17 +44,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact dedup --------------------------------------------------------------
 
 
-def exact_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-groupBy exact dedup: canonical fingerprint → group size +
-    canonical (min) doc id, duplicates only."""
+def exact_duplicate_groups_df(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup over any (doc_id, text) frame: canonical
+    fingerprint → group size + canonical (min) doc id, duplicates only."""
     return (
-        _docs(spark, sf_dir)
-        .select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+        docs.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("dup_count"))
         .filter(F.col("dup_count") > 1)
         .orderBy("canonical_id")
     )
+
+
+def exact_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicate_groups_df(_docs(spark, sf_dir))
 
 
 def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,12 +331,16 @@ def minhash_lsh_pairs(
     sf_dir: str,
     n_perms: int = MINHASH_PERMS,
     bands: int = MINHASH_BANDS,
-    hash_fn: str = "md5",
+    hash_fn: str = "md5_affine",
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (bands × rows), bucket by
     the banded sub-signature, self-join buckets. Returns distinct
     (doc_a < doc_b) candidate pairs — at scale these feed the exact
-    Jaccard verifier instead of an all-pairs join."""
+    Jaccard verifier instead of an all-pairs join.
+
+    Default hash is ``md5_affine``: ONE md5 per shingle + P multiply-add
+    permutations (~3.5× faster than P md5s) while staying bit-replicable
+    both in plain Python (pytest oracle) and DuckDB SQL (driver oracle)."""
     sig = minhash_signatures(_docs(spark, sf_dir), n_perms=n_perms, hash_fn=hash_fn)
     rows = n_perms // bands
     band_entries = F.array(
@@ -409,6 +416,88 @@ def minhash_signature_affine_py(
             best = h if best is None or h < best else best
         out.append(best)
     return out
+
+
+# --- near-dup clustering (pairs → connected components → survivors) -----------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node starts labelled with its own id;
+    each round, a node adopts the minimum label among itself and its
+    neighbors; converged when no label changes. Rounds needed = component
+    diameter — near-dup clusters are shallow (dups of dups), so this
+    terminates in a handful of rounds; for adversarially long chains at
+    100 TB swap in the large-star/small-star variant (same contract).
+
+    Per round: one shuffle for the neighbor-min aggregate, one join to
+    merge — all on (node, label) longs. ``localCheckpoint`` truncates the
+    iterative lineage so plans don't grow unboundedly.
+
+    Returns (node, cluster_id) where cluster_id = min node id reachable.
+    This is the pair→cluster→survivor step a curation pipeline runs after
+    LSH candidate generation — the analog of the reference's keyed
+    canonical resolution (MarkdownEnricher.py:62-94: every placeholder
+    resolves to exactly one crop)."""
+    sym = edges.select(
+        F.col(src).alias("n_from"), F.col(dst).alias("n_to")
+    ).unionByName(
+        edges.select(F.col(dst).alias("n_from"), F.col(src).alias("n_to"))
+    )
+    nodes = sym.select(F.col("n_from").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["n_from"] == labels["node"])
+            .groupBy(F.col("n_to").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    n_perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Near-dup clustering end-to-end: MinHash-LSH candidate pairs →
+    connected components → per-doc cluster id + survivor flag + cluster
+    size. Only docs that appear in at least one candidate pair are
+    emitted (singletons are trivially their own survivors)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir, n_perms=n_perms, bands=bands)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            (F.col("node") == F.col("cluster_id")).alias("survivor"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --- SimHash ------------------------------------------------------------------------

@@ -161,6 +161,29 @@ def test_similarity_corpus_path_never_materializes_on_driver():
         assert "F.broadcast" not in inspect.getsource(fn)
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must fold transitive chains (A-B, B-C, C-D
+    → one cluster labelled A) and keep islands apart, regardless of the
+    direction the edges were emitted in."""
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_a": [2, 3, 4, 10, 99], "doc_b": [1, 2, 3, 11, 98]}
+        )
+    )
+    cc = dedup.connected_components(edges).toPandas()
+    got = dict(zip(cc["node"], cc["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 98: 98, 99: 98}
+
+
+def test_dedup_clusters_nonempty_with_planted(spark, planted):
+    out = dedup.dedup_clusters(spark, planted).toPandas()
+    assert len(out) >= 2
+    grp = out[out.doc_id.isin([0, 1])]
+    assert set(grp["cluster_id"]) == {0}  # exact dups share a cluster
+    assert bool(out[out.doc_id == 0]["survivor"].iloc[0]) is True
+    assert bool(out[out.doc_id == 1]["survivor"].iloc[0]) is False
+
+
 def test_global_sorted_rank_matches_window_rank(spark):
     """The two-pass global rank (range partition → local rank → offset
     join) must equal row_number() over a global sort, with many more
