@@ -222,6 +222,15 @@ def _q_stringops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * 10000
     ).cast("long")
+    # F10 (ocr_app.py:1378 analog): URL-encode a download-filename. The
+    # encode input is restricted to [A-Za-z0-9 ] so Java URLEncoder
+    # (Spark) and percent-encoding (oracle) agree — on that alphabet the
+    # only transform is space→'+', mirrored with replace() in the SQL.
+    url_base = F.regexp_replace(
+        F.concat(F.col("source"), F.lit(" "), F.substring("text", 1, 32)),
+        "[^A-Za-z0-9 ]",
+        "",
+    )
     return docs.select(
         "doc_id",
         sanitize_name(
@@ -230,6 +239,7 @@ def _q_stringops(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask_token(F.md5("text")).alias("masked"),
         F.base64(F.substring("text", 1, 24).cast("binary")).alias("b64_prefix"),
         downscale.alias("downscale_e4"),
+        F.url_encode(url_base).alias("url_name"),
     ).orderBy("doc_id")
 
 
@@ -878,12 +888,34 @@ SELECT source AS conv_id,
        string_agg(text, E'\\n\\n---\\n\\n' ORDER BY doc_id) AS conversation_text
 FROM documents GROUP BY source ORDER BY conv_id
 """,
-        "classify_payloads": """
+        # classify: mirrors classify_payload() including the gate order —
+        # lstrip before the '{' probe, fence probe limited to the first
+        # 4000 chars, and parse-success required (json_valid + pages must
+        # be an ARRAY, on the raw string or the fenced block). The one
+        # remaining asymmetry is the Python ast-literal fallback for
+        # Python-dict-style payloads (single quotes / None), which SQL
+        # cannot replicate — exercised in tests/test_core.py adversarial
+        # fixtures, absent from the generated corpus.
+        "classify_payloads": r"""
+WITH probe AS (
+  SELECT doc_id, text, ltrim(text) AS lt,
+         regexp_extract(text, '(?is)```(?:json)?\s*(\{.*?\})\s*```', 1) AS fenced
+  FROM documents),
+cls AS (
+  SELECT doc_id, text,
+    ((lt LIKE '{%' OR strpos(substr(text, 1, 4000), '```') > 0)
+     AND strpos(text, '"pages"') > 0
+     AND ((lt LIKE '{%' AND json_valid(lt)
+           AND CASE WHEN json_valid(lt) THEN json_type(json(lt), '$.pages') END = 'ARRAY')
+          OR (fenced <> '' AND json_valid(fenced)
+              AND CASE WHEN json_valid(fenced) THEN json_type(json(fenced), '$.pages') END = 'ARRAY'))
+    ) AS is_pdf
+  FROM probe)
 SELECT doc_id,
-       CASE WHEN (text LIKE '{%' OR text LIKE '%```%') AND text LIKE '%"pages"%' THEN 'pdf'
-            WHEN regexp_matches(text, '<[a-zA-Z][a-zA-Z0-9]*(\\s[^>]*)?>') THEN 'html'
+       CASE WHEN is_pdf THEN 'pdf'
+            WHEN regexp_matches(text, '<[a-zA-Z][a-zA-Z0-9]*(\s[^>]*)?>') THEN 'html'
             ELSE 'plain' END AS kind
-FROM documents ORDER BY doc_id
+FROM cls ORDER BY doc_id
 """,
         "status_histogram": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type ORDER BY event_type
@@ -980,10 +1012,14 @@ WITH chars AS (
   SELECT doc_id, ch, count(*) AS c FROM chars WHERE length(ch) > 0 GROUP BY doc_id, ch
 ), totals AS (
   SELECT doc_id, sum(c) AS tot FROM counts GROUP BY doc_id
-), ent AS (
+), terms AS (
   SELECT c.doc_id,
-         CAST(floor(-sum((c.c * 1.0 / t.tot) * log2(c.c * 1.0 / t.tot)) * 10000) AS BIGINT) AS entropy_e4
-  FROM counts c JOIN totals t ON c.doc_id = t.doc_id GROUP BY c.doc_id
+         CAST(floor(-((c.c * 1.0 / t.tot) * log2(c.c * 1.0 / t.tot)) * 100000000) AS BIGINT) AS term_e8
+  FROM counts c JOIN totals t ON c.doc_id = t.doc_id
+), ent AS (
+  SELECT doc_id,
+         CAST(floor(sum(term_e8) / 10000.0) AS BIGINT) AS entropy_e4
+  FROM terms GROUP BY doc_id
 ), awl AS (
   SELECT doc_id,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1033,7 +1069,8 @@ SELECT doc_id,
        substr(regexp_replace(regexp_replace(source || '/' || substr(text, 1, 48), '^.*[/\\\\]', ''), '[\\x00-\\x1f<>:"/\\\\|?*]', '_', 'g'), 1, 200) AS sanitized,
        substr(md5(text), 1, 10) || '****' || substr(md5(text), length(md5(text)) - 3, 4) AS masked,
        to_base64(encode(substr(text, 1, 24))) AS b64_prefix,
-       CAST(floor(least(sqrt(200000.0 / greatest(n_chars, 1)) * 0.99, 1.0) * 10000) AS BIGINT) AS downscale_e4
+       CAST(floor(least(sqrt(200000.0 / greatest(n_chars, 1)) * 0.99, 1.0) * 10000) AS BIGINT) AS downscale_e4,
+       replace(regexp_replace(source || ' ' || substr(text, 1, 32), '[^A-Za-z0-9 ]', '', 'g'), ' ', '+') AS url_name
 FROM documents ORDER BY doc_id
 """,
         "dedup_exact_groups": f"""

@@ -145,20 +145,32 @@ def char_entropy_e4(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Shannon entropy (bits/char) of each document's character
     distribution, quantized e4 — a cheap gibberish/compression-ratio
     signal. Pure built-ins: explode chars → per-(doc, char) counts →
-    -Σ p·log2 p. One shuffle on (doc, char), one on doc."""
+    -Σ p·log2 p. One shuffle on (doc, char), one on doc.
+
+    Quantization happens PER (doc, char) TERM — floor(-p·log2 p · 10^8)
+    as an integer — and only then sums; the integer sum is order-
+    independent, so Spark's partition-dependent summation order cannot
+    drift from DuckDB's (the driver-contract invariant: quantize before
+    aggregating, never after). The residual risk is a per-term log2
+    last-ulp difference between engines landing exactly on a floor
+    boundary (~1e-9 per term), not a per-corpus accumulation."""
     chars = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
     ).filter(F.length("ch") > 0)
     counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
     totals = counts.groupBy(id_col).agg(F.sum("c").alias("tot"))
+    term = F.col("c") / F.col("tot")
     return (
         counts.join(totals, id_col)
-        .withColumn("p", F.col("c") / F.col("tot"))
+        .withColumn(
+            "term_e8",
+            F.floor(-(term * F.log2(term)) * F.lit(100000000.0)).cast("long"),
+        )
         .groupBy(id_col)
         .agg(
-            F.floor(
-                -F.sum(F.col("p") * F.log2("p")) * 10000
-            ).cast("long").alias("entropy_e4")
+            F.floor(F.sum("term_e8") / F.lit(10000.0))
+            .cast("long")
+            .alias("entropy_e4")
         )
     )
 

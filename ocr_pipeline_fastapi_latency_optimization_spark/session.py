@@ -22,9 +22,17 @@ def get_spark(
 ) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = SparkSession.builder
+    # respect an externally-chosen master (spark-submit --master sets the
+    # MASTER env var; SparkConf may carry spark.master from defaults) —
+    # unconditionally forcing local[] here would silently demote a
+    # cluster submission to driver-local execution
+    from pyspark import SparkConf
+
+    if not os.environ.get("MASTER") and not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -430,3 +430,48 @@ def test_extract_pdf_conf_ties_stable():
     )
     r = extract_turn_full(payload, 0)
     assert r["extracted_text"] == "first\n\nsecond"
+
+
+def test_classify_oracle_parity_on_adversarial_payloads(tmp_path):
+    """ADVICE round-1: the classify_payloads oracle SQL must agree with
+    classify_payload() on the edge inputs where the old SQL diverged —
+    leading whitespace before '{', a fence past the 4000-char gate,
+    malformed layout JSON containing '"pages"', and pages-not-a-list."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.tokenize import (
+        classify_payload,
+    )
+
+    payloads = [
+        '   {"pages": []}',                      # leading ws before '{'
+        "x" * 4500 + ' ```json {"pages": []} ```',  # fence beyond gate
+        '{"pages": oops}',                        # malformed but has key
+        '{"pages": {"a": 1}}',                    # pages not a list
+        '```json {"pages": [{"w":1,"h":1,"blocks":[]}]} ```',  # good fence
+        "<p>hello</p>",
+        "just words",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(payloads)),
+            "text": payloads,
+            "lang": ["en"] * len(payloads),
+            "source": ["t"] * len(payloads),
+            "n_chars": [len(p) for p in payloads],
+        }
+    )
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    got_sql = dict(
+        con.execute(entrymod.oracle_sql()["classify_payloads"]).fetchall()
+    )
+    want = {i: classify_payload(p) for i, p in enumerate(payloads)}
+    assert want[0] == "pdf" and want[1] == "plain" and want[2] == "plain"
+    assert want[3] == "plain" and want[4] == "pdf" and want[5] == "html"
+    assert got_sql == want
