@@ -39,6 +39,35 @@ def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     )
 
 
+def _manifest_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "manifest")
+
+
+def write_or_check_manifest(
+    spark: SparkSession, checkpoint_dir: str, run_id: str, n_buckets: int
+) -> None:
+    """Pin the bucketing scheme of a checkpointed run. Resuming with a
+    different ``--buckets`` would silently re-partition conv_ids while
+    ``read_output`` globs stale bucket dirs from the earlier scheme —
+    duplicated and missing conversations with no error. Fail fast
+    instead (ADVICE round-1)."""
+    path = _manifest_path(checkpoint_dir)
+    try:
+        row = spark.read.parquet(path).collect()[0]
+    except Exception:
+        spark.createDataFrame(
+            [(run_id, int(n_buckets))], "run_id string, n_buckets int"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        return
+    if int(row["n_buckets"]) != int(n_buckets):
+        raise ValueError(
+            f"checkpoint {checkpoint_dir} was created with "
+            f"--buckets {row['n_buckets']} (run_id={row['run_id']}); "
+            f"resuming with --buckets {n_buckets} would corrupt output. "
+            "Use the original bucket count or a fresh checkpoint dir."
+        )
+
+
 def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> List[int]:
     """Bucket ids with a committed 'completed' lineage row."""
     # per-bucket lineage subdirectories: concurrent bucket workers never
@@ -82,12 +111,32 @@ def run_with_checkpoint(
 
     from ..operators.extraction import extract_pipeline
 
+    write_or_check_manifest(spark, checkpoint_dir, run_id, n_buckets)
     done = set(completed_buckets(spark, checkpoint_dir))
     todo = [b for b in range(n_buckets) if b not in done]
-    bucketed = with_bucket(transcripts, n_buckets).cache()
+    if not todo:
+        return []
+
+    # ONE-PASS bucket staging: hash(conv_id) predicates prune nothing in
+    # parquet, so filtering a (possibly evicted) cache NB times degrades
+    # to NB full input scans. Instead the bucketed input is written ONCE,
+    # partitioned by bucket; every per-bucket read below is then
+    # directory-pruned (PartitionFilters on `bucket`). This is the
+    # sandbox fallback for production storage that is already bucketed
+    # by bucket(conv_id) (DESIGN_100TB.md) — there the staging write
+    # disappears entirely.
+    staging = os.path.join(checkpoint_dir, "staging")
+    staged: Optional[DataFrame]
+    try:
+        staged = spark.read.parquet(staging)
+    except Exception:
+        with_bucket(transcripts, n_buckets).write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(staging)
+        staged = spark.read.parquet(staging)
 
     def process_bucket(b: int) -> int:
-        part = bucketed.filter(F.col("bucket") == b).drop("bucket")
+        part = staged.filter(F.col("bucket") == b).drop("bucket")
         out = extract_pipeline(part, merge_visual=merge_visual)
         if fail_buckets and b in fail_buckets:
             raise RuntimeError(f"injected failure in bucket {b}")
@@ -123,30 +172,27 @@ def run_with_checkpoint(
         return b
 
     processed: List[int] = []
-    try:
-        if concurrency <= 1:
-            for b in todo:
-                processed.append(process_bucket(b))
-        else:
-            # the outer worker pool (the reference's two-level pool, O5
-            # analog, ocr_app.py:414-443): Spark schedules concurrent
-            # jobs from multiple driver threads; each bucket is
-            # independent, so failures stop new submissions but already
-            # completed buckets stay committed
-            with ThreadPoolExecutor(max_workers=concurrency) as pool:
-                futures = {pool.submit(process_bucket, b): b for b in todo}
-                from concurrent.futures import as_completed
+    if concurrency <= 1:
+        for b in todo:
+            processed.append(process_bucket(b))
+    else:
+        # the outer worker pool (the reference's two-level pool, O5
+        # analog, ocr_app.py:414-443): Spark schedules concurrent
+        # jobs from multiple driver threads; each bucket is
+        # independent, so failures stop new submissions but already
+        # completed buckets stay committed
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            futures = {pool.submit(process_bucket, b): b for b in todo}
+            from concurrent.futures import as_completed
 
-                errors = []
-                for fut in as_completed(futures):
-                    try:
-                        processed.append(fut.result())
-                    except Exception as exc:
-                        errors.append(exc)
-                if errors:
-                    raise errors[0]
-    finally:
-        bucketed.unpersist()
+            errors = []
+            for fut in as_completed(futures):
+                try:
+                    processed.append(fut.result())
+                except Exception as exc:
+                    errors.append(exc)
+            if errors:
+                raise errors[0]
     return sorted(processed)
 
 
