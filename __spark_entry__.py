@@ -521,6 +521,85 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _ivf_oracle_sql() -> str:
+    """DuckDB twin of similarity.ivf_knn(train=True): unrolled sampled
+    k-means passes (same seeds, same e6-quantized per-dimension means,
+    same empty-cluster carry-over), then bucket-probe top-k."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
+        DEFAULT_K,
+        DEFAULT_QUERIES,
+        IVF_CENTROIDS,
+        KMEANS_PASSES,
+        KMEANS_SAMPLE_MOD,
+        LSH_DIM,
+    )
+
+    def cos(v_emb: str, v_nrm: str, c_emb: str, c_nrm: str) -> str:
+        dot = (
+            f"list_sum(list_transform(list_zip({v_emb}, {c_emb}), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        )
+        return (
+            f"CASE WHEN {v_nrm} * {c_nrm} = 0 THEN 0 "
+            f"ELSE CAST(floor({dot} / ({v_nrm} * {c_nrm}) * 1000000.0) AS BIGINT) END"
+        )
+
+    cnrm = "sqrt(list_sum(list_transform(c_emb, x -> x * x)))"
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM embeddings),
+s AS (SELECT * FROM e WHERE vec_id % {KMEANS_SAMPLE_MOD} = 0),
+c0 AS (SELECT vec_id AS centroid_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb, nrm AS c_nrm
+       FROM e WHERE vec_id < {IVF_CENTROIDS})"""
+    ]
+    prev = "c0"
+    for p in range(1, KMEANS_PASSES + 1):
+        score = cos("v.embedding", "v.nrm", "c.c_emb", "c.c_nrm")
+        parts.append(
+            f""",
+a{p} AS (
+  SELECT v.vec_id, v.embedding, c.centroid_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {score} DESC, c.centroid_id ASC) AS rn
+  FROM s v CROSS JOIN {prev} c),
+asgn{p} AS (SELECT vec_id, embedding, centroid_id FROM a{p} WHERE rn = 1),
+dims{p} AS (
+  SELECT centroid_id, d.d AS dim,
+         CAST(floor(avg(CAST(embedding[d.d] AS DOUBLE)) * 1000000) AS DOUBLE) / 1000000.0 AS m
+  FROM asgn{p} CROSS JOIN (SELECT unnest(generate_series(1, {LSH_DIM})) AS d) d
+  GROUP BY centroid_id, d.d),
+newc{p} AS (SELECT centroid_id, list(m ORDER BY dim) AS c_emb FROM dims{p} GROUP BY centroid_id),
+c{p} AS (
+  SELECT c.centroid_id, COALESCE(n.c_emb, c.c_emb) AS c_emb,
+         sqrt(list_sum(list_transform(COALESCE(n.c_emb, c.c_emb), x -> x * x))) AS c_nrm
+  FROM {prev} c LEFT JOIN newc{p} n USING (centroid_id))"""
+        )
+        prev = f"c{p}"
+    assign_score = cos("v.embedding", "v.nrm", "c.c_emb", "c.c_nrm")
+    probe_score = cos("q.embedding", "q.nrm", "b.embedding", "b.nrm")
+    parts.append(
+        f""",
+aa AS (
+  SELECT v.vec_id, v.embedding, v.nrm, c.centroid_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {assign_score} DESC, c.centroid_id ASC) AS rn
+  FROM e v CROSS JOIN {prev} c),
+buckets AS (SELECT vec_id, embedding, nrm, centroid_id AS bucket FROM aa WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding, nrm, bucket FROM buckets WHERE vec_id < {DEFAULT_QUERIES}),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, {probe_score} AS score_e6
+  FROM q JOIN buckets b ON b.bucket = q.bucket AND b.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score_e6,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, neighbor_id ASC) AS INTEGER) AS rnk
+  FROM scored)
+SELECT query_id, neighbor_id, rnk, score_e6 FROM ranked WHERE rnk <= {DEFAULT_K}
+ORDER BY query_id, rnk
+"""
+    )
+    return "".join(parts)
+
+
 def _lsh_oracle_sql() -> str:
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
         LSH_BANDS,
@@ -1138,25 +1217,7 @@ ranked AS (
   FROM pairs)
 SELECT query_id, neighbor_id, rnk, score_e6 FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
 """,
-        "knn_ivf": emb_cte
-        + f"""
-, assign AS (
-  SELECT v.vec_id, v.embedding, v.nrm, c.vec_id AS centroid_id,
-         {_cos_e6('v', 'c')} AS s,
-         row_number() OVER (PARTITION BY v.vec_id ORDER BY {_cos_e6('v', 'c')} DESC, c.vec_id ASC) AS rn
-  FROM e v CROSS JOIN (SELECT * FROM e WHERE vec_id < 16) c),
-buckets AS (SELECT vec_id, embedding, nrm, centroid_id AS bucket FROM assign WHERE rn = 1),
-q AS (SELECT vec_id AS query_id, embedding, nrm, bucket FROM buckets WHERE vec_id < 8),
-scored AS (
-  SELECT q.query_id, b.vec_id AS neighbor_id,
-         {_cos_e6('q', 'b')} AS score_e6
-  FROM q JOIN buckets b ON b.bucket = q.bucket AND b.vec_id != q.query_id),
-ranked AS (
-  SELECT query_id, neighbor_id, score_e6,
-         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, neighbor_id ASC) AS INTEGER) AS rnk
-  FROM scored)
-SELECT query_id, neighbor_id, rnk, score_e6 FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
-""",
+        "knn_ivf": _ivf_oracle_sql(),
         "near_dup_cosine": emb_cte
         + f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_e6('a', 'b')} AS score_e6

@@ -216,6 +216,68 @@ def test_fuzzy_pairs_linear_in_window(spark):
     assert 0 < pairs.count() <= n * 5
 
 
+def test_trained_ivf_beats_seed_centroids(spark, tmp_path):
+    """Sampled k-means (round-1 verdict #7): on a corpus with real
+    cluster structure and adversarially-ordered ids (the first 16
+    vectors all come from one cluster, so first-N seeding is blind to
+    the other seven), training must beat the seed baseline on BOTH
+    recall@5 and the quantization objective. On uniform-random vectors
+    recall parity is the ceiling (there is no structure to find), which
+    is why this fixture plants clusters."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(0, 1, (8, 64)) * 4
+    vecs = np.vstack(
+        [centers[i // 50] + rng.normal(0, 0.5, 64) for i in range(400)]
+    )
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(400),
+            "embedding": [v.astype(np.float32).tolist() for v in vecs],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/embeddings.parquet")
+    nrm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nrm @ nrm.T
+    np.fill_diagonal(sims, -9)
+    truth = {q: set(np.argsort(-sims[q])[:5].tolist()) for q in range(0, 400, 25)}
+
+    emb = similarity._emb(spark, str(tmp_path))
+    results = {}
+    for train in (False, True):
+        if train:
+            cents = similarity.kmeans_centroids(emb)
+        else:
+            cents = emb.filter(F.col("vec_id") < 16).select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("c_emb"),
+            )
+        assigned = similarity._assign(emb, cents).select("vec_id", "centroid_id")
+        bucket = dict(
+            zip(*(lambda p: (p["vec_id"], p["centroid_id"]))(assigned.toPandas()))
+        )
+        recall = sum(
+            1 for q, ns in truth.items() for x in ns if bucket[x] == bucket[q]
+        ) / (len(truth) * 5)
+        objective = (
+            similarity._assign(emb, cents)
+            .join(cents, "centroid_id")
+            .select(
+                similarity.cosine_e6(F.col("embedding"), F.col("c_emb")).alias("s")
+            )
+            .agg(F.avg("s"))
+            .collect()[0][0]
+        )
+        results[train] = (recall, objective)
+    assert results[True][0] > results[False][0]  # recall@5
+    assert results[True][1] > results[False][1]  # k-means objective
+
+
 def test_blocks_table_consistent_with_pipeline(spark):
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
         blocks_table,
