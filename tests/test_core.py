@@ -475,3 +475,58 @@ def test_classify_oracle_parity_on_adversarial_payloads(tmp_path):
     assert want[0] == "pdf" and want[1] == "plain" and want[2] == "plain"
     assert want[3] == "plain" and want[4] == "pdf" and want[5] == "html"
     assert got_sql == want
+
+
+def test_arabic_shaping_contextual_forms():
+    """F9 (FileIngestor.py:208-221 analog): UCD-derived contextual
+    shaping — initial/medial/final/isolated selection, lam-alef
+    ligatures, joining classes, harakat transparency."""
+    import unicodedata
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions import arabic
+
+    def names(s):
+        return [unicodedata.name(c) for c in s if ord(c) > 0xFB00]
+
+    # kaf-teh-alef-beh: dual-joiners chain; alef breaks the forward join
+    assert names(arabic.reshape_arabic("كتاب")) == [
+        "ARABIC LETTER KAF INITIAL FORM",
+        "ARABIC LETTER TEH MEDIAL FORM",
+        "ARABIC LETTER ALEF FINAL FORM",
+        "ARABIC LETTER BEH ISOLATED FORM",
+    ]
+    # lam + alef fuse; after a connecting seen the ligature takes FINAL
+    assert names(arabic.reshape_arabic("سلا")) == [
+        "ARABIC LETTER SEEN INITIAL FORM",
+        "ARABIC LIGATURE LAM WITH ALEF FINAL FORM",
+    ]
+    assert names(arabic.reshape_arabic("لا")) == [
+        "ARABIC LIGATURE LAM WITH ALEF ISOLATED FORM"
+    ]
+    # non-Arabic text is untouched end-to-end
+    assert arabic.arabic_display("plain ascii 123") == "plain ascii 123"
+
+
+def test_arabic_bidi_reverses_runs_only():
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions import arabic
+
+    out = arabic.arabic_display("hello مرحبا world")
+    # LTR context preserved, Arabic run reversed in place
+    assert out.startswith("hello ") and out.endswith(" world")
+    shaped = arabic.reshape_arabic("مرحبا")
+    assert shaped[::-1] in out
+
+
+def test_arabic_udf_matches_pure_function(spark):
+    import pandas as pd
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions import arabic
+
+    texts = ["كتاب", "السلام عليكم", "hello مرحبا world", "", "no arabic"]
+    df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+    got = (
+        df.select(arabic.arabic_display_udf()(df["t"]).alias("d"))
+        .toPandas()["d"]
+        .tolist()
+    )
+    assert got == [arabic.arabic_display(t) for t in texts]
