@@ -104,33 +104,52 @@ def main() -> None:
     # ambient load on this shared VM drifts on a minutes scale, so
     # interleave rounds across levels and keep each level's best —
     # the least-contended sample of identical deterministic work
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+    samples: dict = {c: [] for c in LEVELS}
     levels = {}
     for _ in range(rounds):
         for c in LEVELS:
             r = run_level(c)
+            samples[c].append(r["turns_per_sec"])
             if c not in levels or r["turns_per_sec"] > levels[c]["turns_per_sec"]:
                 levels[c] = r
     control = {c: round(mp_control(c), 1) for c in LEVELS if c >= 8}
 
-    def eff(lo: int, hi: int) -> float:
-        return round(
-            levels[hi]["turns_per_sec"] / ((hi / lo) * levels[lo]["turns_per_sec"]), 3
-        )
+    import statistics
+
+    stats = {
+        c: {
+            "n": len(samples[c]),
+            "best": max(samples[c]),
+            "median": round(statistics.median(samples[c]), 1),
+            "min": min(samples[c]),
+            "max": max(samples[c]),
+        }
+        for c in LEVELS
+    }
+
+    def eff(lo: int, hi: int, key: str) -> float:
+        return round(stats[hi][key] / ((hi / lo) * stats[lo][key]), 3)
 
     effs = {}
+    effs_median = {}
     for lo, hi in zip(LEVELS, LEVELS[1:]):
-        effs[f"{lo}->{hi}"] = eff(lo, hi)
+        effs[f"{lo}->{hi}"] = eff(lo, hi, "best")
+        effs_median[f"{lo}->{hi}"] = eff(lo, hi, "median")
     result = {
         "levels": levels,
-        "efficiency": effs,
+        "stats": stats,
+        "efficiency_best": effs,
+        "efficiency_median": effs_median,
         "mp_control_tps": control,
     }
     print(json.dumps(result))
 
     n_turns = levels[LEVELS[-1]]["turns"]
     rows = "\n".join(
-        f"| local[{c}] | {levels[c]['sec']} | {levels[c]['turns_per_sec']} |"
+        f"| local[{c}] | {levels[c]['sec']} | {levels[c]['turns_per_sec']} "
+        f"| {stats[c]['median']} | {stats[c]['min']}–{stats[c]['max']} "
+        f"| {stats[c]['n']} |"
         for c in LEVELS
     )
     ctrl_rows = "\n".join(
@@ -150,13 +169,18 @@ extraction job over the identical pre-generated corpus
 parallelism levels, one fresh JVM per level, steady-state timing after a
 full-worker warm-up pass.
 
-| parallelism | wall sec | turns/sec |
-| --- | --- | --- |
+| parallelism | wall sec (best) | turns/sec (best) | median | min–max | n |
+| --- | --- | --- | --- | --- | --- |
 {rows}
 
-Efficiencies (throughput(4N) / (4 · throughput(N))):
+Efficiencies (throughput(4N) / (4 · throughput(N))) — best-of samples
+(the least-contended run of identical deterministic work) and
+median-of-{rounds} (the regression-detection number: compare THIS row
+across rounds; a drop beyond the min–max spread is a real regression,
+inside it is ambient VM noise):
 
-{json.dumps(effs, indent=2)}
+best:   {json.dumps(effs)}
+median: {json.dumps(effs_median)}
 
 ## N→4N in the uncontended region: local[{lo}] → local[{hi * 1}]
 
