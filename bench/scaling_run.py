@@ -113,7 +113,13 @@ def main() -> None:
             samples[c].append(r["turns_per_sec"])
             if c not in levels or r["turns_per_sec"] > levels[c]["turns_per_sec"]:
                 levels[c] = r
-    control = {c: round(mp_control(c), 1) for c in LEVELS if c >= 8}
+    # control is as contention-exposed as the Spark samples — same
+    # best-of treatment
+    control = {
+        c: round(max(mp_control(c) for _ in range(2)), 1)
+        for c in LEVELS
+        if c >= 8
+    }
 
     import statistics
 
@@ -211,7 +217,9 @@ Ambient variance note: this shared VM drifts ±25% on a minutes scale;
 the runner interleaves rounds across levels and keeps each level's best
 (least-contended) sample of the identical deterministic job. Observed
 envelope across round-1 sessions: 2→8 efficiency 0.77–0.955, local[32]
-throughput 47k–93k turns/sec.
+throughput 47k–93k turns/sec; across three round-2 regenerations:
+2→8 best 0.89–1.0 (median 0.85–1.06), local[32] best 82k–92k — the
+median row above is the number to diff against next round.
 
 ## Why the extract stage scales on a real cluster
 

@@ -265,6 +265,7 @@ def extract_pipeline(
     broadcast_crops: Optional[bool] = None,
     mode: str = "fused",
     max_payload_chars: Optional[int] = None,
+    cache_skeletons: bool = True,
 ) -> DataFrame:
     """Full per-turn pipeline: transcripts in, OUTPUT_SCHEMA rows out.
 
@@ -283,6 +284,14 @@ def extract_pipeline(
     if mode == "fused":
         return fused_extract_stage(transcripts, merge_visual=merge_visual)
     skeletons = extract_stage(transcripts, merge_visual=merge_visual)
+    if cache_skeletons:
+        # both join sides derive from the extract stage; without reuse
+        # Catalyst runs the Python extract twice (measured 3.4× the
+        # fused plan, round-1 bench). MEMORY_AND_DISK keeps the sandbox
+        # honest; at corpus scale stage skeletons to a table instead.
+        from pyspark import StorageLevel
+
+        skeletons = skeletons.persist(StorageLevel.MEMORY_AND_DISK)
     crops = crops_stage(skeletons)
     if broadcast_crops:
         crops = F.broadcast(crops)

@@ -422,12 +422,45 @@ def ivf_knn(
     n_queries: int = DEFAULT_QUERIES,
     n_centroids: int = IVF_CENTROIDS,
     train: bool = True,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN: probe only the query's own bucket — the candidate join is
-    bucket-co-located (equi-join on bucket), so work scales with bucket
-    size, not corpus size."""
-    assigned = ivf_assignments(spark, sf_dir, n_centroids=n_centroids, train=train)
-    q = assigned.filter(F.col("vec_id") < n_queries).select(
+    """IVF ANN: probe the query's ``nprobe`` nearest buckets — the
+    candidate join is bucket-co-located (equi-join on bucket), so work
+    scales with probed-bucket size, not corpus size. ``nprobe`` is the
+    recall lever: corpus vectors live in exactly one bucket (candidates
+    never duplicate), queries fan out to their nprobe best centroids."""
+    emb = _emb(spark, sf_dir)
+    if train:
+        cents = kmeans_centroids(emb, n_centroids=n_centroids)
+    else:
+        cents = emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+        )
+    assigned = _assign(emb, cents).select(
+        "vec_id", "embedding", F.col("centroid_id").alias("bucket")
+    )
+    if nprobe <= 1:
+        q_src = assigned.filter(F.col("vec_id") < n_queries)
+    else:
+        scored_c = (
+            emb.filter(F.col("vec_id") < n_queries)
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "embedding",
+                "centroid_id",
+                cosine_e6(F.col("embedding"), F.col("c_emb")).alias("s"),
+            )
+        )
+        wq = W.partitionBy("vec_id").orderBy(
+            F.col("s").desc(), F.col("centroid_id").asc()
+        )
+        q_src = (
+            scored_c.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= nprobe)
+            .select("vec_id", "embedding", F.col("centroid_id").alias("bucket"))
+        )
+    q = q_src.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),

@@ -278,6 +278,34 @@ def test_trained_ivf_beats_seed_centroids(spark, tmp_path):
     assert results[True][1] > results[False][1]  # k-means objective
 
 
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """Probing every bucket degrades IVF to the exact scan — the result
+    must equal brute-force top-k bit-for-bit (scores, ranks, ties)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import similarity
+
+    bf = similarity.brute_force_knn(spark, SF_DIR, k=3, n_queries=4).toPandas()
+    ivf = similarity.ivf_knn(
+        spark, SF_DIR, k=3, n_queries=4,
+        n_centroids=8, train=False, nprobe=8,
+    ).toPandas()
+    pd.testing.assert_frame_equal(bf, ivf)
+
+
+def test_ivf_recall_monotone_in_nprobe(spark):
+    """More probed buckets → superset of candidates → recall vs the
+    exact top-k can only improve."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import similarity
+
+    truth = similarity.brute_force_knn(spark, SF_DIR).toPandas()
+    tset = set(zip(truth.query_id, truth.neighbor_id))
+
+    def recall(nprobe):
+        got = similarity.ivf_knn(spark, SF_DIR, nprobe=nprobe).toPandas()
+        return len(set(zip(got.query_id, got.neighbor_id)) & tset) / len(tset)
+
+    assert recall(2) >= recall(1)
+
+
 def test_blocks_table_consistent_with_pipeline(spark):
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
         blocks_table,
