@@ -368,6 +368,68 @@ def _q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- curation contract entries: the generated corpus contains no PII,
+# no cross-document boilerplate and no bullet/ellipsis layout, so the
+# bare operators would return all-zero signal columns — hash-green but
+# vacuous (round-1 verdict finding #4). Each entry therefore augments a
+# deterministic doc_id slice in-query (mirrored exactly in the SQL), so
+# the driver exercises real positives at every SF.
+
+PII_SUFFIX = "@example.com from 10.20.30.40 call +555-123-4567"
+BOILER_SUFFIX = "\nSubscribe to our newsletter today\nCopyright 2026 Example Corp"
+SYMBOL_SUFFIX = "\n- first bullet\n* second bullet\nto be continued...\n# note #"
+
+
+def _q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit(PII_SUFFIX),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return curation.pii_mask(spark, sf_dir, docs=aug)
+
+
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(BOILER_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    return curation.boilerplate_lines(spark, sf_dir, docs=aug)
+
+
+def _q_symbol_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(SYMBOL_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    return curation.symbol_ratios(spark, sf_dir, docs=aug)
+
+
 def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup groups over the corpus plus a deterministic planted
     slice (every 50th doc re-ingested under a shifted id): the raw
@@ -664,6 +726,7 @@ def _wrap(mod_fn):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
+        curation,
         dedup,
         maintenance,
         olap,
@@ -724,6 +787,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _wrap(similarity.ivf_knn),
         "near_dup_cosine": _wrap(similarity.near_dup_pairs_cosine),
         "cosine_lsh_pairs": _wrap(similarity.cosine_lsh_pairs),
+        # corpus curation (PII, boilerplate, repetition, layout signals)
+        "pii_mask": _q_pii_mask,
+        "boilerplate_lines": _q_boilerplate,
+        "repetition_stats": _wrap(curation.repetition_stats),
+        "symbol_ratios": _q_symbol_ratios,
         # block-level inspection, pivot, approx stats
         "dedup_conversations": _q_dedup_conversations,
         "curation_funnel": _q_curation_funnel,
@@ -1151,6 +1219,99 @@ SELECT doc_id,
        CAST(floor(least(sqrt(200000.0 / greatest(n_chars, 1)) * 0.99, 1.0) * 10000) AS BIGINT) AS downscale_e4,
        replace(regexp_replace(source || ' ' || substr(text, 1, 32), '[^A-Za-z0-9 ]', '', 'g'), ' ', '+') AS url_name
 FROM documents ORDER BY doc_id
+""",
+        "pii_mask": r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.20.30.40 call +555-123-4567'
+              ELSE text END AS text
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}', '<PHONE>', 'g') AS masked,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+    len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+    len(regexp_extract_all(text, '\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}')) AS n_phones
+  FROM aug)
+SELECT doc_id, CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(n_ips AS INTEGER) AS n_ips, CAST(n_phones AS INTEGER) AS n_phones,
+       md5(masked) AS masked_fp
+FROM m ORDER BY doc_id
+""",
+        "boilerplate_lines": """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || chr(10) || 'Subscribe to our newsletter today' || chr(10) || 'Copyright 2026 Example Corp'
+              ELSE text END AS text
+  FROM documents),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+e AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ls)),
+                                   i -> {'pos': i, 'line': ls[i]})) AS u
+      FROM l),
+lines AS (SELECT doc_id, u.pos AS pos, u.line AS line, trim(u.line) AS key FROM e),
+freq AS (
+  SELECT key FROM (SELECT DISTINCT doc_id, key FROM lines WHERE key <> '')
+  GROUP BY key HAVING count(*) >= 3),
+kept AS (SELECT * FROM lines WHERE key NOT IN (SELECT key FROM freq)),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       t.n_lines - COALESCE(r.n_kept, 0) AS n_dropped,
+       md5(COALESCE(r.cleaned, '')) AS cleaned_fp
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+""",
+        "repetition_stats": """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                               i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM words),
+per AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+agg AS (
+  SELECT doc_id, sum(c) AS total, count(*) AS distinct_grams, max(c) AS topc
+  FROM per GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(floor((a.total - a.distinct_grams) * 10000.0 / a.total), 0) AS BIGINT) AS dup_ratio_e4,
+       CAST(COALESCE(a.topc, 0) AS BIGINT) AS top_gram_count
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+""",
+        "symbol_ratios": r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0
+              THEN text || chr(10) || '- first bullet' || chr(10) || '* second bullet' || chr(10) || 'to be continued...' || chr(10) || '# note #'
+              ELSE text END AS text
+  FROM documents),
+l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM aug),
+m AS (
+  SELECT doc_id,
+         length(text) AS chars,
+         len(ls) AS n_lines,
+         len(list_filter(ls, x -> regexp_matches(trim(x), '^[-*•]'))) AS bullet,
+         len(list_filter(ls, x -> regexp_matches(x, '\.\.\.$'))) AS ellipsis,
+         len(regexp_extract_all(text, '[#•…]')) AS symbols,
+         list_sum(list_transform(ls, x -> length(x))) AS total_line_chars
+  FROM l)
+SELECT doc_id,
+       CAST(CASE WHEN chars = 0 THEN 0 ELSE floor(symbols * 10000.0 / chars) END AS BIGINT) AS symbol_ratio_e4,
+       CAST(CASE WHEN n_lines = 0 THEN 0 ELSE floor(bullet * 10000.0 / n_lines) END AS BIGINT) AS bullet_ratio_e4,
+       CAST(CASE WHEN n_lines = 0 THEN 0 ELSE floor(ellipsis * 10000.0 / n_lines) END AS BIGINT) AS ellipsis_ratio_e4,
+       CAST(CASE WHEN n_lines = 0 THEN 0 ELSE floor(total_line_chars * 100.0 / n_lines) END AS BIGINT) AS mean_line_len_e2
+FROM m ORDER BY doc_id
 """,
         "dedup_exact_groups": f"""
 WITH d AS (

@@ -1,0 +1,208 @@
+"""Corpus-curation operators a 100 TB training-data pipeline runs after
+extraction: PII masking, corpus-frequency boilerplate line removal
+(C4-style), within-document repetition signals and layout/symbol ratios
+(Gopher-style quality rules).
+
+All JVM-side Catalyst expressions (regex + arrays + one aggregate where
+a corpus-wide statistic is genuinely needed) — no Python per row. Regex
+patterns are restricted to the RE2 ∩ Java-regex subset (no lookbehind,
+no backreferences) so the DuckDB oracles execute the identical pattern.
+
+Scale notes per operator are on the docstrings; the common theme: the
+only corpus-wide shuffle any of these needs is a line/shingle frequency
+aggregate whose *output* (the frequent set) is tiny, so the join back is
+AQE-broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# RE2-and-Java-safe PII patterns, applied in this order
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def pii_mask(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
+    """Mask emails → <EMAIL>, IPv4 → <IP>, phone-shaped numbers →
+    <PHONE> (in that order — order matters, e.g. an IP inside an email
+    must not double-mask), and count each kind per document. Pure narrow
+    regexp_replace/extract_all chain — zero shuffles, whole-stage
+    codegen; the exact shape this runs at 10^12 rows."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_IPV4), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), 0)).alias("n_phones"),
+        F.md5(masked).alias("masked_fp"),
+    ).orderBy("doc_id")
+
+
+BOILERPLATE_MIN_FREQ = 3
+
+
+def boilerplate_lines(
+    spark: SparkSession,
+    sf_dir: str,
+    min_freq: int = BOILERPLATE_MIN_FREQ,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """C4-style corpus-frequency line removal: any non-blank line whose
+    trimmed form appears in ≥ ``min_freq`` documents is boilerplate
+    (nav bars, footers, cookie banners) and is dropped from every
+    document; per-doc output is kept/dropped counts + the md5 of the
+    cleaned text (lines rejoined in original order).
+
+    Scale shape: one shuffle to count DISTINCT (line, doc) pairs — at
+    corpus scale hash the trimmed line first so the key is 16 bytes —
+    then an anti-join of the exploded lines against the frequent set.
+    The frequent set is tiny relative to the corpus (it IS the repeated
+    content), so AQE broadcasts it; the rebuild is a per-doc aggregate
+    ordered by original line position, never a global sort."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    ).withColumn("key", F.trim(F.col("line")))
+    freq = (
+        lines.filter(F.col("key") != "")
+        .select("doc_id", "key")
+        .distinct()  # a line repeated inside ONE doc is not boilerplate
+        .groupBy("key")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_freq)
+        .select("key")
+    )
+    kept = lines.join(freq, "key", "left_anti")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))).getField(
+                    "line"
+                ),
+                "\n",
+            ).alias("cleaned"),
+        )
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+            F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias("cleaned_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_NGRAM = 3
+
+
+def repetition_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = REPETITION_NGRAM,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Gopher-style within-document repetition: of a document's word
+    n-grams, what fraction are repeats of an earlier n-gram
+    (``dup_ratio_e4 = floor((total-distinct)/total · 10⁴)``), and how
+    often does the single most repeated n-gram occur. High values flag
+    degenerate/generated text. One (doc, gram) aggregate — the shuffle
+    key includes doc_id, so it scales with corpus size, never collides
+    across documents."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select("doc_id", F.explode(grams).alias("g"))
+    per_gram = exploded.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("distinct_grams"),
+        F.max("c").alias("top_gram_count"),
+    )
+    out = docs.select("doc_id").join(agg, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(
+            F.floor(
+                (F.col("total") - F.col("distinct_grams"))
+                * F.lit(10000.0)
+                / F.col("total")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dup_ratio_e4"),
+        F.coalesce(F.col("top_gram_count"), F.lit(0))
+        .cast("long")
+        .alias("top_gram_count"),
+    ).orderBy("doc_id")
+
+
+def symbol_ratios(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
+    """Gopher-style layout/symbol quality rules, all narrow JVM
+    expressions: symbol-to-char ratio (#/…/•), fraction of lines that
+    are bullets, fraction ending in ellipsis, and mean line length —
+    the cheap filters a curation funnel applies before any model-based
+    scoring."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))
+    symbols = F.size(F.regexp_extract_all("text", F.lit(r"[#•…]"), 0))
+    total_line_chars = F.aggregate(
+        F.transform(lines, lambda l: F.length(l)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        F.when(chars == 0, F.lit(0))
+        .otherwise(F.floor(symbols * F.lit(10000.0) / chars))
+        .cast("long")
+        .alias("symbol_ratio_e4"),
+        F.when(n_lines == 0, F.lit(0))
+        .otherwise(F.floor(bullet * F.lit(10000.0) / n_lines))
+        .cast("long")
+        .alias("bullet_ratio_e4"),
+        F.when(n_lines == 0, F.lit(0))
+        .otherwise(F.floor(ellipsis * F.lit(10000.0) / n_lines))
+        .cast("long")
+        .alias("ellipsis_ratio_e4"),
+        F.when(n_lines == 0, F.lit(0))
+        .otherwise(F.floor(total_line_chars * F.lit(100.0) / n_lines))
+        .cast("long")
+        .alias("mean_line_len_e2"),
+    ).orderBy("doc_id")
