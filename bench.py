@@ -138,6 +138,16 @@ def main() -> None:
     )
     timed("textstats", lambda: _force(stats))
 
+    # 6b. curation pass: PII masking (narrow regex) + C4 boilerplate
+    # removal (corpus line-frequency agg + anti-join)
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import curation
+
+    timed("pii_mask", lambda: _force(curation.pii_mask(spark, SF_DIR)))
+    timed(
+        "boilerplate_lines",
+        lambda: _force(curation.boilerplate_lines(spark, SF_DIR)),
+    )
+
     # 7. similarity scale path + block inspection
     timed(
         "cosine_lsh",

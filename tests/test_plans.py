@@ -114,3 +114,30 @@ def test_ivf_probe_is_bucket_equi_join(spark):
     assert "CartesianProduct" not in plan.replace(
         "BroadcastNestedLoopJoin", ""
     ), "the probe must be an equi-join on bucket, not a cross product"
+
+def test_pii_mask_is_narrow(spark):
+    """PII masking must be a single narrow scan→project plan — any
+    exchange here would be a planning bug (it is pure per-row regex)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        pii_mask,
+    )
+
+    plan = plan_str(pii_mask(spark, "/root/testdata/sf0.001"))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # the only exchange allowed is the final orderBy's range partitioning
+    n_exchanges = body.count("Exchange")
+    assert n_exchanges <= 1, plan
+    assert "rangepartitioning" in body.lower() or n_exchanges == 0, plan
+
+
+def test_boilerplate_freq_has_partial_aggregation(spark):
+    """The corpus line-frequency aggregate must partial-aggregate
+    map-side (HashAggregate before the exchange) — at 10^12 rows the
+    pre-shuffle combine is what keeps the line-count shuffle bounded."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        boilerplate_lines,
+    )
+
+    plan = plan_str(boilerplate_lines(spark, "/root/testdata/sf0.001"))
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
