@@ -478,3 +478,59 @@ def test_multimodal_features_and_sampling(spark):
 
     frames = mm.frame_sample_plan(media, every_ms=1000).toPandas()
     assert (frames.groupby("media_id").size() > 1).all()
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """Streaming dedup-on-ingest: duplicate fingerprints arriving in a
+    LATER micro-batch (maxFilesPerTrigger=1) must be dropped by the
+    stateful operator, within the watermark horizon; whitespace/case
+    variants canonicalize to the same fingerprint."""
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.streaming.dedup import (
+        streaming_dedup,
+    )
+
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    batch1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["alpha beta gamma", "unique one"],
+            "ts": [base, base + timedelta(seconds=1)],
+        }
+    )
+    batch2 = pd.DataFrame(
+        {
+            "doc_id": [3, 4],
+            # doc 3 is a canonical duplicate of doc 1 (case + whitespace)
+            "text": ["  Alpha   beta GAMMA ", "unique two"],
+            "ts": [base + timedelta(seconds=5), base + timedelta(seconds=6)],
+        }
+    )
+    for i, b in enumerate((batch1, batch2)):
+        spark.createDataFrame(b).select(
+            "doc_id", "text", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r["doc_id"] for r in spark.sql(f"SELECT doc_id FROM {name}").collect()
+    )
+    assert got == [1, 2, 4]  # doc 3 deduped against doc 1's state
