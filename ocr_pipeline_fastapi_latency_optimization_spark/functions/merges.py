@@ -179,13 +179,18 @@ def merge_object_pair(
         incl = pairwise_inclusion(page.boxes, zero_diag=True)
         keep = np.ones(n, dtype=bool)
         changed = False
+        # same-class mode: one mask per distinct class per sweep, not one
+        # per base (the per-base fromiter made this loop O(N²) in masks)
+        class_masks = (
+            {
+                c: np.fromiter((x == c for x in cls), dtype=bool, count=n)
+                for c in set(cls)
+            }
+            if tmask is None
+            else None
+        )
         for i in np.nonzero(is_base)[0]:
-            ci = cls[i]
-            cand = (
-                np.fromiter((c == ci for c in cls), dtype=bool, count=n)
-                if tmask is None
-                else tmask
-            )
+            cand = class_masks[cls[i]] if tmask is None else tmask
             scores = np.where(cand, incl[i], 0.0)
             merged = np.nonzero((scores >= threshold) & (scores > 0.0))[0]
             if merged.size:
@@ -195,9 +200,9 @@ def merge_object_pair(
                 incl[merged, :] = 0.0
                 incl[:, merged] = 0.0
                 changed = True
-        page = page.take(keep)
         if not changed:
-            return page
+            return page  # keep is all-True here — skip the no-op copy
+        page = page.take(keep)
 
 
 def run_duplicate_filter(page: PageBlocks, iou: float = DEFAULT_IOU) -> PageBlocks:
