@@ -792,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": _q_boilerplate,
         "repetition_stats": _wrap(curation.repetition_stats),
         "symbol_ratios": _q_symbol_ratios,
+        "stratified_sample": _wrap(curation.stratified_hash_sample),
+        "dataset_split": _wrap(curation.dataset_split),
         # block-level inspection, pivot, approx stats
         "dedup_conversations": _q_dedup_conversations,
         "curation_funnel": _q_curation_funnel,
@@ -1312,6 +1314,25 @@ SELECT doc_id,
        CAST(CASE WHEN n_lines = 0 THEN 0 ELSE floor(ellipsis * 10000.0 / n_lines) END AS BIGINT) AS ellipsis_ratio_e4,
        CAST(CASE WHEN n_lines = 0 THEN 0 ELSE floor(total_line_chars * 100.0 / n_lines) END AS BIGINT) AS mean_line_len_e2
 FROM m ORDER BY doc_id
+""",
+        "stratified_sample": f"""
+WITH g AS (
+  SELECT doc_id, lang,
+         ({_hex60_sql("md5(CAST(doc_id AS VARCHAR))")}) % 10000 AS cell,
+         CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'es' THEN 2500
+                   WHEN 'fr' THEN 1000 WHEN 'zh' THEN 1000 ELSE 0 END AS rate_e4
+  FROM documents)
+SELECT doc_id, lang FROM g WHERE cell < rate_e4 ORDER BY doc_id
+""",
+        "dataset_split": f"""
+WITH g AS (
+  SELECT lang,
+         ({_hex60_sql("md5(CAST(doc_id AS VARCHAR))")}) % 10000 AS cell
+  FROM documents)
+SELECT CASE WHEN cell < 9000 THEN 'train'
+            WHEN cell < 9500 THEN 'val' ELSE 'test' END AS split,
+       lang, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY split, lang ORDER BY split, lang
 """,
         "dedup_exact_groups": f"""
 WITH d AS (

@@ -167,6 +167,83 @@ def repetition_stats(
     ).orderBy("doc_id")
 
 
+# --- deterministic sampling / splits ------------------------------------------
+#
+# Production training-data pipelines never use rand(): a sample must be
+# reproducible across reruns, engines and partitionings. The standard
+# trick is a content-addressed keep-decision: hash the stable key, take
+# the hash modulo a grid, compare against the rate. Both operators below
+# use the md5-derived 60-bit integer (same kernel as the MinHash oracle)
+# so DuckDB replicates the exact membership decision bit-for-bit.
+
+SPLIT_GRID = 10000
+
+
+def _hash_grid(key) -> "F.Column":
+    """floor 60-bit md5 integer of the stringified key, mod SPLIT_GRID —
+    a uniform deterministic [0, SPLIT_GRID) cell per row."""
+    h = F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(SPLIT_GRID))
+
+
+DEFAULT_RATES_E4 = {"en": 5000, "de": 2500, "es": 2500, "fr": 1000, "zh": 1000}
+
+
+def stratified_hash_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    rates_e4: dict | None = None,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a document iff its hash
+    cell < the stratum's rate (in 1/10000ths). Language-rebalancing a
+    multilingual corpus is the canonical use. Narrow plan — the
+    keep-decision is a pure projection; no shuffle, no rand()."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    rates = rates_e4 or DEFAULT_RATES_E4
+    cell = _hash_grid(F.col("doc_id"))
+    rate = F.lit(0)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(int(r))).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", cell.alias("cell"), rate.alias("rate_e4"))
+        .filter(F.col("cell") < F.col("rate_e4"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+SPLIT_BOUNDS = (9000, 9500)  # train < 9000 ≤ val < 9500 ≤ test
+
+
+def dataset_split(
+    spark: SparkSession,
+    sf_dir: str,
+    bounds: tuple = SPLIT_BOUNDS,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Reproducible train/val/test assignment (90/5/5 by default) from
+    the same hash grid, plus per-(split, lang) counts — the leakage-safe
+    split: membership depends only on doc_id, so re-ingesting,
+    re-partitioning or growing the corpus never moves an existing
+    document across splits."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    cell = _hash_grid(F.col("doc_id"))
+    split = (
+        F.when(cell < bounds[0], F.lit("train"))
+        .when(cell < bounds[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
 def symbol_ratios(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """Gopher-style layout/symbol quality rules, all narrow JVM
     expressions: symbol-to-char ratio (#/…/•), fraction of lines that

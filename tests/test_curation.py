@@ -80,3 +80,69 @@ def test_symbol_ratios_layout_signals(spark, corpus):
     assert out.loc[7, "bullet_ratio_e4"] == 5000  # 2 of 4 lines
     assert out.loc[7, "ellipsis_ratio_e4"] == 2500  # 1 of 4 lines
     assert out.loc[2, "bullet_ratio_e4"] == 0
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    """Membership is content-addressed: identical across reruns and
+    partitionings, and rates land near their targets per stratum."""
+    sf = "/root/testdata/sf0.01"
+    a = curation.stratified_hash_sample(spark, sf).toPandas()
+    b = (
+        curation.stratified_hash_sample(
+            spark, sf,
+            docs=curation._docs(spark, sf).repartition(13),
+        )
+        .toPandas()
+    )
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    docs = curation._docs(spark, sf).groupBy("lang").count().toPandas()
+    totals = dict(zip(docs["lang"], docs["count"]))
+    got = a.groupby("lang").size().to_dict()
+    for lang, rate in (("en", 0.5), ("de", 0.25)):
+        if totals.get(lang, 0) >= 50:
+            frac = got.get(lang, 0) / totals[lang]
+            assert abs(frac - rate) < 0.15, (lang, frac)
+
+
+def test_dataset_split_stable_under_corpus_growth(spark):
+    """Adding documents must never move an existing doc across splits —
+    the leakage guarantee. Check by splitting a half corpus and the full
+    corpus and comparing the half's assignments."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    full = curation._docs(spark, sf)
+    half = full.filter(F.col("doc_id") < 250)
+
+    def assign(docs):
+        cell = curation._hash_grid(F.col("doc_id"))
+        return {
+            r["doc_id"]: ("train" if r["c"] < 9000 else "val" if r["c"] < 9500 else "test")
+            for r in docs.select("doc_id", cell.alias("c")).collect()
+        }
+
+    a_half = assign(half)
+    a_full = assign(full)
+    assert all(a_full[d] == s for d, s in a_half.items())
+
+
+def test_dedup_cluster_survivor_invariants(spark, tmp_path):
+    """Every cluster has exactly one survivor and it is the minimum
+    member id (the canonical-resolution contract)."""
+    import pandas as pd
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [(i, base, "en", "s", 1) for i in range(4)] + [
+        (10, "another doc " + " ".join(f"x{i}" for i in range(40)), "en", "s", 1),
+        (11, "another doc " + " ".join(f"x{i}" for i in range(40)), "en", "s", 1),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    path = str(tmp_path / "cl")
+    spark.createDataFrame(pdf).write.parquet(f"{path}/documents.parquet")
+    out = dedup.dedup_clusters(spark, path).toPandas()
+    for cid, grp in out.groupby("cluster_id"):
+        assert grp["survivor"].sum() == 1
+        assert grp.loc[grp["survivor"], "doc_id"].iloc[0] == grp["doc_id"].min() == cid
+        assert (grp["cluster_size"] == len(grp)).all()
