@@ -221,3 +221,21 @@ def test_skew_conv_does_not_change_results(spark):
 
     want = oracle.extract_frame(corpus)["extracted_text"].tolist()
     assert got == want
+
+
+def test_dedup_clusters_stable_under_repartitioning(spark, tmp_path):
+    """Min-label propagation must converge to identical clusters no
+    matter how the edge list is partitioned."""
+    import pandas as pd
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    edges = pd.DataFrame(
+        {"doc_a": [1, 2, 3, 9, 20, 21], "doc_b": [2, 3, 4, 1, 21, 22]}
+    )
+    base = spark.createDataFrame(edges)
+    a = dedup.connected_components(base).toPandas()
+    b = dedup.connected_components(base.repartition(7)).toPandas()
+    da = dict(zip(a["node"], a["cluster_id"]))
+    db = dict(zip(b["node"], b["cluster_id"]))
+    assert da == db == {1: 1, 2: 1, 3: 1, 4: 1, 9: 1, 20: 20, 21: 20, 22: 20}

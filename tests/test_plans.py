@@ -141,3 +141,16 @@ def test_boilerplate_freq_has_partial_aggregation(spark):
     plan = plan_str(boilerplate_lines(spark, "/root/testdata/sf0.001"))
     assert "HashAggregate" in plan
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_fuzzy_candidates_is_equi_join(spark):
+    """Sorted-neighborhood candidates must pair via an equi-join on rank
+    (hash/sort-merge), never a nested-loop — the property that keeps the
+    pair generation O(N·window) at corpus scale."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        fuzzy_name_pairs,
+    )
+
+    plan = plan_str(fuzzy_name_pairs(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
