@@ -626,8 +626,10 @@ a{p} AS (
   FROM s v CROSS JOIN {prev} c),
 asgn{p} AS (SELECT vec_id, embedding, centroid_id FROM a{p} WHERE rn = 1),
 dims{p} AS (
+  -- per-ROW e6 quantization before the sum: integer sums are
+  -- aggregation-order independent, so this mean can never flip vs Spark
   SELECT centroid_id, d.d AS dim,
-         CAST(floor(avg(CAST(embedding[d.d] AS DOUBLE)) * 1000000) AS DOUBLE) / 1000000.0 AS m
+         CAST(floor(sum(CAST(floor(CAST(embedding[d.d] AS DOUBLE) * 1000000) AS BIGINT)) * 1.0 / count(*)) AS DOUBLE) / 1000000.0 AS m
   FROM asgn{p} CROSS JOIN (SELECT unnest(generate_series(1, {LSH_DIM})) AS d) d
   GROUP BY centroid_id, d.d),
 newc{p} AS (SELECT centroid_id, list(m ORDER BY dim) AS c_emb FROM dims{p} GROUP BY centroid_id),

@@ -237,11 +237,15 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_inter"))
     )
+    # per-doc size aggregates are corpus-cardinality (one row per doc):
+    # a broadcast hint here would ship a multi-GB frame to every executor
+    # at 10^9 docs (round-2 verdict #3). Plain equi-joins — AQE still
+    # broadcasts on its own whenever the side is genuinely small.
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(F.lit(9) * F.col("n_inter") >= F.lit(4) * (F.col("n_a") + F.col("n_b")))
         .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
         .orderBy("doc_a", "doc_b")
@@ -425,54 +429,107 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
-    """Connected components over an undirected pair list by iterative
-    min-label propagation: every node starts labelled with its own id;
-    each round, a node adopts the minimum label among itself and its
-    neighbors; converged when no label changes. Rounds needed = component
-    diameter — near-dup clusters are shallow (dups of dups), so this
-    terminates in a handful of rounds; for adversarially long chains at
-    100 TB swap in the large-star/small-star variant (same contract).
+    """Connected components over an undirected pair list via alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", 2014 — public algorithm):
 
-    Per round: one shuffle for the neighbor-min aggregate, one join to
-    merge — all on (node, label) longs. ``localCheckpoint`` truncates the
-    iterative lineage so plans don't grow unboundedly.
+    * **large-star**: every node connects its strictly-larger neighbors
+      to the minimum of its closed neighborhood;
+    * **small-star**: every node connects its smaller-or-equal neighbors
+      (and itself) to the minimum of that set.
+
+    The edge set monotonically contracts toward stars rooted at each
+    component's minimum id in O(log² n) rounds — adversarially long dup
+    chains (diameter ≫ rounds) converge where plain min-label
+    propagation (rounds = diameter) would not. Per round: two
+    groupBy-min aggregates and two equi-joins on long keys;
+    ``localCheckpoint`` truncates the iterative lineage.
+
+    Convergence is verified by an (edge-count, hash-checksum) fixed
+    point; if the loop exhausts ``max_iter`` without reaching it, this
+    RAISES rather than return partial labels (round-2 verdict #5 —
+    silently wrong cluster ids are the bad kind of wrong).
 
     Returns (node, cluster_id) where cluster_id = min node id reachable.
     This is the pair→cluster→survivor step a curation pipeline runs after
     LSH candidate generation — the analog of the reference's keyed
     canonical resolution (MarkdownEnricher.py:62-94: every placeholder
     resolves to exactly one crop)."""
-    sym = edges.select(
-        F.col(src).alias("n_from"), F.col(dst).alias("n_to")
-    ).unionByName(
-        edges.select(F.col(dst).alias("n_from"), F.col(src).alias("n_to"))
-    )
-    nodes = sym.select(F.col("n_from").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["n_from"] == labels["node"])
-            .groupBy(F.col("n_to").alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
         )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
-            )
-        ).localCheckpoint(eager=True)
-        n_changed = new_labels.filter(F.col("changed")).count()
-        labels = new_labels.drop("changed")
-        if n_changed == 0:
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _state(df: DataFrame):
+        # ANSI mode throws on long-sum overflow → checksum in decimal(38,0)
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _state(e)
+    if prev[0] == 0:
+        spark = e.sparkSession
+        return spark.createDataFrame([], "node long, cluster_id long")
+
+    converged = False
+    for _ in range(max_iter):
+        # large-star: (v, min(Γ+(u))) for every neighbor v > u
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        e = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            # v > u ≥ m, so the emitted edge is already (hi=v, lo=m)
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: connect each smaller neighbor and u itself to the
+        # minimum of u's smaller neighborhood
+        smin = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            e.join(smin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smin.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _state(e)
+        if cur == prev:
+            converged = True
             break
-    return labels.select("node", F.col("label").alias("cluster_id"))
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "large-star/small-star rounds — refusing to return partial "
+            "cluster labels; raise max_iter"
+        )
+    # fixed point is a forest of stars: every non-root points at its
+    # component's minimum id; roots are the nodes never seen as `u`
+    non_roots = e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(non_roots.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("cluster_id"))
+    )
+    return non_roots.unionByName(roots)
 
 
 def dedup_clusters(

@@ -115,6 +115,34 @@ def brute_force_knn(
 
 NEAR_DUP_THRESHOLD_E6 = 400000
 NEAR_DUP_BLOCK_ROWS = 4096
+# O(N²/block_rows) shuffle rows — refuse to run the exact grid corpus-wide
+# past this input size (round-2 verdict #4); pass candidates= instead.
+NEAR_DUP_MAX_ROWS = 262144
+
+
+def verify_candidate_pairs_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    candidates: DataFrame,
+    threshold_e6: int = NEAR_DUP_THRESHOLD_E6,
+) -> DataFrame:
+    """Exact-cosine verification of an (id_a, id_b) candidate list —
+    the scale path: O(|candidates|) work via two plain equi-joins (AQE
+    broadcasts when a side is small), never an all-pairs scan. This is
+    what runs corpus-wide at 100 TB, fed by ``cosine_lsh_pairs``."""
+    emb = _emb(spark, sf_dir)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        candidates.select("id_a", "id_b")
+        .join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a", "id_b", cosine_e6(F.col("ea"), F.col("eb")).alias("score_e6")
+        )
+        .filter(F.col("score_e6") >= threshold_e6)
+        .orderBy("id_a", "id_b")
+    )
 
 
 def near_dup_pairs_cosine(
@@ -122,6 +150,8 @@ def near_dup_pairs_cosine(
     sf_dir: str,
     threshold_e6: int = NEAR_DUP_THRESHOLD_E6,
     block_rows: int = NEAR_DUP_BLOCK_ROWS,
+    max_rows: int = NEAR_DUP_MAX_ROWS,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: all (a < b) with quantized cosine
     ≥ threshold — as a fully distributed blocked grid. Every vector gets
@@ -132,16 +162,36 @@ def near_dup_pairs_cosine(
     no executor holds more than two blocks — the O(N²) *compute* of an
     exact all-pairs scan is inherent, but memory and shuffle stay
     bounded (each vector is replicated nb times, nb = ⌈N/block_rows⌉).
-    At 100 TB the exact scan is replaced by ``cosine_lsh_pairs``; this is
-    the verification baseline and the verifier for its candidates."""
+
+    Two guards confine this entry to verification-baseline duty
+    (round-2 verdict #4):
+
+    * ``candidates`` switches to candidates-only mode — exact cosine on
+      a supplied (id_a, id_b) pair list (see
+      ``verify_candidate_pairs_cosine``), the shape that runs at scale;
+    * without candidates, inputs larger than ``max_rows`` RAISE instead
+      of silently launching an O(N²/block_rows)-row shuffle."""
     import math
 
     import numpy as np
     import pandas as pd
 
+    if candidates is not None:
+        return verify_candidate_pairs_cosine(
+            spark, sf_dir, candidates, threshold_e6=threshold_e6
+        )
     emb = _emb(spark, sf_dir)
     # parquet row-count only (metadata scan) — sizes the grid to the corpus
-    nb = max(1, math.ceil(emb.count() / block_rows))
+    n_rows = emb.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"near_dup_pairs_cosine: {n_rows} input vectors exceed "
+            f"max_rows={max_rows}; the exact all-pairs grid is the "
+            "verification baseline, not the corpus path — generate "
+            "candidates with cosine_lsh_pairs and pass candidates=, or "
+            "raise max_rows explicitly"
+        )
+    nb = max(1, math.ceil(n_rows / block_rows))
     thr = int(threshold_e6)
 
     blk = emb.withColumn("blk", (F.col("vec_id") % nb).cast("int"))
@@ -352,9 +402,10 @@ def kmeans_centroids(
     """Sampled Lloyd refinement with deterministic everything: seeds are
     the first ``n_centroids`` vectors, the training sample is
     ``vec_id % sample_mod == 0`` (a fixed fraction; at corpus scale cap
-    it absolutely), and each refined centroid component is the
-    per-dimension mean quantized to e6 — so the DuckDB oracle's unrolled
-    passes reproduce the exact same centroids. Empty clusters keep their
+    it absolutely), and each refined centroid component is a
+    per-dimension mean over PER-ROW e6-quantized values (integer sum →
+    floor-divide by count → /1e6) — order-independent, so the DuckDB
+    oracle's unrolled passes reproduce the exact same centroids. Empty clusters keep their
     previous centroid. All distributed: assignment is a broadcast
     cross-join + window, means are one (centroid, dim) aggregate."""
     sample = emb.filter(F.col("vec_id") % sample_mod == 0)
@@ -366,10 +417,23 @@ def kmeans_centroids(
         dims = assigned.select(
             "centroid_id", F.posexplode("embedding").alias("dim", "v")
         )
+        # per-ROW e6 quantization BEFORE the sum (the same invariant as
+        # char_entropy_e4): integer sums are partial-aggregation-order
+        # independent, so a mean landing on a floor boundary can never
+        # flip between Spark and the DuckDB twin (round-2 ADVICE #1).
+        # m = floor(sum(floor(v·1e6)) / n) / 1e6 — the division of two
+        # exactly-representable integers is correctly rounded IEEE-754
+        # in both engines.
         means = (
             dims.groupBy("centroid_id", "dim")
             .agg(
-                (F.floor(F.avg("v") * F.lit(1000000.0)).cast("double") / 1000000.0).alias("m")
+                (
+                    F.floor(
+                        F.sum(F.floor(F.col("v") * F.lit(1000000.0)))
+                        / F.count("*")
+                    ).cast("double")
+                    / 1000000.0
+                ).alias("m")
             )
         )
         newc = means.groupBy("centroid_id").agg(

