@@ -538,6 +538,57 @@ FROM cc JOIN sizes USING (cluster_id) ORDER BY doc_id
     )
 
 
+def _funnel_full_sql() -> str:
+    """DuckDB twin of curation.curation_funnel_full. The extraction
+    stage over the documents source is passthrough (the proven
+    extract_documents oracle), so the funnel's SQL runs the gates over
+    the same per-turn frame; quality/lang/fingerprint expressions are
+    the exact proven kernels from the curation_funnel / lang_id /
+    doc_fingerprints oracles, applied to extracted_text."""
+    q = """CAST(floor((
+        0.4 * least(length(extracted_text) / 2000.0, 1.0)
+      + 0.5 * (CASE WHEN length(extracted_text) = 0 THEN 0.0 ELSE len(regexp_extract_all(extracted_text, '[A-Za-z]')) * 1.0 / length(extracted_text) END)
+      + 0.1 * (1.0 - least((CASE WHEN length(extracted_text) = 0 THEN 1.0 ELSE len(regexp_extract_all(extracted_text, '[.,;:!?''"()\\[\\]{}<>/\\\\|@#$%^&*+=~`-]')) * 1.0 / length(extracted_text) END) * 5.0, 1.0))
+    ) * 10000.0) AS BIGINT)"""
+    cell_hash = _hex60_sql("md5(conv_id || ':' || CAST(turn_idx AS VARCHAR))")
+    return f"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text AS extracted_text
+  FROM documents),
+c AS (
+  SELECT conv_id, turn_idx, extracted_text,
+    len(regexp_extract_all(lower(extracted_text), '\\b(the|and|of|to|in|is)\\b')) AS en,
+    len(regexp_extract_all(lower(extracted_text), '\\b(der|die|das|und|ist|nicht)\\b')) AS de,
+    len(regexp_extract_all(lower(extracted_text), '\\b(el|la|de|que|y|los)\\b')) AS es,
+    len(regexp_extract_all(lower(extracted_text), '\\b(le|la|et|les|des|une)\\b')) AS fr
+  FROM t),
+staged AS (
+  SELECT conv_id, turn_idx,
+         {q} AS q,
+         CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+              WHEN en = greatest(en, de, es, fr) THEN 'en'
+              WHEN de = greatest(en, de, es, fr) THEN 'de'
+              WHEN es = greatest(en, de, es, fr) THEN 'es'
+              ELSE 'fr' END AS lp,
+         md5(trim(regexp_replace(lower(extracted_text), '\\s+', ' ', 'g'))) AS fp
+  FROM c),
+gated AS (SELECT * FROM staged WHERE q >= 3000 AND lp = 'en'),
+surv AS (
+  SELECT conv_id, turn_idx,
+         row_number() OVER (PARTITION BY fp ORDER BY conv_id, turn_idx) AS rn
+  FROM gated),
+cells AS (
+  SELECT ({cell_hash}) % 10000 AS cell
+  FROM surv WHERE rn = 1)
+SELECT CASE WHEN cell < 9000 THEN 'train'
+            WHEN cell < 9500 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n
+FROM cells GROUP BY split ORDER BY split
+"""
+
+
 def _simhash_pairs_sql() -> str:
     """SQL twin of dedup.simhash_near_dup_pairs: per-token 60-bit md5
     hash, ±1 bit accumulation, sign-packing, 4×15-bit banding, exact
@@ -727,6 +778,12 @@ def _wrap(mod_fn):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order IS the driver's check order and the driver records at
+    # most 50 rows per round (round-2 verdict #1): the 9 entries starved
+    # of a driver row in rounds 1-2 lead this round, plus the new
+    # end-to-end funnel; 10 OLAP entries that were hash-green in BOTH
+    # r01 and r02 rotate to the tail (each of the 60 then has at least
+    # one green driver row across rounds).
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
         curation,
         dedup,
@@ -736,19 +793,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     return {
-        # general OLAP patterns
-        "sessionize": _wrap(olap.sessionize),
-        "top_k_per_group": _wrap(olap.top_k_per_group),
-        "rollup_counts": _wrap(olap.rollup_counts),
-        "cube_counts": _wrap(olap.cube_counts),
-        "asof_last_click": _wrap(olap.asof_last_click),
-        "revenue_by_nation": _wrap(olap.revenue_by_nation),
-        "pricing_summary": _wrap(olap.pricing_summary),
-        "time_buckets": _wrap(olap.time_buckets),
-        "sql_api_revenue": _wrap(olap.sql_api_revenue),
-        "window_functions": _wrap(olap.window_functions),
-        "set_ops": _wrap(olap.set_ops),
-        "semi_anti_joins": _wrap(olap.semi_anti_joins),
+        # --- never-driver-checked until round 3 (head of the window)
+        "pivot_lang_by_source": _q_pivot_lang,
+        "approx_stats": _q_approx_stats,
+        "symbol_ratios": _q_symbol_ratios,
+        "stratified_sample": _wrap(curation.stratified_hash_sample),
+        "dataset_split": _wrap(curation.dataset_split),
+        "dedup_conversations": _q_dedup_conversations,
+        "curation_funnel": _q_curation_funnel,
+        "median_chars_by_source": _q_median_chars,
+        "blocks_table": _q_blocks_table,
+        # --- new in round 3: the funnel as ONE plan (verdict item #8)
+        "curation_funnel_full": _wrap(curation.curation_funnel_full),
         # extraction core (SURVEY §2.1/2.9/2.10)
         "extract_documents": _flagship,
         "extract_synthetic": _q_extract_synthetic,
@@ -789,20 +845,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _wrap(similarity.ivf_knn),
         "near_dup_cosine": _wrap(similarity.near_dup_pairs_cosine),
         "cosine_lsh_pairs": _wrap(similarity.cosine_lsh_pairs),
-        # corpus curation (PII, boilerplate, repetition, layout signals)
+        # corpus curation (PII, boilerplate, repetition signals)
         "pii_mask": _q_pii_mask,
         "boilerplate_lines": _q_boilerplate,
         "repetition_stats": _wrap(curation.repetition_stats),
-        "symbol_ratios": _q_symbol_ratios,
-        "stratified_sample": _wrap(curation.stratified_hash_sample),
-        "dataset_split": _wrap(curation.dataset_split),
-        # block-level inspection, pivot, approx stats
-        "dedup_conversations": _q_dedup_conversations,
-        "curation_funnel": _q_curation_funnel,
-        "median_chars_by_source": _q_median_chars,
-        "blocks_table": _q_blocks_table,
-        "pivot_lang_by_source": _q_pivot_lang,
-        "approx_stats": _q_approx_stats,
+        # general OLAP patterns kept in the window
+        "sessionize": _wrap(olap.sessionize),
+        "revenue_by_nation": _wrap(olap.revenue_by_nation),
+        # --- tail (positions 51-60): green in BOTH r01 and r02
+        "pricing_summary": _wrap(olap.pricing_summary),
+        "top_k_per_group": _wrap(olap.top_k_per_group),
+        "rollup_counts": _wrap(olap.rollup_counts),
+        "cube_counts": _wrap(olap.cube_counts),
+        "asof_last_click": _wrap(olap.asof_last_click),
+        "time_buckets": _wrap(olap.time_buckets),
+        "sql_api_revenue": _wrap(olap.sql_api_revenue),
+        "window_functions": _wrap(olap.window_functions),
+        "set_ops": _wrap(olap.set_ops),
+        "semi_anti_joins": _wrap(olap.semi_anti_joins),
     }
 
 
@@ -1344,6 +1404,7 @@ WITH d AS (
 SELECT {qualify_fp} AS fp, CAST(min(doc_id) AS BIGINT) AS canonical_id, CAST(count(*) AS BIGINT) AS dup_count
 FROM d GROUP BY fp HAVING count(*) > 1 ORDER BY canonical_id
 """,
+        "curation_funnel_full": _funnel_full_sql(),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "simhash_near_dups": _simhash_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),

@@ -158,17 +158,25 @@ def bidi_display(text: str) -> str:
     return _ARABIC_RUN.sub(lambda m: m.group(0)[::-1], text)
 
 
+# gated import resolved ONCE at module load (round-2 ADVICE #5): a failed
+# import is not cached by Python, so probing inside the per-row call would
+# pay a full sys.path scan + exception per row inside the pandas UDF
+try:  # pragma: no cover - libs absent in this container
+    import arabic_reshaper as _arabic_reshaper
+    from bidi.algorithm import get_display as _get_display
+except ImportError:
+    _arabic_reshaper = None
+    _get_display = None
+
+
 def arabic_display(text: str) -> str:
     """reshape + bidi — the exact composition the reference applies
     (``FileIngestor.py:208-221``). Uses the reference's own public libs
-    when importable, else the deterministic fallback above."""
-    try:  # pragma: no cover - libs absent in this container
-        import arabic_reshaper
-        from bidi.algorithm import get_display
-
-        return get_display(arabic_reshaper.reshape(text))
-    except ImportError:
-        return bidi_display(reshape_arabic(text))
+    when importable (module-level probe), else the deterministic
+    fallback above."""
+    if _arabic_reshaper is not None:  # pragma: no cover - optional dep
+        return _get_display(_arabic_reshaper.reshape(text))
+    return bidi_display(reshape_arabic(text))
 
 
 def arabic_display_udf():

@@ -244,6 +244,58 @@ def dataset_split(
     )
 
 
+QUALITY_GATE_E4 = 3000
+FUNNEL_LANG = "en"
+
+
+def curation_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite a real training-data run executes, as ONE Spark
+    plan (round-2 verdict item #8): extract (the real mapInPandas
+    pipeline over the documents-as-transcripts source) → quality gate →
+    language gate → exact-dedup survivor gate → leakage-safe hash split
+    → per-split survivor counts.
+
+    Scale shape: the extract stage is narrow (shuffle-free fused
+    mapInPandas); the gates are narrow projections over its output; the
+    only shuffles are the dedup-survivor window keyed on the 32-byte
+    fingerprint (high-cardinality key — no skew) and the 3-row final
+    count. Split membership is content-addressed (hash of
+    conv_id:turn_idx), so growing the corpus never moves an existing
+    turn across splits."""
+    from pyspark.sql import Window as W
+
+    from ..functions.textstats import fingerprint, lang_id, quality_score_e4
+    from ..sources.transcripts import documents_as_transcripts
+    from .extraction import extract_pipeline
+
+    per_turn = extract_pipeline(documents_as_transcripts(spark, sf_dir))
+    gated = per_turn.select(
+        "conv_id",
+        "turn_idx",
+        quality_score_e4(F.col("extracted_text")).alias("q"),
+        lang_id(F.col("extracted_text")).alias("lp"),
+        fingerprint(F.col("extracted_text")).alias("fp"),
+    ).filter((F.col("q") >= QUALITY_GATE_E4) & (F.col("lp") == FUNNEL_LANG))
+    w = W.partitionBy("fp").orderBy("conv_id", "turn_idx")
+    survivors = (
+        gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    cell = _hash_grid(
+        F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
+    )
+    split = (
+        F.when(cell < SPLIT_BOUNDS[0], F.lit("train"))
+        .when(cell < SPLIT_BOUNDS[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        survivors.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split")
+    )
+
+
 def symbol_ratios(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """Gopher-style layout/symbol quality rules, all narrow JVM
     expressions: symbol-to-char ratio (#/…/•), fraction of lines that

@@ -43,22 +43,51 @@ def _manifest_path(checkpoint_dir: str) -> str:
     return os.path.join(checkpoint_dir, "manifest")
 
 
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path`` — works for any scheme the cluster
+    knows (local, HDFS, s3a, ...), not just the local sandbox FS."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    fs, hpath = _fs(spark, path)
+    fs.delete(hpath, True)
+
+
 def write_or_check_manifest(
-    spark: SparkSession, checkpoint_dir: str, run_id: str, n_buckets: int
+    spark: SparkSession,
+    checkpoint_dir: str,
+    run_id: str,
+    n_buckets: int,
+    n_input: int,
 ) -> None:
-    """Pin the bucketing scheme of a checkpointed run. Resuming with a
-    different ``--buckets`` would silently re-partition conv_ids while
-    ``read_output`` globs stale bucket dirs from the earlier scheme —
-    duplicated and missing conversations with no error. Fail fast
-    instead (ADVICE round-1)."""
+    """Pin the bucketing scheme AND the input fingerprint of a
+    checkpointed run. Resuming with a different ``--buckets`` would
+    silently re-partition conv_ids while ``read_output`` globs stale
+    bucket dirs from the earlier scheme; resuming with *different input*
+    would silently serve the stale staged corpus (resume reads staging,
+    not the caller's frame). Both are duplicated/missing conversations
+    with no error — fail fast instead (round-1 + round-2 ADVICE).
+
+    Only a genuinely absent manifest means "fresh checkpoint": a
+    corrupted or transiently unreadable manifest PROPAGATES its error
+    rather than being silently overwritten — that is exactly the moment
+    checkpoint state is suspect (round-2 ADVICE #4)."""
     path = _manifest_path(checkpoint_dir)
-    try:
-        row = spark.read.parquet(path).collect()[0]
-    except Exception:
+    if not fs_exists(spark, path):
         spark.createDataFrame(
-            [(run_id, int(n_buckets))], "run_id string, n_buckets int"
+            [(run_id, int(n_buckets), int(n_input))],
+            "run_id string, n_buckets int, n_input long",
         ).coalesce(1).write.mode("overwrite").parquet(path)
         return
+    row = spark.read.parquet(path).collect()[0]
     if int(row["n_buckets"]) != int(n_buckets):
         raise ValueError(
             f"checkpoint {checkpoint_dir} was created with "
@@ -66,17 +95,25 @@ def write_or_check_manifest(
             f"resuming with --buckets {n_buckets} would corrupt output. "
             "Use the original bucket count or a fresh checkpoint dir."
         )
+    if int(row["n_input"]) != int(n_input):
+        raise ValueError(
+            f"checkpoint {checkpoint_dir} was created over {row['n_input']} "
+            f"input rows (run_id={row['run_id']}); this invocation passed "
+            f"{n_input} rows. Resume replays the STAGED input, so a "
+            "different input frame would be silently ignored — use the "
+            "original input or a fresh checkpoint dir."
+        )
 
 
 def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> List[int]:
     """Bucket ids with a committed 'completed' lineage row."""
     # per-bucket lineage subdirectories: concurrent bucket workers never
-    # write the same path, so no commit-protocol races
-    path = os.path.join(checkpoint_dir, "lineage", "bucket=*")
-    try:
-        lineage = spark.read.parquet(path)
-    except Exception:
+    # write the same path, so no commit-protocol races. Absent dir =
+    # fresh checkpoint; a present-but-unreadable lineage table propagates
+    # its error (same policy as the manifest — suspect state fails fast).
+    if not fs_exists(spark, os.path.join(checkpoint_dir, "lineage")):
         return []
+    lineage = spark.read.parquet(os.path.join(checkpoint_dir, "lineage", "bucket=*"))
     rows = (
         lineage.filter(F.col("status") == STATUS_COMPLETED)
         .select("bucket")
@@ -111,7 +148,11 @@ def run_with_checkpoint(
 
     from ..operators.extraction import extract_pipeline
 
-    write_or_check_manifest(spark, checkpoint_dir, run_id, n_buckets)
+    # one columnar count pins the input fingerprint in the manifest —
+    # resume with a different input must fail fast, not silently replay
+    # the stale staged corpus
+    n_input = transcripts.count()
+    write_or_check_manifest(spark, checkpoint_dir, run_id, n_buckets, n_input)
     done = set(completed_buckets(spark, checkpoint_dir))
     todo = [b for b in range(n_buckets) if b not in done]
     if not todo:
@@ -125,15 +166,18 @@ def run_with_checkpoint(
     # sandbox fallback for production storage that is already bucketed
     # by bucket(conv_id) (DESIGN_100TB.md) — there the staging write
     # disappears entirely.
+    # staging is reused ONLY behind its _SUCCESS commit marker: a crashed
+    # or interrupted staging write can leave readable task files
+    # (partial commit) that would silently drop conversations on resume
+    # (round-2 ADVICE #2). No marker → wipe and rewrite.
     staging = os.path.join(checkpoint_dir, "staging")
-    staged: Optional[DataFrame]
-    try:
-        staged = spark.read.parquet(staging)
-    except Exception:
+    if not fs_exists(spark, os.path.join(staging, "_SUCCESS")):
+        if fs_exists(spark, staging):
+            fs_delete(spark, staging)
         with_bucket(transcripts, n_buckets).write.partitionBy("bucket").mode(
             "overwrite"
         ).parquet(staging)
-        staged = spark.read.parquet(staging)
+    staged: DataFrame = spark.read.parquet(staging)
 
     def process_bucket(b: int) -> int:
         part = staged.filter(F.col("bucket") == b).drop("bucket")

@@ -3,11 +3,13 @@ with typed metadata.
 
 The Spark-side plumbing is real and tested — schema, partition-preserving
 ``mapInPandas`` over Arrow binary batches, deterministic batch shapes.
-The actual codec step is STUBBED: the decode registry raises
-``NotImplementedError`` for real codecs (image/audio libs are not in this
-container) and ships a deterministic ``fake`` codec so the pipeline shape
-is exercisable end-to-end. Swapping in Pillow/torchaudio is a one-line
-registry change; nothing in the Spark plan moves.
+The codec registry resolves a REAL decoder when its library is
+importable (Pillow for images — gated import at module load, the same
+pattern as ``functions/arabic.py``) and otherwise degrades to a
+``codec_unavailable`` status row, never a task failure. A deterministic
+``fake`` codec keeps the pipeline shape exercisable end-to-end in
+containers with no media libs; audio/video decoders remain honest stubs
+(librosa/av are heavyweight) behind the same registry seam.
 """
 
 from __future__ import annotations
@@ -53,9 +55,35 @@ def _real_decode(payload: bytes) -> list:
     )
 
 
+# gated import resolved once at module load (never per row inside the
+# pandas UDF — a failed import is not cached by Python)
+try:  # pragma: no cover - optional dep, absent in this container
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
+
+
+def _image_decode_features(payload: bytes) -> list:
+    """Real image decode → grayscale → N×N resize → per-row mean
+    intensities in [0, 1] (deterministic: fixed resample kernel). Active
+    only when Pillow is importable; otherwise the registry keeps the
+    honest NotImplementedError stub."""
+    if _PILImage is None:
+        return _real_decode(payload)
+    import io as _io
+
+    img = _PILImage.open(_io.BytesIO(payload)).convert("L")
+    img = img.resize((N_FEATURES, N_FEATURES), _PILImage.BILINEAR)
+    px = list(img.getdata())  # row-major N×N grayscale bytes
+    return [
+        sum(px[r * N_FEATURES : (r + 1) * N_FEATURES]) / (255.0 * N_FEATURES)
+        for r in range(N_FEATURES)
+    ]
+
+
 CODECS: Dict[str, Callable[[bytes], list]] = {
     "fake": _fake_decode_features,
-    "image": _real_decode,
+    "image": _image_decode_features if _PILImage is not None else _real_decode,
     "audio": _real_decode,
     "video": _real_decode,
 }

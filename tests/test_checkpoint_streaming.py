@@ -76,6 +76,70 @@ def test_resume_with_different_bucket_count_fails_fast(spark, tmp_path, corpus):
         )
 
 
+def test_resume_with_different_input_fails_fast(spark, tmp_path, corpus):
+    """Round-2 ADVICE #2 (second half): resume replays the STAGED input,
+    so a caller passing a different transcripts frame would be silently
+    ignored — the manifest input fingerprint must reject it loudly."""
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = transcripts_df(spark, corpus)
+    cp.run_with_checkpoint(spark, df, out_dir, ckpt, "r1", n_buckets=N_BUCKETS)
+    with pytest.raises(ValueError, match="input rows"):
+        cp.run_with_checkpoint(
+            spark, df.limit(5), out_dir, ckpt, "r2", n_buckets=N_BUCKETS
+        )
+
+
+def test_partial_staging_without_success_is_rewritten(spark, tmp_path, corpus):
+    """Round-2 ADVICE #2: a crashed staging write can leave readable
+    task files without the _SUCCESS commit marker — reusing them would
+    silently drop every conversation missing from the partial write.
+    The run must wipe and restage, then produce complete output."""
+    import os
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = transcripts_df(spark, corpus)
+    # simulate the crash: stage only bucket 0's slice, then strip _SUCCESS
+    staging = os.path.join(ckpt, "staging")
+    cp.with_bucket(df, N_BUCKETS).filter(F.col("bucket") == 0).write.partitionBy(
+        "bucket"
+    ).parquet(staging)
+    os.remove(os.path.join(staging, "_SUCCESS"))
+
+    cp.run_with_checkpoint(spark, df, out_dir, ckpt, "r1", n_buckets=N_BUCKETS)
+    got = (
+        cp.read_output(spark, out_dir)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want = oracle.extract_frame(corpus)
+    assert len(got) == len(want)
+    assert got["extracted_text"].tolist() == want["extracted_text"].tolist()
+
+
+def test_corrupted_manifest_propagates_not_overwritten(spark, tmp_path, corpus):
+    """Round-2 ADVICE #4: a present-but-unreadable manifest means the
+    checkpoint state is suspect — the read error must propagate, never
+    be swallowed into a fresh manifest write that disables the guard."""
+    import os
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    manifest = os.path.join(ckpt, "manifest")
+    os.makedirs(manifest)
+    junk = os.path.join(manifest, "part-00000.parquet")
+    with open(junk, "wb") as fh:
+        fh.write(b"not a parquet footer")
+    df = transcripts_df(spark, corpus)
+    with pytest.raises(Exception):
+        cp.run_with_checkpoint(spark, df, out_dir, ckpt, "r1", n_buckets=N_BUCKETS)
+    # the corrupted file is still there — nothing overwrote it
+    with open(junk, "rb") as fh:
+        assert fh.read() == b"not a parquet footer"
+
+
 def test_staging_gives_partition_pruned_bucket_reads(spark, tmp_path, corpus):
     """One-pass staging (round-1 verdict #7): the bucketed input is
     written once partitioned by bucket, so each per-bucket read is
@@ -472,12 +536,41 @@ def test_multimodal_features_and_sampling(spark):
         "media_id"
     )["sha256"].tolist()
 
-    # real codecs are stubbed, not silently fake
-    stubbed = mm.extract_features(media, codec="image").toPandas()
-    assert (stubbed["decode_status"] == "codec_unavailable").all()
+    # real image codec resolves when Pillow is importable; otherwise the
+    # registry keeps the honest stub and rows degrade to a status, never
+    # a task failure
+    out = mm.extract_features(media, codec="image").toPandas()
+    if mm._PILImage is None:
+        assert (out["decode_status"] == "codec_unavailable").all()
+    else:  # pragma: no cover - optional dep present
+        # synthetic payloads are not valid images → data-error sentinels
+        assert out["decode_status"].str.startswith("error:").all()
 
     frames = mm.frame_sample_plan(media, every_ms=1000).toPandas()
     assert (frames.groupby("media_id").size() > 1).all()
+
+
+def test_multimodal_real_image_codec_roundtrip(spark, tmp_path):
+    """With Pillow present, the image codec must produce real features
+    from a real PNG; without it, the registry resolves the stub. Both
+    paths keep the Spark plan identical (registry swap only)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources import multimodal as mm
+
+    if mm._PILImage is None:
+        with pytest.raises(NotImplementedError):
+            mm.CODECS["image"](b"\x89PNG")
+        return
+    # pragma: no cover below - optional dep present
+    import io
+
+    img = mm._PILImage.new("L", (32, 32))
+    img.putdata([(x * 7 + y * 13) % 256 for y in range(32) for x in range(32)])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    feats = mm.CODECS["image"](buf.getvalue())
+    assert len(feats) == mm.N_FEATURES
+    assert all(0.0 <= f <= 1.0 for f in feats)
+    assert feats == mm.CODECS["image"](buf.getvalue())  # deterministic
 
 
 def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):

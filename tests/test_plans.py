@@ -143,7 +143,20 @@ def test_boilerplate_freq_has_partial_aggregation(spark):
     assert "partial_count" in plan or "partial" in plan.lower(), plan
 
 
-def test_ngram_sizes_joins_have_no_broadcast_hint(spark):
+def test_curation_funnel_full_plan_is_minimal(spark):
+    """The end-to-end funnel (extract → quality → lang → dedup → split)
+    must stay ONE plan with exactly the shuffles its semantics require:
+    the fingerprint-survivor window, the 3-row split count, and the
+    final orderBy — an extraction stage that re-runs or a gate that
+    shuffles would be a composition bug invisible from per-piece tests."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        curation_funnel_full,
+    )
+
+    plan = plan_str(curation_funnel_full(spark, "/root/testdata/sf0.001"))
+    assert plan.count("MapInPandas (") == 1, "extract must run exactly once"
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange") <= 3, plan
     """The per-doc shingle-count aggregates in ngram_jaccard_pairs are
     corpus-cardinality (one row per doc): a broadcast HINT on them would
     ship a multi-GB frame to every executor at 10^9 docs (round-2
