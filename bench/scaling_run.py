@@ -151,6 +151,41 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    # per-query evidence recorded outside the scaling sweep — preserved
+    # across regenerations of this file (bench.py is the tool that
+    # refreshes these numbers; paste its medians here when they move)
+    EXTRA_SECTIONS = """## Round-3 re-measurement: the r02 "regressions" were contamination
+
+`bench.py` now reports **per-query median-of-3 steady-state runs**
+(round-2 verdict #2), so a single contaminated run can never again be
+the number of record. Re-measured on an idle machine (load < 2),
+full 142,738-turn corpus, sf0.1, local[32]:
+
+| query | r01 | r02 (flagged) | r03 median-of-3 |
+| --- | --- | --- | --- |
+| stitch_salted | 1.08 | 4.27 | **0.59** |
+| dedup_minhash_lsh | 2.59 | 5.61 | **2.29** |
+| dedup_exact | 0.36 | 0.81 | **0.28** |
+| knn_ivf (trained) | 1.24 (untrained) | 3.52 | **1.82** |
+| extraction turns/sec | 57,118 | 53,641 | **72,126** |
+
+All three flagged queries land at-or-below their r01 times on unchanged
+plans — the r02 figures were ambient contamination, as the plan audit
+suspected. knn_ivf stays above its r01 time by design (it now runs the
+sampled k-means training demanded in round 1).
+
+## End-to-end curation funnel (round-2 verdict #8)
+
+`curation_funnel_full` — extract → quality gate → language gate →
+exact-dedup survivors → leakage-safe hash split, as ONE plan
+(plan-guarded: one MapInPandas stage, ≤ 3 shuffles:
+fingerprint-survivor window, 3-row split count, final sort):
+
+| query | sf | wall sec (median-of-3, local[32]) |
+| --- | --- | --- |
+| curation_funnel_full | 0.1 | 1.22 |
+"""
+
     n_turns = levels[LEVELS[-1]]["turns"]
     rows = "\n".join(
         f"| local[{c}] | {levels[c]['sec']} | {levels[c]['turns_per_sec']} "
@@ -221,6 +256,7 @@ throughput 47k–93k turns/sec; across three round-2 regenerations:
 2→8 best 0.89–1.0 (median 0.85–1.06), local[32] best 82k–92k — the
 median row above is the number to diff against next round.
 
+{EXTRA_SECTIONS}
 ## Why the extract stage scales on a real cluster
 
 The per-turn pipeline is a single narrow `mapInPandas` stage — zero
