@@ -510,6 +510,25 @@ ORDER BY doc_a, doc_b
     )
 
 
+def _incremental_minhash_sql() -> str:
+    """SQL twin of dedup.incremental_minhash_dedup: new docs probed
+    against the existing corpus's (band, bucket) index."""
+    return (
+        "WITH "
+        + _minhash_buckets_sql()
+        + """,
+existing AS (SELECT DISTINCT band, bucket FROM buckets WHERE doc_id < 250),
+newb AS (SELECT DISTINCT doc_id, band, bucket FROM buckets WHERE doc_id >= 250),
+dup AS (SELECT DISTINCT n.doc_id FROM newb n JOIN existing e USING (band, bucket)),
+alln AS (SELECT DISTINCT doc_id FROM newb)
+SELECT doc_id,
+       CASE WHEN doc_id IN (SELECT doc_id FROM dup)
+            THEN 'near_dup_candidate' ELSE 'new' END AS verdict
+FROM alln ORDER BY doc_id
+"""
+    )
+
+
 def _dedup_clusters_sql() -> str:
     """Connected components over the MinHash-LSH candidate pairs as a
     recursive reachability closure + min-label fold — the DuckDB twin of
@@ -835,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_survivors": _wrap(dedup.exact_dedup_survivors),
         "incremental_dedup": _wrap(dedup.incremental_dedup),
+        # new in round 3: near-dup incremental ingest vs the LSH index
+        "incremental_minhash_dedup": _wrap(dedup.incremental_minhash_dedup),
         "fuzzy_name_pairs": _wrap(dedup.fuzzy_name_pairs),
         "ngram_jaccard_pairs": _wrap(dedup.ngram_jaccard_pairs),
         "minhash_lsh_pairs": _wrap(dedup.minhash_lsh_pairs),
@@ -850,9 +871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": _q_boilerplate,
         "repetition_stats": _wrap(curation.repetition_stats),
         # general OLAP patterns kept in the window
-        "sessionize": _wrap(olap.sessionize),
         "revenue_by_nation": _wrap(olap.revenue_by_nation),
-        # --- tail (positions 51-60): green in BOTH r01 and r02
+        # --- tail (positions 51-61): green in BOTH r01 and r02
+        "sessionize": _wrap(olap.sessionize),
         "pricing_summary": _wrap(olap.pricing_summary),
         "top_k_per_group": _wrap(olap.top_k_per_group),
         "rollup_counts": _wrap(olap.rollup_counts),
@@ -1404,7 +1425,25 @@ WITH d AS (
 SELECT {qualify_fp} AS fp, CAST(min(doc_id) AS BIGINT) AS canonical_id, CAST(count(*) AS BIGINT) AS dup_count
 FROM d GROUP BY fp HAVING count(*) > 1 ORDER BY canonical_id
 """,
+        # blocks_table over the documents source: plain payloads tokenize
+        # to exactly one kept 'text' block spanning the whole payload
+        # (the same passthrough property the extract_documents oracle
+        # proves), so the UDTF-shaped view has an exact SQL twin here;
+        # multi-block html/pdf shapes stay pytest-gated on the synthetic
+        # corpus (tests/test_core.py, blocks-vs-pipeline consistency)
+        "blocks_table": """
+SELECT source AS conv_id,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+       CAST(0 AS INTEGER) AS block_idx,
+       'text' AS label,
+       TRUE AS kept,
+       CAST(0 AS INTEGER) AS "start",
+       CAST(length(text) AS INTEGER) AS "end",
+       substr(text, 1, 120) AS snippet
+FROM documents
+""",
         "curation_funnel_full": _funnel_full_sql(),
+        "incremental_minhash_dedup": _incremental_minhash_sql(),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "simhash_near_dups": _simhash_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),

@@ -330,6 +330,32 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_band_buckets(
+    sig: DataFrame, n_perms: int = MINHASH_PERMS, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """(doc_id, band, bucket) from a MinHash signature frame: each band's
+    sub-signature md5-hashed into a bucket key — the LSH index layout. At
+    corpus scale THIS frame is what gets persisted (bucketed by (band,
+    bucket)) so ingest-time probes are index lookups, not re-hashing."""
+    rows = n_perms // bands
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_entries).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -346,23 +372,7 @@ def minhash_lsh_pairs(
     permutations (~3.5× faster than P md5s) while staying bit-replicable
     both in plain Python (pytest oracle) and DuckDB SQL (driver oracle)."""
     sig = minhash_signatures(_docs(spark, sf_dir), n_perms=n_perms, hash_fn=hash_fn)
-    rows = n_perms // bands
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select(
-        "doc_id", F.explode(band_entries).alias("e")
-    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+    buckets = minhash_band_buckets(sig, n_perms=n_perms, bands=bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -378,6 +388,44 @@ def minhash_lsh_pairs(
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+def incremental_minhash_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    boundary: int = 250,
+    n_perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    hash_fn: str = "md5_affine",
+) -> DataFrame:
+    """Near-dup incremental ingestion — the production mode for fuzzy
+    dedup at 10^12 docs: every NEW doc (doc_id ≥ ``boundary``) is probed
+    against the EXISTING corpus's LSH band-bucket index; sharing any
+    (band, bucket) with an existing doc marks it ``near_dup_candidate``
+    (at scale those then go to the exact Jaccard verifier), otherwise
+    ``new``. Per-ingest cost is O(new batch) index lookups — the
+    existing side is the persisted (band, bucket) index from
+    ``minhash_band_buckets``, never corpus × corpus. The exact-dedup
+    twin is ``incremental_dedup`` (fingerprint semi/anti-join)."""
+    sig = minhash_signatures(_docs(spark, sf_dir), n_perms=n_perms, hash_fn=hash_fn)
+    buckets = minhash_band_buckets(sig, n_perms=n_perms, bands=bands)
+    existing_idx = (
+        buckets.filter(F.col("doc_id") < boundary).select("band", "bucket").distinct()
+    )
+    new = buckets.filter(F.col("doc_id") >= boundary)
+    dups = (
+        new.join(existing_idx, ["band", "bucket"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit("near_dup_candidate").alias("verdict"))
+    )
+    fresh = (
+        new.select("doc_id")
+        .distinct()
+        .join(dups.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.lit("new").alias("verdict"))
+    )
+    return dups.unionByName(fresh).orderBy("doc_id")
 
 
 def _shingle_set(text: str, n: int) -> set:

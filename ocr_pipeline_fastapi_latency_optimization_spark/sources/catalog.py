@@ -46,3 +46,36 @@ def write_table(df: DataFrame, identifier: str, mode: str = "append") -> None:
         ).createOrReplace()
         return
     df.write.mode(mode if mode != "replace" else "overwrite").parquet(identifier)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list,
+    n_buckets: int = 32,
+    sort_cols: list | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Persist ``df`` as a bucketed (and optionally sort-ordered) table —
+    the storage layout that makes repeated joins/aggregations on the
+    bucket key SHUFFLE-FREE: two tables bucketed identically co-locate
+    matching keys file-by-file, so Spark plans the join without an
+    Exchange on either side (asserted in tests/test_plans.py).
+
+    This is the sandbox twin of DESIGN_100TB.md's Iceberg
+    ``bucket(N, conv_id)`` partition transform: at 10^12 turns, every
+    per-conversation stage (stitch, checkpoint buckets, enrichment join)
+    reads pre-co-located data instead of shuffling the corpus. Bucketed
+    parquet via ``saveAsTable`` keeps the same observable property with
+    the session catalog."""
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(int(n_buckets), *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+    return name

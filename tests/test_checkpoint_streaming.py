@@ -383,6 +383,71 @@ def test_streaming_sessions(spark, tmp_path):
     ]
 
 
+def test_streaming_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics, proven end-to-end: an event arriving in a
+    later micro-batch with an event-time older than the watermark must
+    be DROPPED from its (already finalized) window — append-mode output
+    for that window stays at the on-time count. This is the bounded-state
+    guarantee that lets the windowed aggregates run forever at 10^12
+    events: state for closed windows is evicted, not kept for stragglers."""
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.streaming.rate_window import (
+        streaming_rate_counts,
+    )
+
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # batch 1: two on-time events + a clock-advancer one hour ahead
+    # (watermark after batch 1 = 13:00 - 10min = 12:50 ≫ the 12:00 windows)
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 9],
+            "ts": [base, base + timedelta(seconds=10), base + timedelta(hours=1)],
+        }
+    )
+    # batch 2: filler — the watermark computed at the END of a batch takes
+    # effect in the NEXT one (measured: a straggler in the batch right
+    # after the clock-advancer is still accepted), so one batch must pass
+    # before lateness is enforced
+    b2 = pd.DataFrame({"user_id": [7], "ts": [base + timedelta(hours=1, seconds=5)]})
+    # batch 3: a straggler for the finalized 12:00 windows — must be dropped
+    b3 = pd.DataFrame({"user_id": [1], "ts": [base + timedelta(seconds=20)]})
+    for i, b in enumerate((b1, b2, b3)):
+        spark.createDataFrame(b).select(
+            "user_id", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_rate_counts(stream)
+        .writeStream.outputMode("append")  # emits only watermark-closed windows
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for s in p.get("stateOperators", [])
+    )
+    assert dropped >= 1, "the straggler must be dropped by the watermark"
+    out = spark.sql(f"SELECT * FROM {name}").toPandas()
+    u1 = out[out.user_id == 1]
+    assert len(u1) > 0, "the 12:00 windows must have finalized and emitted"
+    # on-time count only: the late 12:00:20 event never reaches the window
+    assert u1["n_in_window"].max() == 2, out.to_string()
+
+
 def test_streaming_stateful_progress_across_batches(spark, tmp_path):
     """State must survive micro-batch boundaries: two files, one trigger
     each (maxFilesPerTrigger=1) — the second batch's output includes the

@@ -176,6 +176,24 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 98: 98, 99: 98}
 
 
+def test_incremental_minhash_flags_cross_boundary_near_dups(spark):
+    """Ingest-time near-dup probe against the LSH bucket index: every
+    new-side member of a cross-boundary LSH pair must come back
+    near_dup_candidate, and verdicts must be consistent with the full
+    pairwise run (no pair evidence → 'new' unless bucket-shared with a
+    pre-boundary doc, which IS the pair criterion)."""
+    boundary = 250
+    pairs = dedup.minhash_lsh_pairs(spark, SF_01).toPandas()
+    expected_dups = set(
+        pairs[(pairs.doc_a < boundary) & (pairs.doc_b >= boundary)]["doc_b"]
+    )
+    got = dedup.incremental_minhash_dedup(spark, SF_01, boundary=boundary).toPandas()
+    flagged = set(got[got.verdict == "near_dup_candidate"]["doc_id"])
+    assert expected_dups, "fixture must contain cross-boundary near-dups"
+    assert flagged == expected_dups
+    assert set(got.verdict) == {"near_dup_candidate", "new"}
+
+
 def test_connected_components_deep_chain_converges(spark):
     """A path graph of diameter 60: plain min-label propagation needs 60
     rounds (the round-2 silent-wrongness bug at max_iter=25) — the

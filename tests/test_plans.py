@@ -143,6 +143,46 @@ def test_boilerplate_freq_has_partial_aggregation(spark):
     assert "partial_count" in plan or "partial" in plan.lower(), plan
 
 
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The DESIGN_100TB co-location claim, proven on the plan: two
+    tables bucketed identically on the join key must join with NO
+    Exchange on either side (broadcast disabled so the shuffle-free
+    sort-merge path is what's exercised) — at 10^12 turns this is the
+    difference between reading pre-co-located data and re-shuffling the
+    corpus for every per-conversation stage."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources import catalog
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    meta = docs.select("doc_id", F.length("text").alias("n_chars2"))
+    catalog.write_bucketed_table(
+        docs, "t_docs_bkt", str(tmp_path / "a"), ["doc_id"], 8, sort_cols=["doc_id"]
+    )
+    catalog.write_bucketed_table(
+        meta, "t_meta_bkt", str(tmp_path / "b"), ["doc_id"], 8, sort_cols=["doc_id"]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try:
+        old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        old_aqe = None
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_docs_bkt").join(spark.table("t_meta_bkt"), "doc_id")
+        plan = plan_str(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_docs_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_meta_bkt")
+
+
 def test_curation_funnel_full_plan_is_minimal(spark):
     """The end-to-end funnel (extract → quality → lang → dedup → split)
     must stay ONE plan with exactly the shuffles its semantics require:
