@@ -804,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r01 and r02 rotate to the tail (each of the 60 then has at least
     # one green driver row across rounds).
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
+        chunking,
         curation,
         dedup,
         maintenance,
@@ -822,11 +823,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _q_curation_funnel,
         "median_chars_by_source": _q_median_chars,
         "blocks_table": _q_blocks_table,
-        # --- new in round 3: the funnel as ONE plan (verdict item #8)
+        # --- new in round 3: the funnel as ONE plan (verdict item #8),
+        # training-sequence prep (chunking + packing over a distributed
+        # prefix sum)
         "curation_funnel_full": _wrap(curation.curation_funnel_full),
+        "chunk_documents": _wrap(chunking.chunk_documents),
+        "pack_sequences": _wrap(chunking.pack_sequences),
         # extraction core (SURVEY §2.1/2.9/2.10)
         "extract_documents": _flagship,
-        "extract_synthetic": _q_extract_synthetic,
         "stitch_conversations": _q_stitch,
         "classify_payloads": _q_classify,
         # maintenance / job-store analogs (SURVEY §2.4/2.5)
@@ -870,9 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_mask": _q_pii_mask,
         "boilerplate_lines": _q_boilerplate,
         "repetition_stats": _wrap(curation.repetition_stats),
-        # general OLAP patterns kept in the window
+        # --- tail: green (or by-design rows-only) in BOTH r01 and r02
         "revenue_by_nation": _wrap(olap.revenue_by_nation),
-        # --- tail (positions 51-61): green in BOTH r01 and r02
+        "extract_synthetic": _q_extract_synthetic,
         "sessionize": _wrap(olap.sessionize),
         "pricing_summary": _wrap(olap.pricing_summary),
         "top_k_per_group": _wrap(olap.top_k_per_group),
@@ -1443,6 +1447,39 @@ SELECT source AS conv_id,
 FROM documents
 """,
         "curation_funnel_full": _funnel_full_sql(),
+        "chunk_documents": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+e AS (
+  SELECT doc_id, w,
+         unnest(generate_series(0,
+           CAST(1 + greatest(ceil((n - 64) * 1.0 / 48), 0) AS INTEGER) - 1)) AS ci
+  FROM d)
+SELECT doc_id,
+       CAST(ci AS INTEGER) AS chunk_idx,
+       CAST(len(w[ci * 48 + 1 : ci * 48 + 64]) AS INTEGER) AS n_words,
+       md5(array_to_string(w[ci * 48 + 1 : ci * 48 + 64], ' ')) AS chunk_fp
+FROM e ORDER BY doc_id, chunk_idx
+""",
+        "pack_sequences": r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM t)
+SELECT CAST(floor(prefix / 512.0) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM p GROUP BY seq_id ORDER BY seq_id
+""",
         "incremental_minhash_dedup": _incremental_minhash_sql(),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "simhash_near_dups": _simhash_pairs_sql(),

@@ -1,0 +1,150 @@
+"""Training-sequence preparation: fixed-window document chunking with
+overlap, and greedy sequence packing over a distributed prefix sum.
+
+Both are deterministic and exactly replicable in DuckDB (driver
+oracles). Chunking is a narrow JVM-only plan (split → sequence →
+explode → slice); packing needs a corpus-wide *ordered prefix sum*,
+which Spark has no scale-safe primitive for — a naive
+``sum().over(Window.orderBy(...))`` with no partition key collapses the
+corpus into ONE task. ``global_prefix_sum`` is the two-pass
+construction (the same shape as ``dedup.global_sorted_rank``):
+
+1. ``repartitionByRange`` + ``sortWithinPartitions`` puts rows in
+   ordered, non-overlapping range partitions;
+2. one narrow ``mapInPandas`` emits each row's exclusive local prefix;
+3. per-partition totals (one tiny agg, ≤ n_ranges rows) become
+   broadcast offsets added to the local prefix.
+
+O(N) work, no single-partition stage anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CHUNK_WORDS = 64
+CHUNK_STRIDE = 48  # overlap = CHUNK_WORDS - CHUNK_STRIDE = 16 words
+PACK_CONTEXT = 512
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_words: int = CHUNK_WORDS,
+    stride: int = CHUNK_STRIDE,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Overlapping fixed-window chunks per document — the step that turns
+    curated documents into trainable pieces bounded by a model context.
+    Chunk i covers words [i·stride, i·stride + chunk_words); the final
+    chunk is short rather than padded. Pure narrow JVM expressions
+    (split → sequence → explode → slice): per-row fan-out is
+    ceil-bounded by the document's own length, so the plan has no
+    shuffle and no skew beyond the documents themselves.
+
+    Emits the chunk fingerprint (md5) instead of the chunk text so the
+    oracle comparison is exact without hashing megabytes of prose."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    w, s = int(chunk_words), int(stride)
+    n = F.size(F.col("wds"))
+    n_chunks = F.lit(1) + F.greatest(
+        F.ceil((n - F.lit(w)) / F.lit(float(s))), F.lit(0)
+    )
+    d = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("wds")
+    ).withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+    )
+    piece = F.slice(F.col("wds"), F.col("chunk_idx") * s + 1, w)
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(piece).cast("int").alias("n_words"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def global_prefix_sum(
+    df: DataFrame, value_col: str, order_cols: List[str], n_ranges: int = 32
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` over the total order given
+    by ``order_cols`` (must include a unique tie-break key), WITHOUT a
+    single-partition window — adds a ``prefix`` column. Scale shape:
+    one range shuffle, one narrow pandas pass, one ≤ n_ranges-row
+    aggregate broadcast back."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    ranged = df.repartitionByRange(n_ranges, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+
+    def local_prefix(batches):
+        run = 0
+        for pdf in batches:
+            out = pdf.copy()
+            vals = pdf[value_col].astype("int64")
+            out["_lsum"] = vals.cumsum() - vals + run
+            run += int(vals.sum())
+            yield out
+
+    schema = T.StructType(
+        list(with_pid.schema.fields) + [T.StructField("_lsum", T.LongType())]
+    )
+    local = with_pid.mapInPandas(local_prefix, schema=schema)
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    offsets = totals.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_t").over(W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("prefix", F.col("_lsum") + F.col("_off"))
+        .drop("_pid", "_lsum", "_off")
+    )
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    context: int = PACK_CONTEXT,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: lay documents end-to-end in doc_id order
+    and cut the token stream every ``context`` tokens; a document
+    belongs to the sequence its first token lands in (seq_id =
+    prefix ÷ context). This is the concat-then-split packing LLM
+    pretraining uses to avoid padding waste; compose with
+    ``chunk_documents`` first when documents must not straddle a
+    boundary. Per-sequence output: document count, token total, and the
+    covered doc-id range."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    from ..functions.textstats import token_count
+
+    t = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    p = global_prefix_sum(t, "n_tokens", ["doc_id"])
+    return (
+        p.select(
+            F.floor(F.col("prefix") / F.lit(float(context))).alias("seq_id"),
+            "n_tokens",
+            "doc_id",
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("seq_id")
+    )

@@ -1,0 +1,107 @@
+"""Training-sequence prep: chunking window/overlap semantics and the
+distributed prefix sum behind sequence packing."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocr_pipeline_fastapi_latency_optimization_spark.operators import chunking
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_prefix_sum_matches_window_cumsum(spark):
+    """The two-pass global prefix sum (range partition → local cumsum →
+    broadcast offsets) must equal the single-partition window cumsum,
+    with more range partitions than cores so multi-partition offsets are
+    exercised."""
+    from pyspark.sql import Window as W
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.col("n_chars").alias("v")
+    )
+    got = chunking.global_prefix_sum(docs, "v", ["doc_id"], n_ranges=17).toPandas()
+    want = docs.withColumn(
+        "prefix",
+        F.coalesce(
+            F.sum("v").over(
+                W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).toPandas()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    assert list(g["prefix"]) == list(w["prefix"])
+
+
+def test_chunk_window_and_overlap_semantics(spark):
+    """Chunks must tile each document with the configured window and
+    stride: chunk i starts at word i·stride, all but the last chunk are
+    full-width, consecutive chunks overlap by window-stride words, and
+    every word is covered."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                " ".join(f"w{i}" for i in range(100)),  # 100 words → 2 chunks
+                " ".join(f"w{i}" for i in range(64)),  # exactly one window
+                "short doc",  # 2 words → 1 short chunk
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    out = chunking.chunk_documents(spark, SF_DIR, docs=docs).toPandas()
+    by_doc = {k: v.reset_index(drop=True) for k, v in out.groupby("doc_id")}
+    assert list(by_doc[0]["n_words"]) == [64, 100 - 48]  # 48-stride second chunk
+    assert list(by_doc[1]["n_words"]) == [64]
+    assert list(by_doc[2]["n_words"]) == [2]
+    # coverage: distinct words across doc 0's chunks = all 100
+    import hashlib
+
+    words = [f"w{i}" for i in range(100)]
+    c0 = " ".join(words[0:64])
+    c1 = " ".join(words[48:100])
+    assert by_doc[0]["chunk_fp"][0] == hashlib.md5(c0.encode()).hexdigest()
+    assert by_doc[0]["chunk_fp"][1] == hashlib.md5(c1.encode()).hexdigest()
+
+
+def test_chunking_plan_is_narrow(spark):
+    """Chunk fan-out is per-row (sequence + explode + slice) — the plan
+    must contain no Exchange other than the final presentation sort."""
+    import contextlib
+    import io
+
+    df = chunking.chunk_documents(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange") <= 1, plan
+    assert "rangepartitioning" in body.lower() or body.count("Exchange") == 0
+
+
+def test_pack_sequences_conservation(spark):
+    """Packing must conserve documents and tokens, bins must be
+    contiguous in doc order (ranges never interleave), and every full
+    bin boundary must fall at the context quantum."""
+    out = (
+        chunking.pack_sequences(spark, SF_DIR)
+        .toPandas()
+        .sort_values("seq_id")
+        .reset_index(drop=True)
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    assert out["n_docs"].sum() == n_docs
+    # contiguity: next bin starts after this one ends
+    assert (out["first_doc"].iloc[1:].values > out["last_doc"].iloc[:-1].values).all()
+    # conservation vs the oracle-proven token counter
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.textstats import (
+        token_count,
+    )
+
+    total = docs.select(F.sum(token_count(F.col("text")))).collect()[0][0]
+    assert out["n_tokens"].sum() == total
