@@ -174,6 +174,20 @@ plans — the r02 figures were ambient contamination, as the plan audit
 suspected. knn_ivf stays above its r01 time by design (it now runs the
 sampled k-means training demanded in round 1).
 
+## Round-3 regeneration (corroboration, not the record)
+
+A fresh idle-machine sweep on round-3 code (3 rounds/level, best-of kept
+per policy): **2→8 efficiency 0.928 best / 0.933 median** — the cleanest
+uncontended-region measurement across all rounds, comfortably over the
+north rule's 0.8 bar. The same sweep's 8→32 read 0.50 with local[32] at
+57.4k turns/sec — but the no-Spark multiprocessing control fell
+proportionally (66.2k vs the recorded 120.5k at 32 workers; control
+8→32 efficiency 0.61 vs 0.807), proving the day's all-core ceiling was
+the shared host, not the engine: Spark reached **87% of the
+no-framework ceiling** (vs 77% in the recorded window). The table above
+keeps the best-measured window per policy; this sweep corroborates the
+engine-scaling claim on current code.
+
 ## End-to-end curation funnel (round-2 verdict #8)
 
 `curation_funnel_full` — extract → quality gate → language gate →

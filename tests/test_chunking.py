@@ -83,6 +83,18 @@ def test_chunking_plan_is_narrow(spark):
     assert "rangepartitioning" in body.lower() or body.count("Exchange") == 0
 
 
+def test_pack_sequences_stable_under_repartitioning(spark):
+    """The distributed prefix sum must assign identical sequence ids no
+    matter how the input is partitioned — membership depends only on the
+    doc_id total order, never on task placement."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = chunking.pack_sequences(spark, SF_DIR, docs=docs).toPandas()
+    b = chunking.pack_sequences(spark, SF_DIR, docs=docs.repartition(7)).toPandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
 def test_pack_sequences_conservation(spark):
     """Packing must conserve documents and tokens, bins must be
     contiguous in doc order (ranges never interleave), and every full
