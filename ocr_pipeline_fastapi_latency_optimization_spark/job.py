@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--buckets", type=int, default=256)
     p.add_argument("--merge-visual", action="store_true")
     p.add_argument("--stitch", action="store_true", help="also write conv-level stitch")
+    p.add_argument(
+        "--funnel", action="store_true",
+        help="also run the curation funnel (quality → lang → dedup → "
+        "split) over the extracted turns and write per-split counts",
+    )
     p.add_argument("--cpus", type=int, default=None, help="local[N] when no cluster")
     p.add_argument(
         "--concurrency", type=int, default=1,
@@ -96,6 +101,17 @@ def main(argv=None) -> int:
         stitch_conversations_salted(out).write.mode("overwrite").parquet(
             f"{args.output.rstrip('/')}_conversations"
         )
+    if args.funnel:
+        from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+            funnel_over_turns,
+        )
+
+        splits = funnel_over_turns(read_output(spark, args.output))
+        splits.write.mode("overwrite").parquet(
+            f"{args.output.rstrip('/')}_splits"
+        )
+        rows = {r["split"]: r["n"] for r in splits.collect()}
+        print(f"funnel splits: {rows}")
     return 0
 
 

@@ -248,27 +248,21 @@ QUALITY_GATE_E4 = 3000
 FUNNEL_LANG = "en"
 
 
-def curation_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composite a real training-data run executes, as ONE Spark
-    plan (round-2 verdict item #8): extract (the real mapInPandas
-    pipeline over the documents-as-transcripts source) → quality gate →
-    language gate → exact-dedup survivor gate → leakage-safe hash split
-    → per-split survivor counts.
+def funnel_over_turns(per_turn: DataFrame) -> DataFrame:
+    """quality gate → language gate → exact-dedup survivor gate →
+    leakage-safe hash split → per-split survivor counts, over any
+    per-turn frame with (conv_id, turn_idx, extracted_text) — the
+    post-extraction funnel the spark-submit job exposes via --funnel.
 
-    Scale shape: the extract stage is narrow (shuffle-free fused
-    mapInPandas); the gates are narrow projections over its output; the
-    only shuffles are the dedup-survivor window keyed on the 32-byte
-    fingerprint (high-cardinality key — no skew) and the 3-row final
-    count. Split membership is content-addressed (hash of
-    conv_id:turn_idx), so growing the corpus never moves an existing
-    turn across splits."""
+    Scale shape: the gates are narrow projections; the only shuffles
+    are the dedup-survivor window keyed on the 32-byte fingerprint
+    (high-cardinality key — no skew) and the 3-row final count. Split
+    membership is content-addressed (hash of conv_id:turn_idx), so
+    growing the corpus never moves an existing turn across splits."""
     from pyspark.sql import Window as W
 
     from ..functions.textstats import fingerprint, lang_id, quality_score_e4
-    from ..sources.transcripts import documents_as_transcripts
-    from .extraction import extract_pipeline
 
-    per_turn = extract_pipeline(documents_as_transcripts(spark, sf_dir))
     gated = per_turn.select(
         "conv_id",
         "turn_idx",
@@ -293,6 +287,21 @@ def curation_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count("*").alias("n"))
         .orderBy("split")
+    )
+
+
+def curation_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite a real training-data run executes, as ONE Spark
+    plan (round-2 verdict item #8): extract (the real mapInPandas
+    pipeline over the documents-as-transcripts source) → the
+    ``funnel_over_turns`` gates. The extract stage is narrow
+    (shuffle-free fused mapInPandas); see ``funnel_over_turns`` for the
+    gate-side scale shape."""
+    from ..sources.transcripts import documents_as_transcripts
+    from .extraction import extract_pipeline
+
+    return funnel_over_turns(
+        extract_pipeline(documents_as_transcripts(spark, sf_dir))
     )
 
 
