@@ -529,9 +529,10 @@ FROM alln ORDER BY doc_id
     )
 
 
-def _dedup_clusters_sql() -> str:
-    """Connected components over the MinHash-LSH candidate pairs as a
-    recursive reachability closure + min-label fold — the DuckDB twin of
+def _cc_cte() -> str:
+    """Shared CTE chain ending in ``cc(node, cluster_id)`` — connected
+    components over the MinHash-LSH candidate pairs as a recursive
+    reachability closure + min-label fold, the DuckDB twin of
     dedup.connected_components."""
     return (
         "WITH RECURSIVE "
@@ -548,11 +549,33 @@ reach AS (
   SELECT node, node AS r FROM nodes
   UNION
   SELECT e.d AS node, reach.r FROM reach JOIN sym e ON e.s = reach.node),
-cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)"""
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    return (
+        _cc_cte()
+        + """,
 sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
           FROM cc GROUP BY cluster_id)
 SELECT node AS doc_id, cluster_id, (node = cluster_id) AS survivor, cluster_size
 FROM cc JOIN sizes USING (cluster_id) ORDER BY doc_id
+"""
+    )
+
+
+def _near_dedup_corpus_sql() -> str:
+    """SQL twin of dedup.near_dedup_corpus: the per-document keep/drop
+    verdict over the whole corpus."""
+    return (
+        _cc_cte()
+        + """
+SELECT d.doc_id,
+       COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+       (cc.node IS NULL OR cc.node = cc.cluster_id) AS keep
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+ORDER BY d.doc_id
 """
     )
 
@@ -834,7 +857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stitch_conversations": _q_stitch,
         "classify_payloads": _q_classify,
         # maintenance / job-store analogs (SURVEY §2.4/2.5)
-        "status_histogram": _wrap(maintenance.status_histogram),
         "active_count": _wrap(maintenance.active_count),
         "top_k_recent": _wrap(maintenance.top_k_recent),
         "retention_cutoff": _wrap(maintenance.retention_cutoff),
@@ -865,6 +887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _wrap(dedup.minhash_lsh_pairs),
         "simhash_near_dups": _wrap(dedup.simhash_near_dup_pairs),
         "dedup_clusters": _wrap(dedup.dedup_clusters),
+        # new in round 3: the whole-corpus keep/drop verdict
+        "near_dedup_corpus": _wrap(dedup.near_dedup_corpus),
         # similarity search
         "knn_bruteforce": _wrap(similarity.brute_force_knn),
         "knn_ivf": _wrap(similarity.ivf_knn),
@@ -875,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": _q_boilerplate,
         "repetition_stats": _wrap(curation.repetition_stats),
         # --- tail: green (or by-design rows-only) in BOTH r01 and r02
+        "status_histogram": _wrap(maintenance.status_histogram),
         "revenue_by_nation": _wrap(olap.revenue_by_nation),
         "extract_synthetic": _q_extract_synthetic,
         "sessionize": _wrap(olap.sessionize),
@@ -1484,6 +1509,7 @@ FROM p GROUP BY seq_id ORDER BY seq_id
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "simhash_near_dups": _simhash_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "near_dedup_corpus": _near_dedup_corpus_sql(),
         "dedup_survivors": f"""
 WITH d AS (SELECT doc_id, {qualify_fp} AS fp FROM documents)
 SELECT doc_id,

@@ -605,6 +605,31 @@ def dedup_clusters(
     )
 
 
+def near_dedup_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    n_perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """The user-facing output of the near-dup stack: one keep/drop
+    verdict per document over the WHOLE corpus — documents in no
+    candidate cluster keep themselves; clustered documents keep only
+    the canonical (minimum-id) survivor. Composition: MinHash-LSH
+    candidate pairs → star-contraction components → one left equi-join
+    back onto the corpus (docs table is the probe side; the cluster
+    labels are the tiny side, AQE broadcasts them)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    cc = connected_components(minhash_lsh_pairs(spark, sf_dir, n_perms=n_perms, bands=bands))
+    joined = docs.join(cc, docs["doc_id"] == cc["node"], "left")
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        (F.col("node").isNull() | (F.col("node") == F.col("cluster_id"))).alias(
+            "keep"
+        ),
+    ).orderBy("doc_id")
+
+
 # --- SimHash ------------------------------------------------------------------------
 
 SIMHASH_BITS = 60

@@ -258,6 +258,24 @@ def test_dedup_clusters_nonempty_with_planted(spark, planted):
     assert bool(out[out.doc_id == 1]["survivor"].iloc[0]) is False
 
 
+def test_near_dedup_corpus_consistent_with_clusters(spark):
+    """The whole-corpus keep/drop verdict must agree with dedup_clusters:
+    every doc appears exactly once, unclustered docs keep themselves,
+    and per cluster exactly the canonical minimum survives."""
+    corpus = dedup.near_dedup_corpus(spark, SF_01).toPandas()
+    clusters = dedup.dedup_clusters(spark, SF_01).toPandas()
+    n_docs = spark.read.parquet(f"{SF_01}/documents.parquet").count()
+    assert len(corpus) == n_docs
+    clustered = set(clusters["doc_id"])
+    dropped = set(corpus[~corpus.keep]["doc_id"])
+    # drops are exactly the non-survivor cluster members
+    assert dropped == set(clusters[~clusters.survivor]["doc_id"])
+    # unclustered docs all keep themselves with their own id as cluster
+    solo = corpus[~corpus.doc_id.isin(clustered)]
+    assert bool(solo["keep"].all())
+    assert (solo["cluster_id"] == solo["doc_id"]).all()
+
+
 def test_global_sorted_rank_matches_window_rank(spark):
     """The two-pass global rank (range partition → local rank → offset
     join) must equal row_number() over a global sort, with many more
