@@ -376,6 +376,7 @@ def _q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the driver exercises real positives at every SF.
 
 PII_SUFFIX = "@example.com from 10.20.30.40 call +555-123-4567"
+EVAL_SENTENCE = "the quick brown fox jumps over the lazy benchmark"
 BOILER_SUFFIX = "\nSubscribe to our newsletter today\nCopyright 2026 Example Corp"
 SYMBOL_SUFFIX = "\n- first bullet\n* second bullet\nto be continued...\n# note #"
 
@@ -428,6 +429,29 @@ def _q_symbol_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return curation.symbol_ratios(spark, sf_dir, docs=aug)
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination vs a one-sentence synthetic eval set.
+    The generated corpus shares no 8-grams with the sentence, so (per
+    the round-1 non-vacuous rule) a deterministic doc_id slice gets the
+    sentence appended in-query, mirrored exactly in the SQL — planted
+    positives at every SF."""
+    _pin_session(spark)
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" " + EVAL_SENTENCE)),
+        ).otherwise(F.col("text")),
+    )
+    ev = spark.createDataFrame(
+        [("e0", EVAL_SENTENCE)], "eval_id string, text string"
+    )
+    return curation.decontaminate(spark, sf_dir, eval_docs=ev, docs=aug)
 
 
 def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,8 +880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_documents": _flagship,
         "stitch_conversations": _q_stitch,
         "classify_payloads": _q_classify,
+        # new in round 3: benchmark decontamination (8-gram eval overlap)
+        "decontaminate": _q_decontaminate,
         # maintenance / job-store analogs (SURVEY §2.4/2.5)
-        "active_count": _wrap(maintenance.active_count),
         "top_k_recent": _wrap(maintenance.top_k_recent),
         "retention_cutoff": _wrap(maintenance.retention_cutoff),
         "stale_scan": _wrap(maintenance.stale_scan),
@@ -899,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": _q_boilerplate,
         "repetition_stats": _wrap(curation.repetition_stats),
         # --- tail: green (or by-design rows-only) in BOTH r01 and r02
+        "active_count": _wrap(maintenance.active_count),
         "status_histogram": _wrap(maintenance.status_histogram),
         "revenue_by_nation": _wrap(olap.revenue_by_nation),
         "extract_synthetic": _q_extract_synthetic,
@@ -1385,6 +1411,33 @@ SELECT t.doc_id,
        md5(COALESCE(r.cleaned, '')) AS cleaned_fp
 FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 ORDER BY t.doc_id
+""",
+        "decontaminate": f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' {EVAL_SENTENCE}'
+              ELSE text END AS text
+  FROM documents),
+evw AS (SELECT string_split('{EVAL_SENTENCE}', ' ') AS w),
+evg AS (
+  SELECT DISTINCT
+         unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+                               i -> array_to_string(w[i:i+7], ' '))) AS g
+  FROM evw),
+dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+dg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+                               i -> array_to_string(w[i:i+7], ' '))) AS g
+  FROM dw),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM dg JOIN evg USING (g) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_shared, 0) AS n_shared_grams,
+       (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
 """,
         "repetition_stats": """
 WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

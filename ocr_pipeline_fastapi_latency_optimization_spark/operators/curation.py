@@ -305,6 +305,52 @@ def curation_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECONTAM_NGRAM = 8
+
+
+def decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_docs: DataFrame,
+    n: int = DECONTAM_NGRAM,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one word ``n``-gram (n=8 is the common published
+    choice) with the eval set — the step that keeps test benchmarks out
+    of the training corpus. Output is one row per training doc:
+    (doc_id, n_shared_grams, contaminated).
+
+    Scale shape: the eval side is benchmark-sized (tiny vs the corpus),
+    so its distinct gram set is the build side of a gram-keyed equi-join
+    that AQE broadcasts; the corpus side is the same shingle explode the
+    MinHash path uses. One (doc, gram) match aggregate, one left join
+    back to the doc list — never corpus × corpus."""
+    from .dedup import word_shingles
+
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    ev = eval_docs.select(
+        F.col(eval_docs.columns[0]).alias("doc_id"), F.col("text")
+    )
+    eval_grams = word_shingles(ev, n=n).select("shingle").distinct()
+    doc_grams = word_shingles(docs.select("doc_id", "text"), n=n)
+    hits = (
+        doc_grams.join(eval_grams, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared_grams"),
+            F.col("n_shared").isNotNull().alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def symbol_ratios(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """Gopher-style layout/symbol quality rules, all narrow JVM
     expressions: symbol-to-char ratio (#/…/•), fraction of lines that

@@ -146,3 +146,35 @@ def test_dedup_cluster_survivor_invariants(spark, tmp_path):
         assert grp["survivor"].sum() == 1
         assert grp.loc[grp["survivor"], "doc_id"].iloc[0] == grp["doc_id"].min() == cid
         assert (grp["cluster_size"] == len(grp)).all()
+
+
+def test_decontaminate_flags_eval_ngram_overlap(spark):
+    """A training doc sharing any 8-gram with the eval set is flagged
+    with the exact distinct-gram count; clean docs come back
+    (0, false). Overlap windows spanning the doc/eval boundary must NOT
+    count (they are not eval grams)."""
+    import pandas as pd
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota"  # 9 words
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "completely unrelated words here nothing shared at all today",
+                # contains the eval sentence verbatim mid-document
+                "prefix words " + eval_text + " suffix words",
+                # shares a 7-gram only — NOT a hit at n=8
+                "alpha beta gamma delta epsilon zeta eta DIFFERENT tail",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(rows)
+    ev = spark.createDataFrame([("e0", eval_text)], "eval_id string, text string")
+    out = (
+        curation.decontaminate(spark, "unused", eval_docs=ev, docs=docs)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert not out.loc[0, "contaminated"] and out.loc[0, "n_shared_grams"] == 0
+    assert out.loc[1, "contaminated"] and out.loc[1, "n_shared_grams"] == 2
+    assert not out.loc[2, "contaminated"] and out.loc[2, "n_shared_grams"] == 0
