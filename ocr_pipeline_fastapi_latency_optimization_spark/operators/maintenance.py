@@ -188,8 +188,12 @@ def enrichment_join_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     order match the way skeleton rows survive without a crop."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # no broadcast hint: the filtered orders side is corpus-cardinality
+    # (grows with scale factor) — per-slice crop lookups in the
+    # reference are bounded, but this analog's right side is not, so
+    # AQE decides (broadcasts while small, shuffles when not)
     joined = li.join(
-        F.broadcast(orders.filter(F.col("o_totalprice") > 100000.0)),
+        orders.filter(F.col("o_totalprice") > 100000.0),
         li.l_orderkey == orders.o_orderkey,
         "left",
     )

@@ -157,7 +157,12 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
-    dims = F.broadcast(
+    # hint only the FIXED-cardinality dims (nation=25, region=5 rows);
+    # customer grows with scale factor, so its joined frame carries no
+    # broadcast hint — AQE broadcasts it while it fits and falls back to
+    # a shuffled join at sizes where a hint would have been a
+    # scale-killer (the round-2 verdict #3 bug class)
+    dims = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "n_name", "r_name")
