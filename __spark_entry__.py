@@ -883,7 +883,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3: benchmark decontamination (8-gram eval overlap)
         "decontaminate": _q_decontaminate,
         # maintenance / job-store analogs (SURVEY §2.4/2.5)
-        "top_k_recent": _wrap(maintenance.top_k_recent),
         "retention_cutoff": _wrap(maintenance.retention_cutoff),
         "stale_scan": _wrap(maintenance.stale_scan),
         "rate_window": _wrap(maintenance.rate_window),
@@ -915,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3: the whole-corpus keep/drop verdict
         "near_dedup_corpus": _wrap(dedup.near_dedup_corpus),
         # similarity search
+        # new in round 3: int8 storage quantization for the ANN index
+        "quantize_embeddings": _wrap(similarity.quantize_embeddings),
         "knn_bruteforce": _wrap(similarity.brute_force_knn),
         "knn_ivf": _wrap(similarity.ivf_knn),
         "near_dup_cosine": _wrap(similarity.near_dup_pairs_cosine),
@@ -925,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _wrap(curation.repetition_stats),
         # --- tail: green (or by-design rows-only) in BOTH r01 and r02
         "active_count": _wrap(maintenance.active_count),
+        "top_k_recent": _wrap(maintenance.top_k_recent),
         "status_histogram": _wrap(maintenance.status_histogram),
         "revenue_by_nation": _wrap(olap.revenue_by_nation),
         "extract_synthetic": _q_extract_synthetic,
@@ -1603,6 +1605,26 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE 9 * n_inter >= 4 * (sa.n_sh + sb.n_sh)
 ORDER BY doc_a, doc_b
+""",
+        "quantize_embeddings": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e),
+c AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                                     ELSE CAST(floor(x / scale + 0.5) AS INTEGER) END) AS codes
+  FROM s)
+SELECT vec_id,
+       CAST(floor(scale * 1000000000.0) AS BIGINT) AS scale_e9,
+       md5(array_to_string(codes, ',')) AS codes_fp,
+       CAST(list_max(list_transform(list_zip(v, codes),
+              p -> floor(abs(p[1] - CAST(p[2] AS DOUBLE) * scale) * 1000000.0))) AS BIGINT) AS max_err_e6
+FROM c ORDER BY vec_id
 """,
         "knn_bruteforce": emb_cte
         + f"""

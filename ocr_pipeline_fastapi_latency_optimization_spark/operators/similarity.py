@@ -364,6 +364,52 @@ def cosine_lsh_pairs(
     )
 
 
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage layout a
+    100 TB ANN index actually persists (4× smaller than float32, ~1e-2
+    recall-neutral for cosine): scale = max|v| / 127, code_i =
+    floor(v_i/scale + 0.5) ∈ [-127, 127]. Pure narrow JVM
+    higher-order-function plan (no Python, no shuffle).
+
+    Emitted per vector for exact cross-engine verification: the e9
+    scale, an md5 fingerprint of the code array, and the max
+    reconstruction error in e6 — floor(x+0.5) and the IEEE double
+    arithmetic are bit-identical in DuckDB, so all three hash-match."""
+    emb = _emb(spark, sf_dir)
+    absmax = F.array_max(F.transform(F.col("embedding"), lambda v: F.abs(v)))
+    scale = absmax / F.lit(127.0)
+    code = lambda v: F.when(  # noqa: E731 - inline expression builder
+        F.col("scale") == 0, F.lit(0)
+    ).otherwise(F.floor(v / F.col("scale") + F.lit(0.5))).cast("int")
+    codes = F.transform(F.col("embedding"), code)
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("codes"),
+            lambda v, q: F.floor(
+                F.abs(v - q.cast("double") * F.col("scale")) * F.lit(1000000.0)
+            ),
+        )
+    )
+    return (
+        emb.withColumn("scale", scale)
+        .withColumn("codes", codes)
+        .select(
+            "vec_id",
+            F.floor(F.col("scale") * F.lit(1000000000.0)).cast("long").alias(
+                "scale_e9"
+            ),
+            F.md5(
+                F.array_join(
+                    F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+                )
+            ).alias("codes_fp"),
+            err.cast("long").alias("max_err_e6"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 KMEANS_PASSES = 2
 KMEANS_SAMPLE_MOD = 4
 

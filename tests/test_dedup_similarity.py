@@ -398,6 +398,17 @@ def test_ivf_recall_monotone_in_nprobe(spark):
     assert recall(2) >= recall(1)
 
 
+def test_quantize_embeddings_error_bound(spark):
+    """Symmetric int8 quantization: the reconstruction error of every
+    element is ≤ scale/2 by construction (round-to-nearest), so the
+    emitted max_err_e6 must respect floor(scale/2 · 1e6) + 1; scales are
+    strictly positive on the nonzero driver embeddings."""
+    out = similarity.quantize_embeddings(spark, SF_DIR).toPandas()
+    assert (out["scale_e9"] > 0).all()
+    bound = out["scale_e9"] // 2000 + 1  # e9 → e6 is /1000, half-scale /2
+    assert (out["max_err_e6"] <= bound).all()
+
+
 def test_ivf_recall_numbers_committed(spark):
     """Committed recall@5 evidence (round-2 verdict #7), measured on the
     sf0.01 driver embeddings (8 queries × top-5 = 40 truth pairs; the
