@@ -143,6 +143,33 @@ def test_boilerplate_freq_has_partial_aggregation(spark):
     assert "partial_count" in plan or "partial" in plan.lower(), plan
 
 
+def test_quantize_embeddings_is_narrow(spark):
+    """int8 quantization is pure per-row arithmetic — the only exchange
+    allowed is the final presentation sort."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    plan = plan_str(quantize_embeddings(spark, "/root/testdata/sf0.001"))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange") <= 1, plan
+    assert "MapInPandas" not in plan, "must stay JVM-side (no Python)"
+
+
+def test_decontaminate_gram_join_is_equi(spark):
+    """The eval-overlap probe must be an equi-join on the gram key —
+    never a nested loop / cartesian against the corpus gram set."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        decontaminate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = spark.createDataFrame([("e0", "a b c d e f g h i")], "eval_id string, text string")
+    plan = plan_str(decontaminate(spark, "unused", eval_docs=ev, docs=docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """The DESIGN_100TB co-location claim, proven on the plan: two
     tables bucketed identically on the join key must join with NO
