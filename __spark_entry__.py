@@ -881,9 +881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stitch_conversations": _q_stitch,
         "classify_payloads": _q_classify,
         # new in round 3: benchmark decontamination (8-gram eval overlap)
+        # + per-stratum percentile quality cut
         "decontaminate": _q_decontaminate,
+        "quality_percentile_filter": _wrap(curation.quality_percentile_filter),
         # maintenance / job-store analogs (SURVEY §2.4/2.5)
-        "retention_cutoff": _wrap(maintenance.retention_cutoff),
         "stale_scan": _wrap(maintenance.stale_scan),
         "rate_window": _wrap(maintenance.rate_window),
         "row_counters": _wrap(maintenance.row_counters),
@@ -927,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: green (or by-design rows-only) in BOTH r01 and r02
         "active_count": _wrap(maintenance.active_count),
         "top_k_recent": _wrap(maintenance.top_k_recent),
+        "retention_cutoff": _wrap(maintenance.retention_cutoff),
         "status_histogram": _wrap(maintenance.status_histogram),
         "revenue_by_nation": _wrap(olap.revenue_by_nation),
         "extract_synthetic": _q_extract_synthetic,
@@ -1413,6 +1415,22 @@ SELECT t.doc_id,
        md5(COALESCE(r.cleaned, '')) AS cleaned_fp
 FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 ORDER BY t.doc_id
+""",
+        "quality_percentile_filter": """
+WITH scored AS (
+  SELECT doc_id, source,
+    CAST(floor((
+        0.4 * least(length(text) / 2000.0, 1.0)
+      + 0.5 * (CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text) END)
+      + 0.1 * (1.0 - least((CASE WHEN length(text) = 0 THEN 1.0 ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}<>/\\\\|@#$%^&*+=~`-]')) * 1.0 / length(text) END) * 5.0, 1.0))
+    ) * 10000.0) AS BIGINT) AS q
+  FROM documents),
+t AS (
+  SELECT doc_id, source, q,
+         CAST(ntile(10) OVER (PARTITION BY source ORDER BY q ASC, doc_id ASC) AS INTEGER) AS decile
+  FROM scored)
+SELECT doc_id, source, q, decile, (decile > 1) AS kept
+FROM t ORDER BY doc_id
 """,
         "decontaminate": f"""
 WITH aug AS (

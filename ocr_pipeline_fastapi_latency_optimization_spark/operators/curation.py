@@ -305,6 +305,44 @@ def curation_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FILTER_DECILES_DROPPED = 1  # drop the bottom decile per stratum
+
+
+def quality_percentile_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    n_drop: int = FILTER_DECILES_DROPPED,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Relative quality filtering: rank documents by quality WITHIN each
+    source stratum and drop the bottom ``n_drop`` deciles — the
+    per-domain percentile cut curation pipelines apply so one noisy
+    domain doesn't eat the global threshold. Deterministic: deciles come
+    from ntile over (quality, doc_id) so ties can never straddle engines
+    differently. The window partitions by source — per-stratum state,
+    no single-partition stage."""
+    from pyspark.sql import Window as W
+
+    from ..functions.textstats import quality_score_e4
+
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "source", quality_score_e4(F.col("text")).alias("q")
+    )
+    w = W.partitionBy("source").orderBy(F.col("q").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .select(
+            "doc_id",
+            "source",
+            "q",
+            F.col("decile").cast("int").alias("decile"),
+            (F.col("decile") > n_drop).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 DECONTAM_NGRAM = 8
 
 

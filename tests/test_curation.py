@@ -178,3 +178,19 @@ def test_decontaminate_flags_eval_ngram_overlap(spark):
     assert not out.loc[0, "contaminated"] and out.loc[0, "n_shared_grams"] == 0
     assert out.loc[1, "contaminated"] and out.loc[1, "n_shared_grams"] == 2
     assert not out.loc[2, "contaminated"] and out.loc[2, "n_shared_grams"] == 0
+
+
+def test_quality_percentile_filter_per_stratum(spark):
+    """Exactly the bottom decile per source is dropped (ties broken by
+    doc_id, so the cut is deterministic), and the cut is RELATIVE: every
+    stratum loses ~10% regardless of its absolute quality level."""
+    out = curation.quality_percentile_filter(
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    for src, grp in out.groupby("source"):
+        n = len(grp)
+        dropped = (~grp["kept"]).sum()
+        # ntile puts ceil/floor(n/10) rows in tile 1
+        assert dropped in (n // 10, -(-n // 10))
+        # dropped docs are the lowest-quality ones of THIS stratum
+        assert grp[~grp.kept]["q"].max() <= grp[grp.kept]["q"].min()
