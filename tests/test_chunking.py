@@ -117,3 +117,28 @@ def test_pack_sequences_conservation(spark):
 
     total = docs.select(F.sum(token_count(F.col("text")))).collect()[0][0]
     assert out["n_tokens"].sum() == total
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(n_words=st.integers(min_value=0, max_value=500))
+def test_chunk_tiling_invariants(n_words):
+    """Pure-python mirror of the chunk index algebra (the same formula
+    the Spark expression and the DuckDB oracle implement): chunks tile
+    the word sequence with stride 48 / width 64 — full coverage, correct
+    overlap, last chunk short-not-padded, at any document length."""
+    W, S = 64, 48
+    n_chunks = 1 + max(-(-(n_words - W) // S), 0)
+    covered = set()
+    for i in range(n_chunks):
+        start = i * S
+        width = max(min(W, n_words - start), 0)
+        if i < n_chunks - 1:
+            assert width == W, (n_words, i)
+        covered.update(range(start, start + width))
+    if n_words > 0:
+        assert covered == set(range(n_words))
+    else:
+        assert n_chunks == 1  # one empty chunk for an empty doc
