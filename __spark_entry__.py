@@ -846,10 +846,12 @@ def _wrap(mod_fn):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order IS the driver's check order and the driver records at
     # most 50 rows per round (round-2 verdict #1): the 9 entries starved
-    # of a driver row in rounds 1-2 lead this round, plus the new
-    # end-to-end funnel; 10 OLAP entries that were hash-green in BOTH
-    # r01 and r02 rotate to the tail (each of the 60 then has at least
-    # one green driver row across rounds).
+    # of a driver row in rounds 1-2 lead this round, every query NEW in
+    # round 3 sits inside the window, and only entries that already have
+    # a green (or by-design rows-only) driver row from r01/r02 rotate to
+    # the tail — after this round each entry has at least one driver row
+    # across rounds (audited in-session: window=50, tail all
+    # previously-checked).
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
         chunking,
         curation,
