@@ -320,7 +320,13 @@ def quality_percentile_filter(
     domain doesn't eat the global threshold. Deterministic: deciles come
     from ntile over (quality, doc_id) so ties can never straddle engines
     differently. The window partitions by source — per-stratum state,
-    no single-partition stage."""
+    no single-partition stage.
+
+    Scale note: a single mega-stratum (one source with billions of
+    docs) turns its window partition into one giant sort — for that
+    shape, switch to the two-pass form: percentile_approx(q, 0.1) per
+    source (one agg), then a plain threshold filter (narrow), trading
+    an exact decile boundary for a bounded-error one."""
     from pyspark.sql import Window as W
 
     from ..functions.textstats import quality_score_e4

@@ -406,7 +406,13 @@ def incremental_minhash_dedup(
     ``new``. Per-ingest cost is O(new batch) index lookups — the
     existing side is the persisted (band, bucket) index from
     ``minhash_band_buckets``, never corpus × corpus. The exact-dedup
-    twin is ``incremental_dedup`` (fingerprint semi/anti-join)."""
+    twin is ``incremental_dedup`` (fingerprint semi/anti-join).
+
+    Caveat (inherent to shingle-based MinHash, shared with
+    ``minhash_lsh_pairs``): documents shorter than one shingle
+    (< SHINGLE_WORDS words) have no signature and are absent from the
+    output — route sub-shingle docs through exact ``incremental_dedup``
+    instead."""
     sig = minhash_signatures(_docs(spark, sf_dir), n_perms=n_perms, hash_fn=hash_fn)
     buckets = minhash_band_buckets(sig, n_perms=n_perms, bands=bands)
     existing_idx = (
