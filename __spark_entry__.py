@@ -901,12 +901,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + per-stratum percentile quality cut
         "decontaminate": _q_decontaminate,
         "quality_percentile_filter": _wrap(curation.quality_percentile_filter),
+        "corpus_report": _wrap(curation.corpus_report),
         # maintenance / job-store analogs (SURVEY §2.4/2.5)
         "rate_window": _wrap(maintenance.rate_window),
         "row_counters": _wrap(maintenance.row_counters),
         "ordered_concat": _wrap(maintenance.ordered_concat),
         "line_bucketing": _wrap(maintenance.line_bucketing),
-        "json_extraction": _wrap(maintenance.json_extraction),
         "enrichment_join_shape": _wrap(maintenance.enrichment_join_shape),
         # text analysis (training-data ops)
         "token_counts": _q_token_counts,
@@ -948,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_recent": _wrap(maintenance.top_k_recent),
         "retention_cutoff": _wrap(maintenance.retention_cutoff),
         "stale_scan": _wrap(maintenance.stale_scan),
+        "json_extraction": _wrap(maintenance.json_extraction),
         "status_histogram": _wrap(maintenance.status_histogram),
         "revenue_by_nation": _wrap(olap.revenue_by_nation),
         "extract_synthetic": _q_extract_synthetic,
@@ -1434,6 +1435,41 @@ SELECT t.doc_id,
        md5(COALESCE(r.cleaned, '')) AS cleaned_fp
 FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 ORDER BY t.doc_id
+""",
+        "corpus_report": r"""
+WITH staged AS (
+  SELECT
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    length(text) AS n_chars_c,
+    CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+         WHEN en = greatest(en, de, es, fr) THEN 'en'
+         WHEN de = greatest(en, de, es, fr) THEN 'de'
+         WHEN es = greatest(en, de, es, fr) THEN 'es'
+         ELSE 'fr' END AS lp,
+    CAST(floor((
+        0.4 * least(length(text) / 2000.0, 1.0)
+      + 0.5 * (CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text) END)
+      + 0.1 * (1.0 - least((CASE WHEN length(text) = 0 THEN 1.0 ELSE len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}<>/\\|@#$%^&*+=~`-]')) * 1.0 / length(text) END) * 5.0, 1.0))
+    ) * 10000.0) AS BIGINT) AS q,
+    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+    source
+  FROM (
+    SELECT *,
+      len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS en,
+      len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
+      len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los)\b')) AS es,
+      len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|une)\b')) AS fr
+    FROM documents))
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars_c) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lp) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(floor(sum(q) * 1.0 / count(*)) AS BIGINT) AS mean_quality_e4,
+       CAST(sum(CASE WHEN q >= 3000 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_gate,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs
+FROM staged
 """,
         "quality_percentile_filter": """
 WITH scored AS (

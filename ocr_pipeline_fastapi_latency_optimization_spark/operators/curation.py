@@ -305,6 +305,44 @@ def curation_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_report(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
+    """The one-row corpus report card a pipeline owner runs first:
+    volume (docs/tokens/chars), language and source fan-out, quality
+    profile (mean score, share above the gate), and exact-dup mass —
+    ONE aggregate over one scan (map-side partials; the fingerprint and
+    language distincts are the only wide states, both bounded). Every
+    output is an integer, so the DuckDB twin hash-matches exactly
+    (mean = floor(sum/count): integer sum, IEEE-exact division)."""
+    from ..functions.textstats import (
+        fingerprint,
+        lang_id,
+        quality_score_e4,
+        token_count,
+    )
+
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    staged = docs.select(
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_c"),
+        lang_id(F.col("text")).alias("lp"),
+        quality_score_e4(F.col("text")).alias("q"),
+        fingerprint(F.col("text")).alias("fp"),
+        "source",
+    )
+    return staged.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars_c").cast("long").alias("total_chars"),
+        F.countDistinct("lp").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.floor(F.sum("q") / F.count("*")).cast("long").alias("mean_quality_e4"),
+        F.sum(F.when(F.col("q") >= QUALITY_GATE_E4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_above_gate"),
+        F.countDistinct("fp").alias("n_unique_docs"),
+    )
+
+
 FILTER_DECILES_DROPPED = 1  # drop the bottom decile per stratum
 
 
