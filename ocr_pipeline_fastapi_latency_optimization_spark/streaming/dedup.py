@@ -38,3 +38,51 @@ def streaming_dedup(
 
     fp = docs.withColumn("fp", fingerprint(F.col("text")))
     return fp.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["fp"])
+
+
+def streaming_curate(
+    transcripts_stream: DataFrame, watermark: str = DEDUP_WATERMARK
+) -> DataFrame:
+    """The production ingest composite in ONE streaming query: the
+    narrow mapInPandas extract stage, then dedup-on-ingest keyed on the
+    canonical fingerprint of the EXTRACTED text (not the raw payload —
+    two payloads with different markup but identical main content are
+    one document). Per micro-batch cost: extraction O(rows) +
+    one bounded-state dedup keyed on a 32-byte fingerprint.
+
+    Input must carry (conv_id, turn_idx, text, ts); ts survives
+    alongside the extraction output to drive the watermark."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..functions.extract import extract_turn_full
+
+    def run(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            results = [
+                extract_turn_full(t, int(i))
+                for t, i in zip(pdf["text"], pdf["turn_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].values,
+                    "turn_idx": pdf["turn_idx"].astype("int32").values,
+                    "extracted_text": [r["extracted_text"] for r in results],
+                    "chars_extracted": [r["chars_extracted"] for r in results],
+                    "ts": pdf["ts"].values,
+                }
+            )
+
+    extracted = transcripts_stream.select(
+        "conv_id", "turn_idx", "text", "ts"
+    ).mapInPandas(
+        run,
+        schema=(
+            "conv_id string, turn_idx int, extracted_text string, "
+            "chars_extracted long, ts timestamp"
+        ),
+    )
+    fp = extracted.withColumn("fp", fingerprint(F.col("extracted_text")))
+    return fp.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["fp"])

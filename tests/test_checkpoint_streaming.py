@@ -714,6 +714,79 @@ def test_multimodal_real_image_codec_roundtrip(spark, tmp_path):
     assert feats == mm.CODECS["image"](buf.getvalue())  # deterministic
 
 
+def test_streaming_curate_extracts_then_dedups_in_one_query(spark, tmp_path):
+    """The ingest composite (extract stage + dedup-on-ingest) in one
+    streaming query: duplicates must be detected on the EXTRACTED text —
+    two payloads with different markup but identical main content
+    collapse to one row, across micro-batches, while extraction output
+    matches the batch oracle for the survivors."""
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.schema import (
+        TRANSCRIPTS_SCHEMA,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.streaming.dedup import (
+        streaming_curate,
+    )
+
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    src = tmp_path / "cur_src"
+    src.mkdir()
+
+    def batch(path, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "text", "ts"]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["role"] = "user"
+        pdf["tool"] = None
+        pdf = pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA).coalesce(1).write.parquet(
+            path
+        )
+
+    # batch 1: a plain doc; batch 2: the SAME main content wrapped in
+    # html boilerplate (extraction strips it → same fingerprint → drop),
+    # plus one genuinely new doc
+    content = "The quick study of spark plans shows the shuffle boundaries clearly and repeatedly."
+    batch(str(src / "b0"), [("c0", 0, content, base)])
+    batch(
+        str(src / "b1"),
+        [
+            ("c1", 0, f"<html><body><p>{content}</p></body></html>", base + timedelta(seconds=5)),
+            ("c2", 0, "entirely different new content arrives here", base + timedelta(seconds=6)),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    name = f"cur_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_curate(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(f"SELECT conv_id, extracted_text FROM {name}").toPandas()
+    assert sorted(got["conv_id"]) == ["c0", "c2"], got.to_string()
+    # the survivor's extraction equals the batch-path extraction
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.extract import (
+        extract_turn_full,
+    )
+
+    assert (
+        got[got.conv_id == "c0"]["extracted_text"].iloc[0]
+        == extract_turn_full(content, 0)["extracted_text"]
+    )
+
+
 def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     """Streaming dedup-on-ingest: duplicate fingerprints arriving in a
     LATER micro-batch (maxFilesPerTrigger=1) must be dropped by the
