@@ -357,14 +357,21 @@ def _q_pivot_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct, t-digest percentiles) — no
-    cross-engine oracle by nature; sanity-bounded in pytest."""
+    """Approximate aggregates (HLL distinct, Greenwald-Khanna percentiles)
+    — no cross-engine oracle by nature; sanity-bounded in pytest. All
+    output columns are SCALAR (q25/q50/q75 via element_at, e4-floored):
+    an array-typed column crashes the driver's row canonicalizer
+    (round-3 verdict finding #1 — pandas cannot factorize numpy arrays),
+    so this shape is what makes the entry driver-recordable at all."""
     _pin_session(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    quart = F.percentile_approx("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000))
     return ev.agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
-        F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("value_quartiles"),
+        F.floor(F.element_at(quart, 1) * 10000).cast("long").alias("q25_e4"),
+        F.floor(F.element_at(quart, 2) * 10000).cast("long").alias("q50_e4"),
+        F.floor(F.element_at(quart, 3) * 10000).cast("long").alias("q75_e4"),
     )
 
 
@@ -1419,11 +1426,13 @@ e AS (SELECT doc_id,
              unnest(list_transform(generate_series(1, len(ls)),
                                    i -> {'pos': i, 'line': ls[i]})) AS u
       FROM l),
-lines AS (SELECT doc_id, u.pos AS pos, u.line AS line, trim(u.line) AS key FROM e),
+-- frequency/join key is md5(trim(line)) — the fixed-width digest the
+-- Spark operator shuffles (round-3 verdict #2), never the raw line
+lines AS (SELECT doc_id, u.pos AS pos, u.line AS line, md5(trim(u.line)) AS key_h FROM e),
 freq AS (
-  SELECT key FROM (SELECT DISTINCT doc_id, key FROM lines WHERE key <> '')
-  GROUP BY key HAVING count(*) >= 3),
-kept AS (SELECT * FROM lines WHERE key NOT IN (SELECT key FROM freq)),
+  SELECT key_h FROM (SELECT DISTINCT doc_id, key_h FROM lines WHERE trim(line) <> '')
+  GROUP BY key_h HAVING count(*) >= 3),
+kept AS (SELECT * FROM lines WHERE key_h NOT IN (SELECT key_h FROM freq)),
 rebuilt AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
          string_agg(line, chr(10) ORDER BY pos) AS cleaned

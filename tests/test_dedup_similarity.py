@@ -473,8 +473,18 @@ def test_approx_stats_sane(spark):
 
     row = e.queries()["approx_stats"](spark, SF_DIR).collect()[0]
     assert abs(row["approx_users"] - row["exact_users"]) <= 0.05 * row["exact_users"]
-    q = row["value_quartiles"]
-    assert q[0] <= q[1] <= q[2]
+    # scalar quartile columns (round-3 verdict #1: an array column broke
+    # the driver canonicalizer); monotone + exact-percentile bounded
+    assert row["q25_e4"] <= row["q50_e4"] <= row["q75_e4"]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    import pyspark.sql.functions as F
+
+    ex = ev.agg(
+        F.floor(F.percentile("value", F.lit(0.5)) * 10000).cast("long").alias("m")
+    ).collect()[0]["m"]
+    # GK sketch at accuracy 10000 over sf0.01 (~10^4 rows) is near-exact:
+    # allow a 1% relative band around the exact median
+    assert abs(row["q50_e4"] - ex) <= max(abs(ex) * 0.01, 1000)
 
 
 def test_xxhash_variant_runs(spark, planted):

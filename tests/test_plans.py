@@ -143,6 +143,30 @@ def test_boilerplate_freq_has_partial_aggregation(spark):
     assert "partial_count" in plan or "partial" in plan.lower(), plan
 
 
+def test_boilerplate_shuffle_key_is_fixed_width_digest(spark):
+    """Round-3 verdict #2: the corpus-frequency aggregate and the
+    anti-join must key on the fixed-width md5 digest (key_h), never the
+    raw trimmed line — at 100 TB shipping arbitrary-length line text
+    through two shuffles dominates the stage. Asserted on the physical
+    plan: every hash-partitioned exchange and the aggregate grouping use
+    key_h, and no exchange partitions on a raw `line`/`key` column."""
+    import re
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        boilerplate_lines,
+    )
+
+    plan = plan_str(boilerplate_lines(spark, "/root/testdata/sf0.001"), mode="simple")
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    for keys in exchanges:
+        first_key = keys.split(",")[0].split("#")[0].strip()
+        assert first_key in ("key_h", "doc_id"), (
+            f"exchange partitions on raw column {first_key!r}: {plan}"
+        )
+    assert "md5(cast(trim(line" in plan, plan
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """DESIGN_100TB's hot-bucket claim, proven on the executed plan: a
     join with one pathological hot key (297k of 300k rows on key 0 — the
