@@ -849,6 +849,45 @@ ORDER BY id_a, id_b
 """
 
 
+_QUALITY_Q_SQL = """CAST(floor((
+        0.4 * least(length(text) / 2000.0, 1.0)
+      + 0.5 * (CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text) END)
+      + 0.1 * (1.0 - least((CASE WHEN length(text) = 0 THEN 1.0 ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}<>/\\\\|@#$%^&*+=~`-]')) * 1.0 / length(text) END) * 5.0, 1.0))
+    ) * 10000.0) AS BIGINT)"""
+
+
+def _quality_threshold_sql() -> str:
+    """SQL twin of curation.quality_threshold_filter: same (source, q)
+    histogram, same integer order-statistic threshold (k = (N·frac) div
+    10⁴; threshold = smallest q with cumulative count ≥ k), same
+    drop-ties-at-the-boundary rule. The frac constant is interpolated
+    from the operator module so the twins can never desynchronize."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        THRESHOLD_FRAC_E4,
+    )
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, {_QUALITY_Q_SQL} AS q FROM documents),
+hist AS (SELECT source, q, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY source, q),
+cum AS (SELECT source, q,
+               sum(c) OVER (PARTITION BY source ORDER BY q) AS cum,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM hist),
+thr AS (
+  SELECT source, min(q) AS threshold_q
+  FROM cum
+  WHERE (n * {THRESHOLD_FRAC_E4}) // 10000 > 0
+    AND cum >= (n * {THRESHOLD_FRAC_E4}) // 10000
+  GROUP BY source)
+SELECT s.doc_id, s.source, s.q,
+       COALESCE(th.threshold_q, -1) AS threshold_q,
+       (s.q > COALESCE(th.threshold_q, -1)) AS kept
+FROM scored s LEFT JOIN thr th USING (source)
+ORDER BY s.doc_id
+"""
+
+
 def _pin_session(spark: SparkSession) -> None:
     """The driver owns the session; pin the two confs our oracle
     comparisons assume (UTC epochs; Arrow for the pandas stages).
@@ -908,6 +947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + per-stratum percentile quality cut
         "decontaminate": _q_decontaminate,
         "quality_percentile_filter": _wrap(curation.quality_percentile_filter),
+        # new in round 4: the two-pass histogram percentile cut — the
+        # 100 TB default (no mega-stratum window; round-3 verdict #3)
+        "quality_threshold_filter": _wrap(curation.quality_threshold_filter),
         "corpus_report": _wrap(curation.corpus_report),
         # maintenance / job-store analogs (SURVEY §2.4/2.5)
         "rate_window": _wrap(maintenance.rate_window),
@@ -1496,6 +1538,7 @@ t AS (
 SELECT doc_id, source, q, decile, (decile > 1) AS kept
 FROM t ORDER BY doc_id
 """,
+        "quality_threshold_filter": _quality_threshold_sql(),
         "decontaminate": f"""
 WITH aug AS (
   SELECT doc_id,

@@ -194,3 +194,40 @@ def test_quality_percentile_filter_per_stratum(spark):
         assert dropped in (n // 10, -(-n // 10))
         # dropped docs are the lowest-quality ones of THIS stratum
         assert grp[~grp.kept]["q"].max() <= grp[grp.kept]["q"].min()
+
+
+def test_quality_threshold_filter_semantics_and_skewed_stratum(spark):
+    """The two-pass histogram cut (round-3 verdict #3): per stratum,
+    kept == (q strictly above the k-th smallest q) where
+    k = (N * frac) div 1e4 — verified against a pandas recomputation on
+    a deliberately SKEWED fixture (one mega-stratum holding ~95% of the
+    corpus, the shape that breaks the ntile form at scale), and a
+    sub-1/frac stratum keeps everything (k == 0 → threshold -1)."""
+    import pandas as pd
+
+    rows = []
+    # mega-stratum: 950 docs, quality spread via text length
+    for i in range(950):
+        rows.append((i, "word " * (5 + i % 97), "en", "mega", 1))
+    # small stratum: 40 docs
+    for i in range(40):
+        rows.append((1000 + i, "text " * (3 + i % 11), "en", "small", 1))
+    # tiny stratum: 5 docs < 1/frac -> k == 0 -> keep all
+    for i in range(5):
+        rows.append((2000 + i, "tiny " * (2 + i), "en", "tiny", 1))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    docs = spark.createDataFrame(pdf)
+    out = curation.quality_threshold_filter(spark, "unused", docs=docs).toPandas()
+    assert len(out) == len(pdf)
+    for src, grp in out.groupby("source"):
+        n = len(grp)
+        k = (n * curation.THRESHOLD_FRAC_E4) // 10000
+        if k == 0:
+            assert grp["kept"].all()
+            assert (grp["threshold_q"] == -1).all()
+            continue
+        t = sorted(grp["q"])[k - 1]  # k-th smallest q
+        assert (grp["threshold_q"] == t).all()
+        assert (grp["kept"] == (grp["q"] > t)).all()
+        # everything at-or-below the boundary value drops (>= k docs)
+        assert (~grp["kept"]).sum() >= k
