@@ -69,6 +69,81 @@ def _q_extract_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SYNTH_CONVS = 30
+SYNTH_MEAN_TURNS = 8
+SYNTH_SEED = 42
+
+
+def _q_extract_synthetic_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship extraction semantics, driver-checkable (round-3
+    verdict #5): full pipeline over the deterministic synthetic corpus
+    (all payload kinds — plain/html/pdf-layout/mangled), emitting a
+    fixed-width per-turn fingerprint instead of the raw text. The oracle
+    twin is generated at call time by the INDEPENDENT single-node pandas
+    implementation (``oracle.extract_frame``) and serialized as SQL
+    literals — a cross-implementation check on the non-SQL-expressible
+    extraction core, mediated by the driver's hash compare."""
+    _pin_session(spark)
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
+        extract_pipeline,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+        gen_transcripts,
+        transcripts_df,
+    )
+
+    pdf = gen_transcripts(
+        n_convs=SYNTH_CONVS, mean_turns=SYNTH_MEAN_TURNS, seed=SYNTH_SEED
+    )
+    out = extract_pipeline(transcripts_df(spark, pdf))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.md5(F.col("extracted_text").cast("binary")).alias("text_fp"),
+        "n_blocks_kept",
+        "n_blocks_dropped",
+        "chars_extracted",
+    ).orderBy("conv_id", "turn_idx")
+
+
+def _extract_synthetic_fp_sql() -> str:
+    """Oracle for ``extract_synthetic_fp``: run the pure pandas oracle
+    (no Spark, no JVM) over the same deterministic corpus and emit its
+    per-turn fingerprints as a VALUES literal. The oracle is an
+    independent implementation executed fresh on every call — not a
+    committed golden — so drift in either implementation fails the
+    driver's hash compare."""
+    import hashlib
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.oracle import extract_frame
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+        gen_transcripts,
+    )
+
+    oracle = extract_frame(
+        gen_transcripts(
+            n_convs=SYNTH_CONVS, mean_turns=SYNTH_MEAN_TURNS, seed=SYNTH_SEED
+        )
+    )
+    vals = ",\n".join(
+        f"('{r.conv_id}', {int(r.turn_idx)}, "
+        f"'{hashlib.md5(r.extracted_text.encode('utf-8')).hexdigest()}', "
+        f"{int(r.n_blocks_kept)}, {int(r.n_blocks_dropped)}, "
+        f"{int(r.chars_extracted)})"
+        for r in oracle.itertuples(index=False)
+    )
+    return f"""
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, text_fp,
+       CAST(n_blocks_kept AS INTEGER) AS n_blocks_kept,
+       CAST(n_blocks_dropped AS INTEGER) AS n_blocks_dropped,
+       CAST(chars_extracted AS BIGINT) AS chars_extracted
+FROM (VALUES
+{vals}
+) AS t(conv_id, turn_idx, text_fp, n_blocks_kept, n_blocks_dropped, chars_extracted)
+ORDER BY conv_id, turn_idx
+"""
+
+
 def _q_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_session(spark)
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
@@ -497,6 +572,14 @@ def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (powers of 16 exceed 2^53, so each term must be a BIGINT, never DOUBLE)
 
 
+def _ingest_boundary() -> int:
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        INGEST_BOUNDARY,
+    )
+
+    return INGEST_BOUNDARY
+
+
 def _hex60_sql(h: str) -> str:
     return (
         "list_sum(list_transform(generate_series(1,15), i -> "
@@ -554,13 +637,19 @@ ORDER BY doc_a, doc_b
 
 def _incremental_minhash_sql() -> str:
     """SQL twin of dedup.incremental_minhash_dedup: new docs probed
-    against the existing corpus's (band, bucket) index."""
+    against the existing corpus's (band, bucket) index. The ingest
+    boundary is interpolated from the shared module constant (round-3
+    ADVICE #6) so the twins cannot desynchronize if the default moves."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        INGEST_BOUNDARY,
+    )
+
     return (
         "WITH "
         + _minhash_buckets_sql()
-        + """,
-existing AS (SELECT DISTINCT band, bucket FROM buckets WHERE doc_id < 250),
-newb AS (SELECT DISTINCT doc_id, band, bucket FROM buckets WHERE doc_id >= 250),
+        + f""",
+existing AS (SELECT DISTINCT band, bucket FROM buckets WHERE doc_id < {INGEST_BOUNDARY}),
+newb AS (SELECT DISTINCT doc_id, band, bucket FROM buckets WHERE doc_id >= {INGEST_BOUNDARY}),
 dup AS (SELECT DISTINCT n.doc_id FROM newb n JOIN existing e USING (band, bucket)),
 alln AS (SELECT DISTINCT doc_id FROM newb)
 SELECT doc_id,
@@ -939,6 +1028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel_full": _wrap(curation.curation_funnel_full),
         "chunk_documents": _wrap(chunking.chunk_documents),
         "pack_sequences": _wrap(chunking.pack_sequences),
+        # new in round 4: the flagship extraction semantics under a
+        # driver-recordable fingerprint oracle (pandas-oracle VALUES twin)
+        "extract_synthetic_fp": _q_extract_synthetic_fp,
         # extraction core (SURVEY §2.1/2.9/2.10)
         "extract_documents": _flagship,
         "stitch_conversations": _q_stitch,
@@ -1539,6 +1631,7 @@ SELECT doc_id, source, q, decile, (decile > 1) AS kept
 FROM t ORDER BY doc_id
 """,
         "quality_threshold_filter": _quality_threshold_sql(),
+        "extract_synthetic_fp": _extract_synthetic_fp_sql(),
         "decontaminate": f"""
 WITH aug AS (
   SELECT doc_id,
@@ -1710,8 +1803,8 @@ ORDER BY key_a, key_b
 """,
         "incremental_dedup": f"""
 WITH d AS (SELECT doc_id, {qualify_fp} AS fp FROM documents),
-existing AS (SELECT DISTINCT fp FROM d WHERE doc_id < 250),
-new AS (SELECT * FROM d WHERE doc_id >= 250)
+existing AS (SELECT DISTINCT fp FROM d WHERE doc_id < {_ingest_boundary()}),
+new AS (SELECT * FROM d WHERE doc_id >= {_ingest_boundary()})
 SELECT doc_id,
        CASE WHEN fp IN (SELECT fp FROM existing) THEN 'dup_of_existing' ELSE 'new' END AS verdict
 FROM new ORDER BY doc_id

