@@ -61,33 +61,59 @@ def fs_delete(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def input_fingerprint(transcripts: DataFrame) -> tuple:
+    """(row count, content hash) of an input frame in ONE columnar scan.
+    The hash is the sum of per-row ``xxhash64(conv_id, turn_idx, text)``
+    in decimal(38,0) (ANSI-safe; order-independent, so partitioning
+    never changes it) — edited TEXT with the same row count is caught,
+    the round-2 'fingerprint is only a count' gap (round-3 ADVICE #1)."""
+    row = transcripts.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.xxhash64("conv_id", "turn_idx", "text").cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), str(row["h"] if row["h"] is not None else 0)
+
+
 def write_or_check_manifest(
     spark: SparkSession,
     checkpoint_dir: str,
     run_id: str,
     n_buckets: int,
     n_input: int,
+    input_fp: str,
 ) -> None:
-    """Pin the bucketing scheme AND the input fingerprint of a
+    """Pin the bucketing scheme AND the input content fingerprint of a
     checkpointed run. Resuming with a different ``--buckets`` would
     silently re-partition conv_ids while ``read_output`` globs stale
     bucket dirs from the earlier scheme; resuming with *different input*
-    would silently serve the stale staged corpus (resume reads staging,
-    not the caller's frame). Both are duplicated/missing conversations
-    with no error — fail fast instead (round-1 + round-2 ADVICE).
+    — fewer rows, more rows, or the SAME rows with edited text — would
+    silently serve the stale staged corpus (resume reads staging, not
+    the caller's frame). Both are duplicated/missing/stale conversations
+    with no error — fail fast instead (round-1/2/3 ADVICE).
 
     Only a genuinely absent manifest means "fresh checkpoint": a
     corrupted or transiently unreadable manifest PROPAGATES its error
     rather than being silently overwritten — that is exactly the moment
-    checkpoint state is suspect (round-2 ADVICE #4)."""
+    checkpoint state is suspect (round-2 ADVICE #4). A manifest from an
+    older layout (missing columns) gets a dedicated error instead of an
+    opaque field lookup failure (round-3 ADVICE #2)."""
     path = _manifest_path(checkpoint_dir)
     if not fs_exists(spark, path):
         spark.createDataFrame(
-            [(run_id, int(n_buckets), int(n_input))],
-            "run_id string, n_buckets int, n_input long",
+            [(run_id, int(n_buckets), int(n_input), str(input_fp))],
+            "run_id string, n_buckets int, n_input long, input_fp string",
         ).coalesce(1).write.mode("overwrite").parquet(path)
         return
     row = spark.read.parquet(path).collect()[0]
+    missing = {"n_buckets", "n_input", "input_fp"} - set(row.__fields__)
+    if missing:
+        raise ValueError(
+            f"checkpoint {checkpoint_dir} has a manifest from an older "
+            f"version of this library (missing {sorted(missing)}); its "
+            "guarantees cannot be checked — use a fresh checkpoint dir."
+        )
     if int(row["n_buckets"]) != int(n_buckets):
         raise ValueError(
             f"checkpoint {checkpoint_dir} was created with "
@@ -95,13 +121,14 @@ def write_or_check_manifest(
             f"resuming with --buckets {n_buckets} would corrupt output. "
             "Use the original bucket count or a fresh checkpoint dir."
         )
-    if int(row["n_input"]) != int(n_input):
+    if int(row["n_input"]) != int(n_input) or str(row["input_fp"]) != str(input_fp):
         raise ValueError(
-            f"checkpoint {checkpoint_dir} was created over {row['n_input']} "
-            f"input rows (run_id={row['run_id']}); this invocation passed "
-            f"{n_input} rows. Resume replays the STAGED input, so a "
-            "different input frame would be silently ignored — use the "
-            "original input or a fresh checkpoint dir."
+            f"checkpoint {checkpoint_dir} was created over different input "
+            f"({row['n_input']} rows, content hash {row['input_fp']}; this "
+            f"invocation: {n_input} rows, hash {input_fp}). Resume replays "
+            "the STAGED input, so a different input frame — including "
+            "edited text with identical row count — would be silently "
+            "ignored. Use the original input or a fresh checkpoint dir."
         )
 
 
@@ -148,11 +175,13 @@ def run_with_checkpoint(
 
     from ..operators.extraction import extract_pipeline
 
-    # one columnar count pins the input fingerprint in the manifest —
-    # resume with a different input must fail fast, not silently replay
-    # the stale staged corpus
-    n_input = transcripts.count()
-    write_or_check_manifest(spark, checkpoint_dir, run_id, n_buckets, n_input)
+    # one columnar scan pins (row count, content hash) in the manifest —
+    # resume with a different input (even same-cardinality edited text)
+    # must fail fast, not silently replay the stale staged corpus
+    n_input, input_fp = input_fingerprint(transcripts)
+    write_or_check_manifest(
+        spark, checkpoint_dir, run_id, n_buckets, n_input, input_fp
+    )
     done = set(completed_buckets(spark, checkpoint_dir))
     todo = [b for b in range(n_buckets) if b not in done]
     if not todo:

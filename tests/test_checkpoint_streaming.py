@@ -84,10 +84,46 @@ def test_resume_with_different_input_fails_fast(spark, tmp_path, corpus):
     ckpt = str(tmp_path / "ckpt")
     df = transcripts_df(spark, corpus)
     cp.run_with_checkpoint(spark, df, out_dir, ckpt, "r1", n_buckets=N_BUCKETS)
-    with pytest.raises(ValueError, match="input rows"):
+    with pytest.raises(ValueError, match="different input"):
         cp.run_with_checkpoint(
             spark, df.limit(5), out_dir, ckpt, "r2", n_buckets=N_BUCKETS
         )
+
+
+def test_resume_with_edited_text_same_rowcount_fails_fast(spark, tmp_path, corpus):
+    """Round-3 ADVICE #1: a count-only fingerprint passes when the input
+    has the SAME cardinality but edited text — exactly the silent-stale-
+    replay the guard documents. The content hash must reject it."""
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = transcripts_df(spark, corpus)
+    cp.run_with_checkpoint(spark, df, out_dir, ckpt, "r1", n_buckets=N_BUCKETS)
+    edited = df.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" EDITED"))
+    )
+    assert edited.count() == df.count()
+    with pytest.raises(ValueError, match="different input"):
+        cp.run_with_checkpoint(
+            spark, edited, out_dir, ckpt, "r2", n_buckets=N_BUCKETS
+        )
+
+
+def test_old_layout_manifest_gets_dedicated_error(spark, tmp_path, corpus):
+    """Round-3 ADVICE #2: a manifest written by an older library version
+    (no n_input/input_fp columns) must produce a clear 'older version —
+    use a fresh checkpoint dir' error, not an opaque field lookup
+    failure."""
+    import os
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # fabricate a round-2-era manifest: only (run_id, n_buckets)
+    spark.createDataFrame(
+        [("old", N_BUCKETS)], "run_id string, n_buckets int"
+    ).coalesce(1).write.parquet(os.path.join(ckpt, "manifest"))
+    df = transcripts_df(spark, corpus)
+    with pytest.raises(ValueError, match="older version"):
+        cp.run_with_checkpoint(spark, df, out_dir, ckpt, "r1", n_buckets=N_BUCKETS)
 
 
 def test_partial_staging_without_success_is_rewritten(spark, tmp_path, corpus):
