@@ -8,8 +8,10 @@ importable (Pillow for images — gated import at module load, the same
 pattern as ``functions/arabic.py``) and otherwise degrades to a
 ``codec_unavailable`` status row, never a task failure. A deterministic
 ``fake`` codec keeps the pipeline shape exercisable end-to-end in
-containers with no media libs; audio/video decoders remain honest stubs
-(librosa/av are heavyweight) behind the same registry seam.
+containers with no media libs. The AUDIO codec is real for WAV/PCM via
+stdlib ``wave`` (segment-RMS features, no optional dep); video remains
+an honest stub (av/ffmpeg are unavailable here) behind the same
+registry seam.
 """
 
 from __future__ import annotations
@@ -81,12 +83,80 @@ def _image_decode_features(payload: bytes) -> list:
     ]
 
 
+def _audio_decode_features(payload: bytes) -> list:
+    """Real audio decode for WAV/PCM via stdlib ``wave`` (no optional
+    dep): parse frames, split into N_FEATURES contiguous segments, emit
+    per-segment RMS amplitude normalized to [0, 1]. Deterministic pure
+    integer accumulation; 8- and 16-bit PCM supported. Non-WAV payloads
+    raise (``wave.Error``) and degrade to the per-row error sentinel in
+    ``extract_features`` — never a task failure (X5 analog). Codecs
+    needing compressed formats (mp3/ogg) would slot behind the same
+    registry seam."""
+    import array as _array
+    import io as _io
+    import wave as _wave
+
+    with _wave.open(_io.BytesIO(payload), "rb") as w:
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 2:
+        samples = _array.array("h")
+        samples.frombytes(frames[: len(frames) // 2 * 2])
+        samples = list(samples)
+        full = 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned, centered at 128
+        samples = [s - 128 for s in frames]
+        full = 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    n = len(samples)
+    if n == 0:
+        return [0.0] * N_FEATURES
+    out = []
+    for i in range(N_FEATURES):
+        seg = samples[i * n // N_FEATURES : (i + 1) * n // N_FEATURES]
+        if not seg:
+            out.append(0.0)
+            continue
+        out.append((sum(s * s for s in seg) / len(seg)) ** 0.5 / full)
+    return out
+
+
 CODECS: Dict[str, Callable[[bytes], list]] = {
     "fake": _fake_decode_features,
     "image": _image_decode_features if _PILImage is not None else _real_decode,
-    "audio": _real_decode,
+    "audio": _audio_decode_features,
     "video": _real_decode,
 }
+
+
+def gen_wav_bytes(
+    n_samples: int = 800, rate: int = 8000, seed: int = 7
+) -> bytes:
+    """Deterministic 16-bit mono PCM WAV (stdlib only) — a real,
+    parseable audio payload for tests and demos: a ramp-modulated
+    square-ish wave derived from a splitmix-style integer stream."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    frames = bytearray()
+    for i in range(n_samples):
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        # amplitude ramps 0..20000 so per-segment RMS is monotone;
+        # sign alternates so the signal is a genuine waveform
+        amp = (i * 20000) // max(n_samples - 1, 1)
+        sign = 1 if (i // 4) % 2 == 0 else -1
+        jitter = (x >> 33) % 997 - 498
+        frames += _struct.pack("<h", max(-32768, min(32767, sign * amp + jitter)))
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
 
 
 def extract_features(df: DataFrame, codec: str = "fake") -> DataFrame:
