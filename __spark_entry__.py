@@ -995,13 +995,17 @@ def _wrap(mod_fn):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order IS the driver's check order and the driver records at
-    # most 50 rows per round (round-2 verdict #1): the 9 entries starved
-    # of a driver row in rounds 1-2 lead this round, every query NEW in
-    # round 3 sits inside the window, and only entries that already have
-    # a green (or by-design rows-only) driver row from r01/r02 rotate to
-    # the tail — after this round each entry has at least one driver row
-    # across rounds (audited in-session: window=50, tail all
-    # previously-checked).
+    # most 50 rows per round. Round-4 hygiene (round-3 verdict #8):
+    # never-green entries lead (approx_stats — shape fixed this round —
+    # and the two NEW round-4 entries), then boilerplate_lines whose
+    # internals changed this round, then the 14 entries whose ONLY green
+    # row is r03, then the multi-green body; only entries with green
+    # driver rows in >= 2 rounds rotate to the tail (the 19-entry r03
+    # tail plus sentence_stats and quality_signals_v2, both triple-green
+    # and unchanged). Audited in-session against CORRECTNESS_r01-r03:
+    # window = 50 of 71, every tail entry >= 2 green rounds (or the
+    # by-design rows-only extract_synthetic, now driver-checked through
+    # its extract_synthetic_fp twin in the window).
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
         chunking,
         curation,
@@ -1012,79 +1016,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     return {
-        # --- never-driver-checked until round 3 (head of the window)
-        "pivot_lang_by_source": _q_pivot_lang,
+        # --- zero driver signal so far: fixed shape + round-4 entries
         "approx_stats": _q_approx_stats,
+        "extract_synthetic_fp": _q_extract_synthetic_fp,
+        "quality_threshold_filter": _wrap(curation.quality_threshold_filter),
+        # implementation changed in round 4 (hashed shuffle key) — keep
+        # under the driver's eyes for its first post-change row
+        "boilerplate_lines": _q_boilerplate,
+        # --- single green row (r03 only)
+        "pivot_lang_by_source": _q_pivot_lang,
         "symbol_ratios": _q_symbol_ratios,
         "stratified_sample": _wrap(curation.stratified_hash_sample),
         "dataset_split": _wrap(curation.dataset_split),
-        "dedup_conversations": _q_dedup_conversations,
-        "curation_funnel": _q_curation_funnel,
-        "median_chars_by_source": _q_median_chars,
-        "blocks_table": _q_blocks_table,
-        # --- new in round 3: the funnel as ONE plan (verdict item #8),
-        # training-sequence prep (chunking + packing over a distributed
-        # prefix sum)
         "curation_funnel_full": _wrap(curation.curation_funnel_full),
         "chunk_documents": _wrap(chunking.chunk_documents),
         "pack_sequences": _wrap(chunking.pack_sequences),
-        # new in round 4: the flagship extraction semantics under a
-        # driver-recordable fingerprint oracle (pandas-oracle VALUES twin)
-        "extract_synthetic_fp": _q_extract_synthetic_fp,
-        # extraction core (SURVEY §2.1/2.9/2.10)
+        "decontaminate": _q_decontaminate,
+        "quality_percentile_filter": _wrap(curation.quality_percentile_filter),
+        "corpus_report": _wrap(curation.corpus_report),
+        "incremental_minhash_dedup": _wrap(dedup.incremental_minhash_dedup),
+        "near_dedup_corpus": _wrap(dedup.near_dedup_corpus),
+        "quantize_embeddings": _wrap(similarity.quantize_embeddings),
+        "knn_ivf_multiprobe": _q_knn_ivf_multiprobe,
+        # --- multi-green body (extraction core, curation, maintenance,
+        # text analysis, dedup, similarity)
+        "curation_funnel": _q_curation_funnel,
+        "dedup_conversations": _q_dedup_conversations,
+        "median_chars_by_source": _q_median_chars,
+        "blocks_table": _q_blocks_table,
         "extract_documents": _flagship,
         "stitch_conversations": _q_stitch,
         "classify_payloads": _q_classify,
-        # new in round 3: benchmark decontamination (8-gram eval overlap)
-        # + per-stratum percentile quality cut
-        "decontaminate": _q_decontaminate,
-        "quality_percentile_filter": _wrap(curation.quality_percentile_filter),
-        # new in round 4: the two-pass histogram percentile cut — the
-        # 100 TB default (no mega-stratum window; round-3 verdict #3)
-        "quality_threshold_filter": _wrap(curation.quality_threshold_filter),
-        "corpus_report": _wrap(curation.corpus_report),
-        # maintenance / job-store analogs (SURVEY §2.4/2.5)
         "rate_window": _wrap(maintenance.rate_window),
         "row_counters": _wrap(maintenance.row_counters),
         "ordered_concat": _wrap(maintenance.ordered_concat),
         "line_bucketing": _wrap(maintenance.line_bucketing),
         "enrichment_join_shape": _wrap(maintenance.enrichment_join_shape),
-        # text analysis (training-data ops)
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
-        "quality_signals_v2": _q_quality_v2,
-        "sentence_stats": _q_sentence_stats,
         "lang_id_histogram": _q_lang_id,
         "lang_id_trigram": _q_lang_id_trigram,
         "doc_fingerprints": _q_fingerprints,
         "stringops": _q_stringops,
-        # dedup
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_survivors": _wrap(dedup.exact_dedup_survivors),
         "incremental_dedup": _wrap(dedup.incremental_dedup),
-        # new in round 3: near-dup incremental ingest vs the LSH index
-        "incremental_minhash_dedup": _wrap(dedup.incremental_minhash_dedup),
         "fuzzy_name_pairs": _wrap(dedup.fuzzy_name_pairs),
         "ngram_jaccard_pairs": _wrap(dedup.ngram_jaccard_pairs),
         "minhash_lsh_pairs": _wrap(dedup.minhash_lsh_pairs),
         "simhash_near_dups": _wrap(dedup.simhash_near_dup_pairs),
         "dedup_clusters": _wrap(dedup.dedup_clusters),
-        # new in round 3: the whole-corpus keep/drop verdict
-        "near_dedup_corpus": _wrap(dedup.near_dedup_corpus),
-        # similarity search
-        # new in round 3: int8 storage quantization for the ANN index,
-        # and the multi-probe recall lever driver-checked on its own
-        "quantize_embeddings": _wrap(similarity.quantize_embeddings),
         "knn_bruteforce": _wrap(similarity.brute_force_knn),
         "knn_ivf": _wrap(similarity.ivf_knn),
-        "knn_ivf_multiprobe": _q_knn_ivf_multiprobe,
         "near_dup_cosine": _wrap(similarity.near_dup_pairs_cosine),
         "cosine_lsh_pairs": _wrap(similarity.cosine_lsh_pairs),
-        # corpus curation (PII, boilerplate, repetition signals)
         "pii_mask": _q_pii_mask,
-        "boilerplate_lines": _q_boilerplate,
         "repetition_stats": _wrap(curation.repetition_stats),
-        # --- tail: green (or by-design rows-only) in BOTH r01 and r02
+        # --- tail: >= 2 green driver rounds each (r01+r02 at minimum)
+        "sentence_stats": _q_sentence_stats,
+        "quality_signals_v2": _q_quality_v2,
         "active_count": _wrap(maintenance.active_count),
         "top_k_recent": _wrap(maintenance.top_k_recent),
         "retention_cutoff": _wrap(maintenance.retention_cutoff),

@@ -333,12 +333,17 @@ def test_curation_funnel_full_plan_is_minimal(spark):
     assert plan.count("MapInPandas (") == 1, "extract must run exactly once"
     body = plan.split("AdaptiveSparkPlan")[-1]
     assert body.count("Exchange") <= 3, plan
+
+
+def test_ngram_jaccard_size_joins_carry_no_broadcast_hint(spark):
     """The per-doc shingle-count aggregates in ngram_jaccard_pairs are
     corpus-cardinality (one row per doc): a broadcast HINT on them would
     ship a multi-GB frame to every executor at 10^9 docs (round-2
     verdict #3). The optimized logical plan must carry no broadcast
     strategy hint — AQE may still choose a broadcast join at runtime
-    when the side is genuinely small, which is the correct behavior."""
+    when the side is genuinely small, which is the correct behavior.
+    (Was inlined mid-function in the funnel plan test until round 4 —
+    round-3 ADVICE #4.)"""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
