@@ -154,6 +154,11 @@ def main() -> None:
         "boilerplate_lines",
         lambda: _force(curation.boilerplate_lines(spark, SF_DIR)),
     )
+    # two-pass histogram percentile cut — the scale-default quality gate
+    timed(
+        "quality_threshold_filter",
+        lambda: _force(curation.quality_threshold_filter(spark, SF_DIR)),
+    )
     # 6c. the end-to-end funnel a real curation run executes, as ONE plan:
     # extract → quality gate → lang gate → dedup survivors → hash split
     timed(
