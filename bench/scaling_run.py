@@ -198,6 +198,41 @@ fingerprint-survivor window, 3-row split count, final sort):
 | query | sf | wall sec (median-of-3, local[32]) |
 | --- | --- | --- |
 | curation_funnel_full | 0.1 | 1.22 |
+
+## Round-4 sweep attempt: discarded per the contamination policy
+
+A fresh round-4 regeneration ran while ambient load climbed from 2 to 6
+(neighbor VMs): 2→8 best efficiency read **1.02** — super-unity is this
+repo's documented discard marker (it means the low-core sample was
+contended, not that scaling improved) — and the no-Spark control
+collapsed proportionally (65.4k vs the recorded 120.5k at 32 workers),
+the same whole-host signature as the round-3 corroboration sweep. Raw
+numbers for the record (local[2/8/32] best: 7.1k / 28.9k / 52.7k
+turns/sec; Spark at local[32] = 81% of that hour's control ceiling); the
+recorded window above stands per policy. The 10× rung below ran earlier
+the same session under load < 2 and is the round-4 number of record.
+
+## Round-4: 10× scale rung (1.43 M turns — evidence beyond extrapolation)
+
+`bench/scale10_run.py` runs the three hottest paths over TEN TIMES the
+per-round bench corpus — 1,427,380 turns, built as 10 tagged copies of
+the 142,738-turn base so that (a) per-turn equality is provable at
+scale (order-independent per-copy checksum over
+`xxhash64(conv_id, turn_idx, extracted_text)` must equal the base run's
+— it did, all 10 copies) and (b) the dedup rung is adversarial on
+purpose: 90 % of the corpus is exact duplicates, the worst realistic
+bucket-collision shape for LSH. Idle machine, local[32], fresh JVM:
+
+| path | wall sec @10× | rate | linearity vs 1× bench |
+| --- | --- | --- | --- |
+| fused extract | 20.3 | **70,228 turns/sec** | 1× idle re-measure is 72,126 t/s — per-turn cost flat at 10× (0.97×) |
+| full curation funnel (ONE plan) | 26.0 | 55k turns/sec end-to-end | no superlinear blowup; the fingerprint-survivor shuffle dominates as expected |
+| MinHash signatures + banded index + bucket histogram | 76.3 | 18.7k docs/sec | index-build side of the incremental-probe design; max bucket width 7,110 under 10 planted copies of every doc — executed without spill |
+
+Funnel correctness at 10×: split totals 77,868 ≤ 142,738 base turns —
+the exact-dedup gate collapsed the 10 copies to one survivor each, and
+the per-copy extraction checksums matched the base corpus bit-for-bit.
+Regenerate with: `python bench/scale10_run.py`.
 """
 
     n_turns = levels[LEVELS[-1]]["turns"]

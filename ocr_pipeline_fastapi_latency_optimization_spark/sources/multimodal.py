@@ -9,9 +9,10 @@ pattern as ``functions/arabic.py``) and otherwise degrades to a
 ``codec_unavailable`` status row, never a task failure. A deterministic
 ``fake`` codec keeps the pipeline shape exercisable end-to-end in
 containers with no media libs. The AUDIO codec is real for WAV/PCM via
-stdlib ``wave`` (segment-RMS features, no optional dep); video remains
-an honest stub (av/ffmpeg are unavailable here) behind the same
-registry seam.
+stdlib ``wave`` (segment-RMS features) and the VIDEO codec is real for
+uncompressed YUV4MPEG2 (per-segment mean luma) — both zero-dependency;
+compressed containers degrade to per-row error sentinels, and a real
+deployment swaps in librosa/av decoders behind the same registry seam.
 """
 
 from __future__ import annotations
@@ -122,12 +123,76 @@ def _audio_decode_features(payload: bytes) -> list:
     return out
 
 
+def _video_decode_features(payload: bytes) -> list:
+    """Real video decode for uncompressed YUV4MPEG2 (y4m) — a public
+    plain-bytes format parseable with ZERO dependencies: ``YUV4MPEG2``
+    header line, then ``FRAME`` markers each followed by raw 4:2:0 YUV
+    planes. Features: mean luma (Y plane) per temporal segment,
+    N_FEATURES segments, normalized to [0, 1] — deterministic integer
+    accumulation. Compressed containers (mp4/webm) raise and degrade to
+    the per-row error sentinel; a real deployment registers an
+    av/ffmpeg-backed codec behind this same registry seam."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.index(b"\n")
+    params = {}
+    for tok in payload[10:nl].decode("ascii").split(" "):
+        if tok:
+            params[tok[0]] = tok[1:]
+    w, h = int(params["W"]), int(params["H"])
+    chroma = params.get("C", "420")
+    if not chroma.startswith("420"):
+        raise ValueError(f"unsupported chroma subsampling C{chroma}")
+    ysize = w * h
+    frame_size = ysize + 2 * ((w // 2) * (h // 2))
+    pos = nl + 1
+    luma_means = []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("missing FRAME marker")
+        data = payload[fnl + 1 : fnl + 1 + frame_size]
+        if len(data) < frame_size:
+            raise ValueError("truncated frame")
+        luma_means.append(sum(data[:ysize]) / (ysize * 255.0))
+        pos = fnl + 1 + frame_size
+    if not luma_means:
+        return [0.0] * N_FEATURES
+    n = len(luma_means)
+    out = []
+    for i in range(N_FEATURES):
+        seg = luma_means[i * n // N_FEATURES : (i + 1) * n // N_FEATURES]
+        out.append(sum(seg) / len(seg) if seg else 0.0)
+    return out
+
+
 CODECS: Dict[str, Callable[[bytes], list]] = {
     "fake": _fake_decode_features,
     "image": _image_decode_features if _PILImage is not None else _real_decode,
     "audio": _audio_decode_features,
-    "video": _real_decode,
+    "video": _video_decode_features,
 }
+
+
+def gen_y4m_bytes(
+    width: int = 16, height: int = 16, n_frames: int = 24, seed: int = 11
+) -> bytes:
+    """Deterministic uncompressed YUV4MPEG2 clip: per-frame luma ramps
+    dark → bright (so temporal features are monotone), chroma neutral;
+    a splitmix-style stream adds per-pixel texture."""
+    out = bytearray(f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode())
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    csize = (width // 2) * (height // 2)
+    for i in range(n_frames):
+        out += b"FRAME\n"
+        base = (i * 200) // max(n_frames - 1, 1) + 20  # 20..220 ramp
+        y = bytearray()
+        for _ in range(width * height):
+            x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            y.append(max(0, min(255, base + (x >> 40) % 21 - 10)))
+        out += bytes(y)
+        out += bytes([128]) * (2 * csize)
+    return bytes(out)
 
 
 def gen_wav_bytes(

@@ -760,6 +760,32 @@ def test_multimodal_real_audio_codec_roundtrip(spark):
     assert out.loc[1, "decode_status"].startswith("error:")
 
 
+def test_multimodal_real_video_codec_roundtrip(spark):
+    """The video codec is real for uncompressed YUV4MPEG2 (stdlib
+    parse): a generated clip with a dark→bright luma ramp decodes to
+    monotone per-segment mean-luma features, identically direct and
+    through the Spark path; compressed/garbage payloads degrade to the
+    per-row error sentinel."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources import multimodal as mm
+
+    clip = mm.gen_y4m_bytes(n_frames=24)
+    feats = mm.CODECS["video"](clip)
+    assert len(feats) == mm.N_FEATURES
+    assert all(0.0 <= f <= 1.0 for f in feats)
+    assert feats == mm.CODECS["video"](clip)  # deterministic
+    assert feats == sorted(feats) and feats[-1] > feats[0]  # luma ramp
+
+    rows = [
+        (0, "video", "video/x-yuv4mpeg", bytearray(clip), 16, 16, 960),
+        (1, "video", "video/mp4", bytearray(b"\x00\x00\x00 ftypmp42"), None, None, 5000),
+    ]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = mm.extract_features(df, codec="video").toPandas().set_index("media_id")
+    assert out.loc[0, "decode_status"] == "ok"
+    assert [round(f, 9) for f in out.loc[0, "feat"]] == [round(f, 9) for f in feats]
+    assert out.loc[1, "decode_status"].startswith("error:")
+
+
 def test_multimodal_real_image_codec_roundtrip(spark, tmp_path):
     """With Pillow present, the image codec must produce real features
     from a real PNG; without it, the registry resolves the stub. Both
