@@ -977,6 +977,29 @@ ORDER BY s.doc_id
 """
 
 
+def _semantic_dedup_sql() -> str:
+    """SQL twin of similarity.semantic_dedup_corpus: the proven
+    cosine-LSH pair oracle nested as a CTE, then the same recursive
+    reachability + min-label fold the text-side components oracle uses,
+    then the per-vector keep/drop verdict."""
+    return f"""
+WITH RECURSIVE pairs AS ({_lsh_oracle_sql()}),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.d AS node, reach.r FROM reach JOIN sym e ON e.s = reach.node),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT v.vec_id,
+       COALESCE(cc.cluster_id, v.vec_id) AS cluster_id,
+       (cc.node IS NULL OR cc.node = cc.cluster_id) AS keep
+FROM embeddings v LEFT JOIN cc ON cc.node = v.vec_id
+ORDER BY v.vec_id
+"""
+
+
 def _pin_session(spark: SparkSession) -> None:
     """The driver owns the session; pin the two confs our oracle
     comparisons assume (UTC epochs; Arrow for the pandas stages).
@@ -997,15 +1020,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order IS the driver's check order and the driver records at
     # most 50 rows per round. Round-4 hygiene (round-3 verdict #8):
     # never-green entries lead (approx_stats — shape fixed this round —
-    # and the two NEW round-4 entries), then boilerplate_lines whose
+    # and the three NEW round-4 entries), then boilerplate_lines whose
     # internals changed this round, then the 14 entries whose ONLY green
     # row is r03, then the multi-green body; only entries with green
     # driver rows in >= 2 rounds rotate to the tail (the 19-entry r03
-    # tail plus sentence_stats and quality_signals_v2, both triple-green
-    # and unchanged). Audited in-session against CORRECTNESS_r01-r03:
-    # window = 50 of 71, every tail entry >= 2 green rounds (or the
-    # by-design rows-only extract_synthetic, now driver-checked through
-    # its extract_synthetic_fp twin in the window).
+    # tail plus repetition_stats, sentence_stats and quality_signals_v2,
+    # all >= double-green and unchanged). Audited in-session against
+    # CORRECTNESS_r01-r03: window = 50 of 72, every tail entry >= 2
+    # green rounds (or the by-design rows-only extract_synthetic, now
+    # driver-checked through its extract_synthetic_fp twin in the
+    # window).
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
         chunking,
         curation,
@@ -1020,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats": _q_approx_stats,
         "extract_synthetic_fp": _q_extract_synthetic_fp,
         "quality_threshold_filter": _wrap(curation.quality_threshold_filter),
+        "semantic_dedup_corpus": _wrap(similarity.semantic_dedup_corpus),
         # implementation changed in round 4 (hashed shuffle key) — keep
         # under the driver's eyes for its first post-change row
         "boilerplate_lines": _q_boilerplate,
@@ -1071,8 +1096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_cosine": _wrap(similarity.near_dup_pairs_cosine),
         "cosine_lsh_pairs": _wrap(similarity.cosine_lsh_pairs),
         "pii_mask": _q_pii_mask,
+        # --- tail (index >= 50): >= 2 green driver rounds each
         "repetition_stats": _wrap(curation.repetition_stats),
-        # --- tail: >= 2 green driver rounds each (r01+r02 at minimum)
         "sentence_stats": _q_sentence_stats,
         "quality_signals_v2": _q_quality_v2,
         "active_count": _wrap(maintenance.active_count),
@@ -1622,6 +1647,7 @@ FROM t ORDER BY doc_id
 """,
         "quality_threshold_filter": _quality_threshold_sql(),
         "extract_synthetic_fp": _extract_synthetic_fp_sql(),
+        "semantic_dedup_corpus": _semantic_dedup_sql(),
         "decontaminate": f"""
 WITH aug AS (
   SELECT doc_id,

@@ -364,6 +364,35 @@ def cosine_lsh_pairs(
     )
 
 
+def semantic_dedup_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_e6: int = NEAR_DUP_THRESHOLD_E6,
+) -> DataFrame:
+    """SemDeDup-style EMBEDDING dedup verdict over the whole corpus
+    (Abbas et al. 2023, public): cosine-LSH near-dup pairs →
+    large-star/small-star connected components → one keep/drop verdict
+    per vector, keeping the minimum-id survivor of each semantic
+    cluster. The text-side twin is ``dedup.near_dedup_corpus``; this is
+    the embedding-side member of the same family, and composes the two
+    scale paths already proven separately: ids-only banded LSH (never an
+    all-pairs join) and O(log² n) star contraction. Output shape matches
+    ``near_dedup_corpus``: (vec_id, cluster_id, keep)."""
+    from .dedup import connected_components
+
+    pairs = cosine_lsh_pairs(spark, sf_dir, threshold_e6=threshold_e6)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    vecs = _emb(spark, sf_dir).select("vec_id")
+    joined = vecs.join(cc, vecs["vec_id"] == cc["node"], "left")
+    return joined.select(
+        "vec_id",
+        F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),
+        (F.col("node").isNull() | (F.col("node") == F.col("cluster_id"))).alias(
+            "keep"
+        ),
+    ).orderBy("vec_id")
+
+
 def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization — the storage layout a
     100 TB ANN index actually persists (4× smaller than float32, ~1e-2

@@ -573,3 +573,40 @@ def test_persisted_lsh_index_probe_is_shuffle_free_on_index_side(spark, tmp_path
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     finally:
         spark.sql("DROP TABLE IF EXISTS t_lsh_idx")
+
+
+def test_semantic_dedup_corpus_planted_clusters(spark, tmp_path):
+    """SemDeDup-style embedding verdict: vectors planted in tight
+    clusters (near-identical directions) must collapse to one survivor
+    per cluster (the minimum id), isolated vectors keep themselves, and
+    every vector appears exactly once."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    # 4 tight clusters of 5 near-identical vectors each (cos ≈ 1)
+    for c in range(4):
+        base = rng.normal(0, 1, 64)
+        for j in range(5):
+            v = base + rng.normal(0, 0.001, 64)
+            rows.append((c * 5 + j, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+    # orthogonal-ish singletons (random high-dim ⇒ low cosine)
+    for i in range(20, 30):
+        v = rng.normal(0, 1, 64)
+        rows.append((i, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = (
+        similarity.semantic_dedup_corpus(spark, str(tmp_path))
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == 30 and out.index.is_unique
+    for c in range(4):
+        ids = list(range(c * 5, c * 5 + 5))
+        assert (out.loc[ids, "cluster_id"] == c * 5).all()
+        assert out.loc[c * 5, "keep"] and not out.loc[ids[1:], "keep"].any()
+    singles = out.loc[20:29]
+    assert singles["keep"].all()
+    assert (singles["cluster_id"] == singles.index).all()
