@@ -199,6 +199,16 @@ fingerprint-survivor window, 3-row split count, final sort):
 | --- | --- | --- |
 | curation_funnel_full | 0.1 | 1.22 |
 
+## Round-4 full-size bench re-measure (load 1.4, local[32], 142,738 turns)
+
+`bench.py` on round-4 code, ambient load 1.4: total **20.22 s**
+including the newly-benched `quality_threshold_filter` (1.36 s) —
+**18.87 s on the round-3-comparable query set vs 20.71 s in
+BENCH_r03**, every shared query at-or-better (minhash-LSH 2.46 vs 3.10,
+cosine-LSH 2.73 vs 3.04, boilerplate 0.76 vs 0.84 after the hashed-key
+change — the fixed-width shuffle key did not regress the small-scale
+path). Extraction 57.7k turns/sec at that hour's ambient level.
+
 ## Round-4 sweep attempt: discarded per the contamination policy
 
 A fresh round-4 regeneration ran while ambient load climbed from 2 to 6
