@@ -303,16 +303,12 @@ def _signature_udf():
     return F.pandas_udf(_sig, T.LongType())
 
 
-def cosine_lsh_pairs(
-    spark: SparkSession,
-    sf_dir: str,
-    threshold_e6: int = NEAR_DUP_THRESHOLD_E6,
-) -> DataFrame:
-    """Embedding near-dup via random-hyperplane LSH: band the 16-bit
-    sign signature into 4×4-bit keys, bucket-join candidates sharing a
-    band, verify with exact quantized cosine ≥ threshold. At corpus
-    scale this replaces the O(N²) cross join with bucket-local joins."""
-    emb = _emb(spark, sf_dir)
+def cosine_band_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, key) hyperplane-LSH index rows for an embedding
+    frame — ids-only: the embedding arrays are never shuffled with the
+    band fan-out; they re-attach to surviving candidates only. This
+    frame is what gets PERSISTED at corpus scale (bucketed by
+    (band, key), see ``persist_cosine_index``)."""
     per_band = LSH_PLANES // LSH_BANDS
     mask = (1 << per_band) - 1
     packed = emb.withColumn("sig", _signature_udf()(F.col("embedding")))
@@ -325,11 +321,113 @@ def cosine_lsh_pairs(
         )
         for b in range(LSH_BANDS)
     ]
-    # ids-only buckets: never shuffle the embedding arrays with the
-    # band fan-out; arrays are re-attached only to surviving candidates
-    sig = packed.select(
+    return packed.select(
         "vec_id", F.explode(F.array(*band_cols)).alias("e")
     ).select("vec_id", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
+
+
+def persist_cosine_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    name: str,
+    path: str,
+    n_storage_buckets: int = 32,
+) -> str:
+    """Persist the hyperplane (band, key) LSH index bucketed by its
+    probe key — the embedding twin of ``dedup.persist_minhash_index``:
+    an ingest batch semi-joins the index with no Exchange on the index
+    side."""
+    from ..sources.catalog import write_bucketed_table
+
+    return write_bucketed_table(
+        cosine_band_buckets(emb), name, path, ["band", "key"], n_storage_buckets
+    )
+
+
+def incremental_cosine_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    boundary: int | None = None,
+    threshold_e6: int = NEAR_DUP_THRESHOLD_E6,
+    index_table: str | None = None,
+) -> DataFrame:
+    """Embedding-side incremental ingest dedup — completes the
+    exact-fp / MinHash / cosine × batch / incremental matrix, and runs
+    BOTH halves of the production probe in one plan: every NEW vector
+    (vec_id >= ``boundary``) collects its band-bucket collisions
+    against the EXISTING corpus's hyperplane index (candidate
+    generation — bucket-local, never all-pairs), then each candidate
+    pair is verified with the exact quantized cosine; verdict is
+    ``near_dup`` iff some existing vector in a shared bucket scores
+    >= ``threshold_e6``, else ``new``. The verify stage is what keeps
+    the verdict meaningful when bucket keys saturate (16-value band
+    keys at sandbox scale collide constantly — collision alone is not
+    evidence). Unlike shingle MinHash there is no sub-signature caveat:
+    every vector has a signature. With ``index_table`` (written by
+    ``persist_cosine_index``) only the new batch is hashed and the
+    candidate join reads the index shuffle-free; default computes both
+    sides from the boundary split — the driver-oracle path."""
+    from .dedup import INGEST_BOUNDARY
+
+    boundary = INGEST_BOUNDARY if boundary is None else boundary
+    emb = _emb(spark, sf_dir)
+    if index_table is not None:
+        new = cosine_band_buckets(emb.filter(F.col("vec_id") >= boundary))
+        existing = spark.table(index_table)
+    else:
+        buckets = cosine_band_buckets(emb)
+        existing = buckets.filter(F.col("vec_id") < boundary)
+        new = buckets.filter(F.col("vec_id") >= boundary)
+    pairs = (
+        new.join(
+            existing.select(
+                F.col("vec_id").alias("evec"), "band", "key"
+            ),
+            ["band", "key"],
+        )
+        .select("vec_id", "evec")
+        .distinct()
+    )
+    # exact verify on candidates only — plain equi-joins; the embedding
+    # table is corpus-sized, so no broadcast hint (AQE decides)
+    na = emb.select(F.col("vec_id"), F.col("embedding").alias("na_emb"))
+    ne = emb.select(
+        F.col("vec_id").alias("evec"), F.col("embedding").alias("ne_emb")
+    )
+    scored = (
+        pairs.join(na, "vec_id")
+        .join(ne, "evec")
+        .select(
+            "vec_id",
+            cosine_e6(F.col("na_emb"), F.col("ne_emb")).alias("score_e6"),
+        )
+    )
+    dups = (
+        scored.filter(F.col("score_e6") >= threshold_e6)
+        .select("vec_id")
+        .distinct()
+        .select("vec_id", F.lit("near_dup").alias("verdict"))
+    )
+    fresh = (
+        new.select("vec_id")
+        .distinct()
+        .join(dups.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", F.lit("new").alias("verdict"))
+    )
+    return dups.unionByName(fresh).orderBy("vec_id")
+
+
+def cosine_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_e6: int = NEAR_DUP_THRESHOLD_E6,
+) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH: band the 16-bit
+    sign signature into 4×4-bit keys, bucket-join candidates sharing a
+    band, verify with exact quantized cosine ≥ threshold. At corpus
+    scale this replaces the O(N²) cross join with bucket-local joins."""
+    emb = _emb(spark, sf_dir)
+    sig = cosine_band_buckets(emb)
     a = sig.alias("a")
     b = sig.alias("b")
     cands = (

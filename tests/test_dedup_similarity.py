@@ -610,3 +610,65 @@ def test_semantic_dedup_corpus_planted_clusters(spark, tmp_path):
     singles = out.loc[20:29]
     assert singles["keep"].all()
     assert (singles["cluster_id"] == singles.index).all()
+
+
+def test_persisted_cosine_index_probe_matches_and_is_shuffle_free(spark, tmp_path):
+    """Embedding twin of the persisted MinHash index probe: the
+    hyperplane (band, key) index persisted bucketed by its probe key;
+    the indexed incremental path must return byte-identical verdicts to
+    the in-memory boundary-split path, and with broadcast disabled the
+    probe semi-join's only (band, key)-keyed exchange is the probe
+    batch."""
+    import contextlib
+    import io
+    import re
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        INGEST_BOUNDARY,
+    )
+
+    emb = spark.read.parquet(f"{SF_01}/embeddings.parquet")
+    try:
+        similarity.persist_cosine_index(
+            spark,
+            emb.filter(F.col("vec_id") < INGEST_BOUNDARY),
+            "t_cos_idx",
+            str(tmp_path / "cidx"),
+            n_storage_buckets=8,
+        )
+        got = (
+            similarity.incremental_cosine_dedup(
+                spark, SF_01, index_table="t_cos_idx"
+            )
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            similarity.incremental_cosine_dedup(spark, SF_01)
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = similarity.cosine_band_buckets(
+                emb.filter(F.col("vec_id") >= INGEST_BOUNDARY)
+            )
+            idx = spark.table("t_cos_idx").select("band", "key").distinct()
+            j = probe.join(idx, ["band", "key"], "left_semi")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain(mode="simple")
+            plan = buf.getvalue()
+            assert "SelectedBucketsCount" in plan, plan
+            assert len(re.findall(r"Exchange hashpartitioning\(band", plan)) == 1, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cos_idx")
