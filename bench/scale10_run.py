@@ -12,8 +12,12 @@ The copies also make the dedup rung adversarial on purpose: 90% of the
 10x corpus is exact duplicates, so the MinHash banding sees maximal
 bucket collisions — the worst realistic shape for candidate generation.
 
-Appends one table row to BENCH/BASELINE.md (run on an otherwise idle
-machine; same caveat as bench/scaling_run.py) and prints one JSON line.
+Prints ONE JSON line with the measured rates and checksum verdicts
+(run on an otherwise idle machine; same caveat as
+bench/scaling_run.py). The 10x section of BENCH/BASELINE.md is
+maintained by hand from that JSON — this script does not write it
+(round-4 ADVICE #4: the earlier docstring claimed an append that
+bench/scaling_run.py's template actually owns).
 """
 
 import json

@@ -411,13 +411,28 @@ def persist_minhash_index(
     semi-join with NO Exchange on the index side; only the (small) probe
     batch shuffles. ``tests/test_dedup_similarity.py`` asserts that plan
     property on the real index, not a stand-in table."""
-    from ..sources.catalog import write_bucketed_table
+    from ..sources.catalog import set_table_properties, write_bucketed_table
 
     sig = minhash_signatures(docs, n_perms=n_perms, hash_fn=hash_fn)
     buckets = minhash_band_buckets(sig, n_perms=n_perms, bands=bands)
-    return write_bucketed_table(
-        buckets, name, path, ["band", "bucket"], n_storage_buckets
+    write_bucketed_table(buckets, name, path, ["band", "bucket"], n_storage_buckets)
+    # parameter manifest (round-4 ADVICE #1): a probe hashing with
+    # different n_perms/bands/hash_fn than the index was built with
+    # produces silently wrong verdicts — record the build parameters so
+    # incremental_minhash_dedup can fail fast on mismatch. max_doc_id is
+    # the content watermark that append_to_minhash_index advances.
+    max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    set_table_properties(
+        docs.sparkSession,
+        name,
+        {
+            "minhash.n_perms": n_perms,
+            "minhash.bands": bands,
+            "minhash.hash_fn": hash_fn,
+            "minhash.max_doc_id": -1 if max_id is None else int(max_id),
+        },
     )
+    return name
 
 
 def incremental_minhash_dedup(
@@ -453,12 +468,38 @@ def incremental_minhash_dedup(
     both sides in-memory from the boundary split — the driver-oracle
     path, byte-identical output."""
     if index_table is not None:
+        from ..sources.catalog import check_index_params
+
+        # fail-fast parameter handshake (round-4 ADVICE #1): a probe
+        # hashed with different n_perms/bands/hash_fn than the index was
+        # built with silently produces wrong verdicts — the exact desync
+        # failure mode the checkpoint manifest eliminates for resume.
+        check_index_params(
+            spark,
+            index_table,
+            {
+                "minhash.n_perms": n_perms,
+                "minhash.bands": bands,
+                "minhash.hash_fn": hash_fn,
+            },
+            kind="minhash",
+        )
         new_docs = _docs(spark, sf_dir).filter(F.col("doc_id") >= boundary)
         sig = minhash_signatures(new_docs, n_perms=n_perms, hash_fn=hash_fn)
         new = minhash_band_buckets(sig, n_perms=n_perms, bands=bands)
+        # consumption-side boundary guard (round-4 ADVICE #2 analog): an
+        # index accidentally built over the full corpus would make every
+        # new doc collide with its own index rows — keep doc_id in the
+        # read path and trust only rows strictly before the boundary
+        # (narrow filter; does not disturb the bucketed co-location).
         # distinct on exactly the bucketing key: satisfied by the table's
         # hash partitioning, so it adds no Exchange on the index side
-        existing_idx = spark.table(index_table).select("band", "bucket").distinct()
+        existing_idx = (
+            spark.table(index_table)
+            .filter(F.col("doc_id") < boundary)
+            .select("band", "bucket")
+            .distinct()
+        )
     else:
         sig = minhash_signatures(
             _docs(spark, sf_dir), n_perms=n_perms, hash_fn=hash_fn

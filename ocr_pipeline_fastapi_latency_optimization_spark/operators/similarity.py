@@ -268,9 +268,10 @@ import random as _random
 LSH_PLANES = 16
 LSH_DIM = 64
 LSH_BANDS = 4  # 4 bands x 4 bits
+LSH_SEED = 42
 
 
-def _hyperplanes(n_planes: int = LSH_PLANES, dim: int = LSH_DIM, seed: int = 42):
+def _hyperplanes(n_planes: int = LSH_PLANES, dim: int = LSH_DIM, seed: int = LSH_SEED):
     rng = _random.Random(seed)
     return [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
@@ -337,11 +338,28 @@ def persist_cosine_index(
     probe key — the embedding twin of ``dedup.persist_minhash_index``:
     an ingest batch semi-joins the index with no Exchange on the index
     side."""
-    from ..sources.catalog import write_bucketed_table
+    from ..sources.catalog import set_table_properties, write_bucketed_table
 
-    return write_bucketed_table(
+    write_bucketed_table(
         cosine_band_buckets(emb), name, path, ["band", "key"], n_storage_buckets
     )
+    # parameter manifest (round-4 ADVICE #1/#2): record the hyperplane
+    # family (count/bands/seed are module constants baked into the
+    # signature UDF) and the content watermark, so a probe can fail fast
+    # on a family mismatch and filter to pre-boundary rows instead of
+    # trusting the caller's build-time filter.
+    max_id = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    set_table_properties(
+        emb.sparkSession,
+        name,
+        {
+            "cosine.n_planes": LSH_PLANES,
+            "cosine.bands": LSH_BANDS,
+            "cosine.seed": LSH_SEED,
+            "cosine.max_vec_id": -1 if max_id is None else int(max_id),
+        },
+    )
+    return name
 
 
 def incremental_cosine_dedup(
@@ -372,8 +390,29 @@ def incremental_cosine_dedup(
     boundary = INGEST_BOUNDARY if boundary is None else boundary
     emb = _emb(spark, sf_dir)
     if index_table is not None:
+        from ..sources.catalog import check_index_params
+
+        # fail fast if the index was built under a different hyperplane
+        # family (round-4 ADVICE #1 analog — same hash-parameter
+        # handshake as the MinHash index probe)
+        check_index_params(
+            spark,
+            index_table,
+            {
+                "cosine.n_planes": LSH_PLANES,
+                "cosine.bands": LSH_BANDS,
+                "cosine.seed": LSH_SEED,
+            },
+            kind="cosine",
+        )
         new = cosine_band_buckets(emb.filter(F.col("vec_id") >= boundary))
-        existing = spark.table(index_table)
+        # consumption-side boundary guard (round-4 ADVICE #2): an index
+        # accidentally built over the FULL corpus would make every new
+        # vector collide with its own index rows (cosine 1.0) and flag
+        # the whole batch near_dup with no error — keep vec_id in the
+        # read path and trust only rows strictly before the boundary
+        # (narrow filter; bucketed co-location undisturbed).
+        existing = spark.table(index_table).filter(F.col("vec_id") < boundary)
     else:
         buckets = cosine_band_buckets(emb)
         existing = buckets.filter(F.col("vec_id") < boundary)

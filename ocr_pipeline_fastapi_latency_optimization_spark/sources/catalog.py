@@ -79,3 +79,58 @@ def write_bucketed_table(
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
     return name
+
+
+def set_table_properties(spark: SparkSession, name: str, props: dict) -> None:
+    """Record build-time metadata (index parameters, content watermarks)
+    as table properties — the catalog-level analog of the checkpoint
+    manifest (plans/checkpoint.py::write_or_check_manifest): a probe
+    can fail fast on a parameter mismatch instead of silently producing
+    wrong verdicts (round-4 ADVICE #1). Values are stringified."""
+    kv = ", ".join(
+        "'{}'='{}'".format(str(k).replace("'", "''"), str(v).replace("'", "''"))
+        for k, v in sorted(props.items())
+    )
+    spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES ({kv})")
+
+
+def get_table_properties(spark: SparkSession, name: str) -> dict:
+    return {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+    }
+
+
+def check_index_params(
+    spark: SparkSession, name: str, expected: dict, kind: str
+) -> dict:
+    """Fail-fast parameter handshake between a persisted index table and
+    a probe: every key in ``expected`` must be present in the table's
+    recorded properties and string-equal. A property-less table (built
+    by an older version of this library, or by hand) gets a dedicated
+    error — its guarantees cannot be checked (same policy as the
+    old-layout checkpoint manifest)."""
+    props = get_table_properties(spark, name)
+    missing = [k for k in expected if k not in props]
+    if missing:
+        raise ValueError(
+            f"{kind} index table {name} records no build parameters for "
+            f"{sorted(missing)} — it was written by an older version of "
+            "this library (or not by persist_*_index at all); a probe "
+            "cannot verify hash-parameter compatibility. Rebuild the "
+            "index with the current persist function."
+        )
+    mismatched = {
+        k: (props[k], str(v)) for k, v in expected.items() if props[k] != str(v)
+    }
+    if mismatched:
+        detail = ", ".join(
+            f"{k}: index={a!r} probe={b!r}" for k, (a, b) in sorted(mismatched.items())
+        )
+        raise ValueError(
+            f"{kind} index table {name} was built with different "
+            f"parameters than this probe ({detail}); probing it would "
+            "produce silently wrong dup/new verdicts. Use the index's "
+            "parameters or rebuild the index."
+        )
+    return props

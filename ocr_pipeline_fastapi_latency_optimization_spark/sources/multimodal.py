@@ -88,17 +88,22 @@ def _audio_decode_features(payload: bytes) -> list:
     """Real audio decode for WAV/PCM via stdlib ``wave`` (no optional
     dep): parse frames, split into N_FEATURES contiguous segments, emit
     per-segment RMS amplitude normalized to [0, 1]. Deterministic pure
-    integer accumulation; 8- and 16-bit PCM supported. Non-WAV payloads
-    raise (``wave.Error``) and degrade to the per-row error sentinel in
-    ``extract_features`` — never a task failure (X5 analog). Codecs
-    needing compressed formats (mp3/ogg) would slot behind the same
-    registry seam."""
+    integer accumulation; 8- and 16-bit PCM supported. Multi-channel
+    WAV is downmixed explicitly (per-frame channel mean via
+    ``getnchannels()``) so segment boundaries land on FRAME boundaries —
+    treating interleaved stereo as one mono stream would split L/R pairs
+    and mix channels across segments (round-4 ADVICE #3). Non-WAV
+    payloads raise (``wave.Error``) and degrade to the per-row error
+    sentinel in ``extract_features`` — never a task failure (X5 analog).
+    Codecs needing compressed formats (mp3/ogg) would slot behind the
+    same registry seam."""
     import array as _array
     import io as _io
     import wave as _wave
 
     with _wave.open(_io.BytesIO(payload), "rb") as w:
         width = w.getsampwidth()
+        n_ch = w.getnchannels()
         frames = w.readframes(w.getnframes())
     if width == 2:
         samples = _array.array("h")
@@ -110,6 +115,13 @@ def _audio_decode_features(payload: bytes) -> list:
         full = 128.0
     else:
         raise ValueError(f"unsupported PCM sample width {width}")
+    if n_ch > 1:
+        # drop any ragged tail that is not a whole frame, then average
+        # each interleaved frame's channels (exact: int sum / n_ch)
+        whole = len(samples) // n_ch * n_ch
+        samples = [
+            sum(samples[i : i + n_ch]) / n_ch for i in range(0, whole, n_ch)
+        ]
     n = len(samples)
     if n == 0:
         return [0.0] * N_FEATURES
@@ -196,11 +208,13 @@ def gen_y4m_bytes(
 
 
 def gen_wav_bytes(
-    n_samples: int = 800, rate: int = 8000, seed: int = 7
+    n_samples: int = 800, rate: int = 8000, seed: int = 7, n_channels: int = 1
 ) -> bytes:
-    """Deterministic 16-bit mono PCM WAV (stdlib only) — a real,
-    parseable audio payload for tests and demos: a ramp-modulated
-    square-ish wave derived from a splitmix-style integer stream."""
+    """Deterministic 16-bit PCM WAV (stdlib only) — a real, parseable
+    audio payload for tests and demos: a ramp-modulated square-ish wave
+    derived from a splitmix-style integer stream. ``n_channels > 1``
+    interleaves per-channel variants of the same frame (the stereo
+    downmix test fixture)."""
     import io as _io
     import struct as _struct
     import wave as _wave
@@ -215,9 +229,15 @@ def gen_wav_bytes(
         amp = (i * 20000) // max(n_samples - 1, 1)
         sign = 1 if (i // 4) % 2 == 0 else -1
         jitter = (x >> 33) % 997 - 498
-        frames += _struct.pack("<h", max(-32768, min(32767, sign * amp + jitter)))
+        for c in range(n_channels):
+            # channels differ by a deterministic per-channel offset so a
+            # naive interleaved read cannot accidentally match the mix
+            frames += _struct.pack(
+                "<h",
+                max(-32768, min(32767, sign * amp + jitter + c * 600 - 300 * (n_channels - 1))),
+            )
     with _wave.open(buf, "wb") as w:
-        w.setnchannels(1)
+        w.setnchannels(n_channels)
         w.setsampwidth(2)
         w.setframerate(rate)
         w.writeframes(bytes(frames))

@@ -760,6 +760,25 @@ def test_multimodal_real_audio_codec_roundtrip(spark):
     assert out.loc[1, "decode_status"].startswith("error:")
 
 
+def test_multimodal_stereo_wav_downmixed_per_frame():
+    """Round-4 ADVICE #3: multi-channel WAV must be downmixed per FRAME
+    (channel mean via getnchannels()), not read as one interleaved mono
+    stream. The stereo fixture offsets its two channels by ∓300 around
+    the mono signal, so a correct per-frame mean reproduces the mono
+    features EXACTLY — while the old interleaved read would both split
+    L/R pairs across segment boundaries and inflate every RMS (the ±300
+    offsets add energy unless cancelled within each frame first)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources import multimodal as mm
+
+    mono = mm.CODECS["audio"](mm.gen_wav_bytes(n_samples=800))
+    stereo = mm.CODECS["audio"](mm.gen_wav_bytes(n_samples=800, n_channels=2))
+    assert stereo == mono
+    quad = mm.CODECS["audio"](mm.gen_wav_bytes(n_samples=800, n_channels=4))
+    assert len(quad) == mm.N_FEATURES
+    # 4-channel offsets (-450,+150 pairs…) also cancel to the mono mean
+    assert quad == mono
+
+
 def test_multimodal_real_video_codec_roundtrip(spark):
     """The video codec is real for uncompressed YUV4MPEG2 (stdlib
     parse): a generated clip with a dark→bright luma ramp decodes to

@@ -672,3 +672,88 @@ def test_persisted_cosine_index_probe_matches_and_is_shuffle_free(spark, tmp_pat
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cos_idx")
+
+
+def test_index_param_handshake_fails_fast(spark, tmp_path):
+    """Round-4 ADVICE #1: a probe whose hash parameters differ from the
+    persisted index's build parameters must RAISE (silently wrong
+    dup/new verdicts are the bad kind of wrong), and a parameter-less
+    table (old layout / hand-built) gets a dedicated rebuild error."""
+    import pytest
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    existing = docs.filter(F.col("doc_id") < dedup.INGEST_BOUNDARY)
+    try:
+        dedup.persist_minhash_index(
+            spark, existing, "t_lsh_idx_p", str(tmp_path / "idx"),
+            n_perms=16, bands=4, n_storage_buckets=4,
+        )
+        # matched params: runs (smoke)
+        dedup.incremental_minhash_dedup(
+            spark, SF_DIR, n_perms=16, bands=4, index_table="t_lsh_idx_p"
+        ).limit(1).collect()
+        # mismatched n_perms (the ADVICE example: built 16, probed 32)
+        with pytest.raises(ValueError, match="different\\s+parameters"):
+            dedup.incremental_minhash_dedup(
+                spark, SF_DIR, n_perms=32, bands=8, index_table="t_lsh_idx_p"
+            )
+        # mismatched hash_fn
+        with pytest.raises(ValueError, match="different\\s+parameters"):
+            dedup.incremental_minhash_dedup(
+                spark, SF_DIR, n_perms=16, bands=4, hash_fn="xxhash64",
+                index_table="t_lsh_idx_p",
+            )
+        # a table NOT written by persist_minhash_index records no params
+        from ocr_pipeline_fastapi_latency_optimization_spark.sources.catalog import (
+            write_bucketed_table,
+        )
+
+        sig = dedup.minhash_signatures(existing, n_perms=16)
+        write_bucketed_table(
+            dedup.minhash_band_buckets(sig, n_perms=16, bands=4),
+            "t_lsh_idx_bare", str(tmp_path / "bare"), ["band", "bucket"], 4,
+        )
+        with pytest.raises(ValueError, match="no build parameters"):
+            dedup.incremental_minhash_dedup(
+                spark, SF_DIR, n_perms=16, bands=4, index_table="t_lsh_idx_bare"
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_lsh_idx_p")
+        spark.sql("DROP TABLE IF EXISTS t_lsh_idx_bare")
+
+
+def test_cosine_index_overfull_build_is_neutralized_by_boundary_filter(
+    spark, tmp_path
+):
+    """Round-4 ADVICE #2: an index accidentally built over the FULL
+    corpus (build-time filter forgotten) must NOT flag the whole batch
+    near_dup via self-collisions — the probe keeps vec_id in the read
+    path and trusts only rows strictly before the boundary, so the
+    over-full index yields byte-identical verdicts to a correct one."""
+    emb = spark.read.parquet(f"{SF_01}/embeddings.parquet")
+    try:
+        # "accidental" build over the FULL corpus — no boundary filter
+        similarity.persist_cosine_index(
+            spark, emb, "t_cos_idx_full", str(tmp_path / "cidx"),
+            n_storage_buckets=4,
+        )
+        got = (
+            similarity.incremental_cosine_dedup(
+                spark, SF_01, index_table="t_cos_idx_full"
+            )
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            similarity.incremental_cosine_dedup(spark, SF_01)
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # the failure mode the filter prevents: without it every new
+        # vector collides with itself (cosine 1.0) → all near_dup
+        assert (want["verdict"] == "new").any()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cos_idx_full")
