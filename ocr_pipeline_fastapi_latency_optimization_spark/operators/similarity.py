@@ -80,16 +80,72 @@ def cosine_e6(a: Column, b: Column) -> Column:
     return _cosine_e6_udf()(a, b)
 
 
+def _topk_per_query(scored: DataFrame, k: int, topk: str = "heap") -> DataFrame:
+    """Final per-query top-k over (query_id, neighbor_id, score_e6) —
+    rank = quantized cosine desc, neighbor id asc (a total order, so
+    both implementations are byte-identical; asserted in tests).
+
+    ``topk='heap'`` (default, the scale path — round-4 verdict #1): a
+    two-level bounded aggregate. Level 1 groups by (query_id, input
+    partition id), so each group lives entirely inside one partition and
+    its ``slice(array_sort(collect_list(...)), 1, k)`` keeps only the k
+    best candidates BEFORE anything shuffles — the map-side-partial
+    top-k the old docstring promised; the per-task state is O(queries x
+    k), never all candidates. Level 2 merges the <= k x n_partitions
+    survivors per query with one more sort+slice. No Window anywhere: a
+    hot IVF bucket (skewed candidate list) costs a bounded merge, not a
+    single-partition sort of every candidate of that query.
+
+    ``topk='window'``: the per-query ``row_number`` form — kept as the
+    small-scale twin whose shape matches the DuckDB oracle SQL."""
+    if topk == "window":
+        w = W.partitionBy("query_id").orderBy(
+            F.col("score_e6").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "rnk", "score_e6")
+            .orderBy("query_id", "rnk")
+        )
+    if topk != "heap":
+        raise ValueError(f"unknown topk implementation {topk!r}")
+    # struct sorts by field order: (-score, id) asc == score desc, id asc
+    entry = F.struct(
+        (-F.col("score_e6")).alias("ns"), F.col("neighbor_id").alias("nid")
+    )
+    partial = scored.groupBy(
+        "query_id", F.spark_partition_id().alias("_p")
+    ).agg(F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("top"))
+    merged = (
+        partial.select("query_id", F.explode("top").alias("t"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("t")), 1, k).alias("top"))
+    )
+    return (
+        merged.select("query_id", F.posexplode("top").alias("i", "t"))
+        .select(
+            "query_id",
+            F.col("t.nid").alias("neighbor_id"),
+            (F.col("i") + 1).cast("int").alias("rnk"),
+            (-F.col("t.ns")).alias("score_e6"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
 def brute_force_knn(
     spark: SparkSession,
     sf_dir: str,
     k: int = DEFAULT_K,
     n_queries: int = DEFAULT_QUERIES,
+    topk: str = "heap",
 ) -> DataFrame:
     """Baseline ANN: broadcast the (small) query set against every
-    vector, rank per query by quantized cosine desc with id tie-break.
-    The window is a per-query top-k; at scale, replace the final
-    row_number with a bounded heap via groupBy + slice(sort_array)."""
+    vector, then take the per-query top-k via the bounded two-level
+    heap aggregate (``_topk_per_query`` — no Window in the default
+    plan; the ``row_number`` form survives as the ``topk='window'``
+    twin, byte-identical by test)."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -102,15 +158,7 @@ def brute_force_knn(
         F.col("vec_id").alias("neighbor_id"),
         cosine_e6(F.col("q_emb"), F.col("embedding")).alias("score_e6"),
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("score_e6").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", "score_e6")
-        .orderBy("query_id", "rnk")
-    )
+    return _topk_per_query(scored, k, topk=topk)
 
 
 NEAR_DUP_THRESHOLD_E6 = 400000
@@ -699,12 +747,18 @@ def ivf_knn(
     n_centroids: int = IVF_CENTROIDS,
     train: bool = True,
     nprobe: int = 1,
+    topk: str = "heap",
 ) -> DataFrame:
     """IVF ANN: probe the query's ``nprobe`` nearest buckets — the
     candidate join is bucket-co-located (equi-join on bucket), so work
     scales with probed-bucket size, not corpus size. ``nprobe`` is the
     recall lever: corpus vectors live in exactly one bucket (candidates
-    never duplicate), queries fan out to their nprobe best centroids."""
+    never duplicate), queries fan out to their nprobe best centroids.
+    The final per-query top-k is the bounded heap aggregate by default
+    (round-4 verdict #1: a hot probed bucket skews the candidate list,
+    and a row_number window would sort ALL of a query's candidates in
+    one partition — the heap keeps per-task state at O(queries·k));
+    ``topk='window'`` retains the oracle-shaped form."""
     emb = _emb(spark, sf_dir)
     if train:
         cents = kmeans_centroids(emb, n_centroids=n_centroids)
@@ -728,14 +782,38 @@ def ivf_knn(
                 cosine_e6(F.col("embedding"), F.col("c_emb")).alias("s"),
             )
         )
-        wq = W.partitionBy("vec_id").orderBy(
-            F.col("s").desc(), F.col("centroid_id").asc()
-        )
-        q_src = (
-            scored_c.withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") <= nprobe)
-            .select("vec_id", "embedding", F.col("centroid_id").alias("bucket"))
-        )
+        if topk == "window":
+            wq = W.partitionBy("vec_id").orderBy(
+                F.col("s").desc(), F.col("centroid_id").asc()
+            )
+            q_src = (
+                scored_c.withColumn("rn", F.row_number().over(wq))
+                .filter(F.col("rn") <= nprobe)
+                .select("vec_id", "embedding", F.col("centroid_id").alias("bucket"))
+            )
+        else:
+            # same bounded-heap shape for the nprobe-centroid selection
+            # (the query set is tiny, but this keeps the default plan
+            # Window-free end to end); `first(embedding)` is safe —
+            # embedding is functionally dependent on the vec_id key
+            centry = F.struct(
+                (-F.col("s")).alias("ns"), F.col("centroid_id").alias("cid")
+            )
+            q_src = (
+                scored_c.groupBy("vec_id")
+                .agg(
+                    F.first("embedding").alias("embedding"),
+                    F.slice(
+                        F.array_sort(F.collect_list(centry)), 1, nprobe
+                    ).alias("top"),
+                )
+                .select(
+                    "vec_id",
+                    "embedding",
+                    F.explode("top").alias("t"),
+                )
+                .select("vec_id", "embedding", F.col("t.cid").alias("bucket"))
+            )
     q = q_src.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -749,12 +827,4 @@ def ivf_knn(
         F.col("vec_id").alias("neighbor_id"),
         cosine_e6(F.col("q_emb"), F.col("embedding")).alias("score_e6"),
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("score_e6").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", "score_e6")
-        .orderBy("query_id", "rnk")
-    )
+    return _topk_per_query(scored, k, topk=topk)

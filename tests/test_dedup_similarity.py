@@ -757,3 +757,30 @@ def test_cosine_index_overfull_build_is_neutralized_by_boundary_filter(
         assert (want["verdict"] == "new").any()
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cos_idx_full")
+
+
+def test_knn_heap_topk_matches_window_and_is_window_free(spark):
+    """Round-4 verdict #1 (the round's one weak-for-scale item): the
+    default knn final stage is a bounded two-level heap aggregate, not a
+    per-query row_number window. (a) heap and window forms must be
+    byte-identical on brute-force, IVF, and multi-probe IVF — the
+    (score desc, id asc) order is total so there is exactly one right
+    answer; (b) the default plans contain NO Window operator anywhere
+    (including the nprobe centroid selection)."""
+    import contextlib
+    import io
+
+    for fn, kwargs in [
+        (similarity.brute_force_knn, {}),
+        (similarity.ivf_knn, {"train": False}),
+        (similarity.ivf_knn, {"train": False, "nprobe": 2}),
+    ]:
+        heap = fn(spark, SF_DIR, **kwargs)
+        window = fn(spark, SF_DIR, topk="window", **kwargs).toPandas()
+        pd.testing.assert_frame_equal(heap.toPandas(), window)
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            heap.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "Window" not in plan, (kwargs, plan)
