@@ -547,3 +547,43 @@ def symbol_ratios(spark: SparkSession, sf_dir: str, docs: DataFrame | None = Non
         .cast("long")
         .alias("mean_line_len_e2"),
     ).orderBy("doc_id")
+
+
+def exact_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length quartiles via the two-pass histogram —
+    the ORDER-STATISTIC twin of ``approx_stats`` (round-4 verdict #2:
+    the approximate entry can never earn a driver green because no
+    cross-engine oracle exists for a sketch; exact percentiles are
+    engine-independent and hash-oracle-able, so distributional stats get
+    genuine driver signal through THIS query).
+
+    Definition (discrete, no interpolation): q_p = the element at
+    0-based index ((n-1)·p) div 100 of the sorted lengths — pure integer
+    arithmetic, so DuckDB agrees bit-for-bit. Scale shape: identical to
+    ``quality_threshold_filter``'s accepted pattern — one (source, len)
+    hash aggregate (map-side partial), then windows ONLY over the
+    bounded histogram (≤ max-doc-length bins per source), never over
+    the corpus."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir).select(
+        "source", F.length("text").cast("long").alias("len")
+    )
+    hist = docs.groupBy("source", "len").agg(F.count("*").alias("c"))
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(W.partitionBy("source").orderBy("len"))
+    ).withColumn("n", F.sum("c").over(W.partitionBy("source")))
+    qcols = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"((n - 1) * {p}) div 100") + 1,
+                F.col("len"),
+            )
+        ).alias(nm)
+        for p, nm in ((25, "q25"), (50, "q50"), (75, "q75"))
+    ]
+    return (
+        cum.groupBy("source")
+        .agg(F.max("n").alias("n_docs"), *qcols)
+        .orderBy("source")
+    )

@@ -1,0 +1,160 @@
+"""Deterministic text→embedding generation (round-4 verdict #1): the
+Spark integer feature sums against the pure-Python oracle, decorrelation
+from the MinHash permutation family, and the closed-loop semantic text
+dedup on planted duplicates."""
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
+    dedup,
+    embedding,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_01 = "/root/testdata/sf0.01"
+
+
+def test_embed_sums_match_python_oracle(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
+    sums = embedding.embed_sums(docs).toPandas().set_index("doc_id")
+    texts = {
+        r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()
+    }
+    assert len(sums) > 0
+    for doc_id, row in sums.iterrows():
+        n, s = embedding.embed_py(texts[doc_id])
+        assert row["n_tokens"] == n, doc_id
+        assert [row[f"s{d}"] for d in range(embedding.EMBED_DIM)] == s, doc_id
+
+
+def test_embed_consts_are_not_the_minhash_permutations():
+    """The embedding projection stream must be a DIFFERENT universal-hash
+    stream than the MinHash permutations — shared constants would
+    correlate embedding dimensions with dedup signatures."""
+    n = 32
+    assert embedding._embed_consts(n) != dedup._affine_consts(n)
+    # and the stream itself is deterministic
+    assert embedding._embed_consts(n) == embedding._embed_consts(n)
+
+
+def test_embed_multiset_and_token_handling(spark):
+    """Repeated tokens count (bag semantics); consecutive/leading
+    spaces contribute nothing; identical texts embed identically;
+    token-less docs are absent (the sub-shingle analog)."""
+    rows = [
+        (0, "alpha beta alpha", "s"),
+        (1, "  alpha   beta alpha  ", "s"),  # same multiset, noisy spacing
+        (2, "alpha beta", "s"),
+        (3, "", "s"),
+        (4, "   ", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = embedding.embed_sums(docs).toPandas().set_index("doc_id").sort_index()
+    assert list(out.index) == [0, 1, 2]  # 3 and 4 have no tokens
+    cols = [f"s{d}" for d in range(embedding.EMBED_DIM)]
+    assert out.loc[0, cols].tolist() == out.loc[1, cols].tolist()
+    assert out.loc[0, "n_tokens"] == 3 and out.loc[1, "n_tokens"] == 3
+    assert out.loc[0, cols].tolist() != out.loc[2, cols].tolist()
+    # bag semantics: doubling a token is NOT idempotent
+    n, s_ab = embedding.embed_py("alpha beta")
+    _, s_aab = embedding.embed_py("alpha alpha beta")
+    assert s_ab != s_aab
+
+
+def test_embedding_frame_shape_matches_fixture_contract(spark):
+    """embed_documents_df serves the same (id, array<double>) shape the
+    fixture embeddings.parquet provides, at LSH_DIM dimensions — so the
+    hyperplane index, quantizer and knn machinery apply unchanged."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
+        LSH_DIM,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10)
+    emb = embedding.embed_documents_df(docs)
+    schema = {f.name: f.dataType.simpleString() for f in emb.schema.fields}
+    assert schema == {"doc_id": "bigint", "embedding": "array<double>"}
+    first = emb.limit(1).collect()[0]
+    assert len(first["embedding"]) == LSH_DIM == embedding.EMBED_DIM
+
+
+def test_semantic_text_dedup_planted_duplicates(spark, tmp_path):
+    """The closed loop: planted exact + near duplicates of real fixture
+    texts must cluster to their source doc (min-id survivor keeps);
+    unrelated docs keep themselves; every doc appears exactly once."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.filter(F.col("doc_id") < 40).select("doc_id", "text", "source")
+    exact = (
+        docs.filter(F.col("doc_id") < 3)
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text", "source")
+    )
+    # one appended token: a bounded perturbation even for the shortest
+    # base doc (doc 0 has 23 tokens → cosine 0.9785 ≥ the 0.95
+    # threshold; two tokens would dilute it to 0.917 — correctly below)
+    near = (
+        docs.filter(F.col("doc_id") < 3)
+        .select(
+            (F.col("doc_id") + 2000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+            "source",
+        )
+    )
+    base.unionByName(exact).unionByName(near).write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = (
+        embedding.semantic_dedup_text_corpus(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 46 and out.index.is_unique
+    for d in range(3):
+        assert out.loc[d + 1000, "cluster_id"] == d
+        assert not out.loc[d + 1000, "keep"]
+        assert out.loc[d + 2000, "cluster_id"] == d
+        assert not out.loc[d + 2000, "keep"]
+        assert out.loc[d, "keep"]
+
+
+def test_semantic_text_threshold_recovers_jaccard_ground_truth(spark):
+    """The committed threshold claim, asserted: at 0.95 the cosine pair
+    set over the corpus's own text equals the n-gram Jaccard≥0.8 pair
+    set exactly (measured in-session on sf0.01 and frozen here) — the
+    embedding stage loses nothing against the text-side ground truth."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
+        cosine_band_buckets,
+        cosine_e6,
+    )
+
+    docs = spark.read.parquet(f"{SF_01}/documents.parquet")
+    jac = dedup.ngram_jaccard_pairs(spark, SF_01).toPandas()
+    jset = set(zip(jac["doc_a"], jac["doc_b"]))
+    emb = embedding.embed_documents_df(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    b = cosine_band_buckets(emb)
+    a2, b2 = b.alias("a"), b.alias("b")
+    cands = (
+        a2.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a", "id_b", cosine_e6(F.col("ea"), F.col("eb")).alias("s")
+        )
+        .filter(F.col("s") >= embedding.TEXT_NEAR_DUP_THRESHOLD_E6)
+        .toPandas()
+    )
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == jset
