@@ -430,9 +430,68 @@ def persist_minhash_index(
             "minhash.bands": bands,
             "minhash.hash_fn": hash_fn,
             "minhash.max_doc_id": -1 if max_id is None else int(max_id),
+            # append metadata: the maintenance path re-reads the
+            # bucketing spec from here so it can never silently
+            # re-bucket the table (catalog.append_to_bucketed_index)
+            "minhash.path": path,
+            "minhash.n_storage_buckets": int(n_storage_buckets),
+            "minhash.bucket_cols": "band,bucket",
         },
     )
     return name
+
+
+def append_to_minhash_index(
+    spark: SparkSession,
+    docs_batch: DataFrame,
+    index_table: str,
+    n_perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    hash_fn: str = "md5_affine",
+) -> dict:
+    """Fold an ingest batch into a persisted MinHash LSH index
+    idempotently (round-4 verdict #3: the probe-only index gets its
+    maintenance path). The batch is hashed with the INDEX's recorded
+    parameters (handshake fails fast on mismatch), its (band, bucket,
+    doc_id) rows are appended through the recorded bucket spec — the
+    probe side stays Exchange-free afterwards (plan-asserted in tests)
+    — and a content fingerprint (count + order-independent
+    xxhash64(doc_id, text) sum, same construction as the checkpoint
+    manifest) makes a double-append a recorded no-op. Appends must be
+    monotone in doc_id past the index watermark; out-of-order ingest
+    raises. Returns the append receipt dict."""
+    from ..sources.catalog import append_to_bucketed_index, check_index_params
+
+    check_index_params(
+        spark,
+        index_table,
+        {
+            "minhash.n_perms": n_perms,
+            "minhash.bands": bands,
+            "minhash.hash_fn": hash_fn,
+        },
+        kind="minhash",
+    )
+    stat = docs_batch.agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.sum(F.xxhash64("doc_id", "text").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    if stat["n"] == 0:
+        return {"status": "noop", "batch_fp": "empty", "table": index_table}
+    sig = minhash_signatures(docs_batch, n_perms=n_perms, hash_fn=hash_fn)
+    buckets = minhash_band_buckets(sig, n_perms=n_perms, bands=bands)
+    return append_to_bucketed_index(
+        spark,
+        buckets,
+        index_table,
+        "minhash",
+        batch_fp=f"{stat['n']}:{stat['h']}",
+        batch_min_id=int(stat["lo"]),
+        batch_max_id=int(stat["hi"]),
+        watermark_key="minhash.max_doc_id",
+    )
 
 
 def incremental_minhash_dedup(

