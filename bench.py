@@ -166,6 +166,19 @@ def main() -> None:
         lambda: _force(curation.curation_funnel_full(spark, SF_DIR)),
     )
 
+    # 6d. text→embedding generation + the closed extract→embed→dedup
+    # loop over the corpus's OWN text (round-5 additions)
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import embedding
+
+    timed(
+        "embed_documents",
+        lambda: _force(embedding.embed_documents(spark, SF_DIR)),
+    )
+    timed(
+        "semantic_text_dedup",
+        lambda: _force(embedding.semantic_dedup_text_corpus(spark, SF_DIR)),
+    )
+
     # 7. similarity scale path + block inspection
     timed(
         "cosine_lsh",

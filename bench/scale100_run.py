@@ -1,0 +1,221 @@
+"""100x scale rung (round-4 verdict #5): extend the measured ladder one
+decade beyond bench/scale10_run.py. Three claims get evidence here:
+
+1. **Fused extract at ~14.3M turns** (100 tagged copies of the
+   142,738-turn bench corpus): per-turn cost must stay flat one more
+   decade, and per-copy equality is proven the same way as at 10x — an
+   order-independent checksum (sum of per-turn
+   ``xxhash64(conv_id, turn_idx, extracted_text)``) per copy must equal
+   the base run's. The timed pass IS the checksum pass (full extract +
+   a tiny aggregate), so equality costs no second scan.
+
+2. **Incremental index probe as the index grows 10x → 100x**: the SAME
+   500-doc batch probes a persisted (band, bucket) MinHash index built
+   over 10 and then 100 tagged copies of the sf0.1 documents table.
+   The probe semi-join has zero Exchanges on the index side (the
+   bucketed layout); what grows with the index is only the co-located
+   columnar scan of the index files — this rung MEASURES how much of
+   probe wall time that scan is at one decade of index growth. (True
+   O(batch) point lookups need storage-side bucket pruning — Iceberg
+   on the real deployment; the sandbox evidence is the scan-dominated
+   upper bound.)
+
+3. **Salted stitch under adversarial skew**: one 10^5-turn conversation
+   on top of a normal corpus (the round-4 brief's skew rung). The
+   two-phase salted stitch bounds any single task at `chunk` turns; the
+   rung times it and verifies the giant conversation's stitched turn
+   count and character mass exactly.
+
+Prints ONE JSON line (the BASELINE.md 100x section is maintained by
+hand from it, same policy as the 10x rung). Run on an otherwise idle
+machine. First run stages the 100x corpus under /tmp (~12 GB).
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "12000"))
+MEAN_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_MEAN_TURNS", "12"))
+SEED = 42
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "100"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BASE_DIR = f"/tmp/spark_graft_bench_corpus_c{CONVS}_m{MEAN_TURNS}_s{SEED}"
+X100_DIR = f"{BASE_DIR}_x{COPIES}"
+SKEW_TURNS = int(os.environ.get("SPARK_GRAFT_SKEW_TURNS", "100000"))
+PROBE_DOCS = 500
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+        persist_minhash_index,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.extraction import (
+        STITCH_SEP,
+        extract_pipeline,
+        stitch_conversations_salted,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.session import get_spark
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+        gen_transcripts_spark,
+        read_transcripts,
+    )
+
+    spark = get_spark(app_name="scale100", cpus=CPUS, shuffle_partitions=2 * CPUS)
+    out = {"metric": "100x-scale rung", "unit": "sec", "copies": COPIES}
+    timings = {}
+
+    # ---- corpus staging (cached across runs behind _SUCCESS) ----
+    if not os.path.exists(os.path.join(BASE_DIR, "_SUCCESS")):
+        gen_transcripts_spark(
+            spark, CONVS, MEAN_TURNS, seed=SEED, partitions=CPUS * 2
+        ).write.mode("overwrite").parquet(BASE_DIR)
+    base = read_transcripts(spark, BASE_DIR)
+    if not os.path.exists(os.path.join(X100_DIR, "_SUCCESS")):
+        # one generated frame x a small copies dimension — a crossJoin
+        # with a COPIES-row literal frame, not COPIES unions (the union
+        # plan is quadratic to analyze at 100 branches)
+        copies = spark.range(COPIES).select(F.col("id").alias("copy"))
+        tagged = base.crossJoin(F.broadcast(copies)).select(
+            F.concat(F.lit("c"), F.col("copy"), F.lit(":"), F.col("conv_id")).alias(
+                "conv_id"
+            ),
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            "ts",
+        )
+        tagged.repartition(CPUS * 4).write.mode("overwrite").parquet(X100_DIR)
+    c100 = read_transcripts(spark, X100_DIR)
+    n_turns = c100.count()
+    out["turns"] = n_turns
+
+    # untimed warm-up (Python worker spin-up + JIT)
+    c100.limit(1).count()
+    extract_pipeline(base.limit(2000)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # ---- 1. fused extract at 100x, timed pass = checksum pass ----
+    t0 = time.time()
+    per_copy = (
+        extract_pipeline(c100)
+        .select(
+            F.split(F.col("conv_id"), ":", 2).getItem(0).alias("copy"),
+            F.xxhash64(
+                F.split(F.col("conv_id"), ":", 2).getItem(1),
+                F.col("turn_idx"),
+                F.col("extracted_text"),
+            )
+            .cast("decimal(38,0)")
+            .alias("h"),
+        )
+        .groupBy("copy")
+        .agg(F.sum("h").alias("checksum"), F.count("*").alias("n"))
+        .collect()
+    )
+    timings["extract_100x"] = round(time.time() - t0, 3)
+    base_row = (
+        extract_pipeline(base)
+        .select(
+            F.xxhash64("conv_id", "turn_idx", "extracted_text")
+            .cast("decimal(38,0)")
+            .alias("h")
+        )
+        .agg(F.sum("h").alias("checksum"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assert len(per_copy) == COPIES, len(per_copy)
+    for r in per_copy:
+        assert r["n"] == base_row["n"], (r, base_row)
+        assert r["checksum"] == base_row["checksum"], (r, base_row)
+    out["per_turn_equality"] = "pass"
+    out["extract_turns_per_sec"] = round(n_turns / timings["extract_100x"], 1)
+
+    # ---- 2. probe cost vs index size (10x vs 100x corpus index) ----
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    # probe batch: fresh ids strictly past every index watermark
+    probe_docs = docs.filter(F.col("doc_id") < PROBE_DOCS).select(
+        (F.col("doc_id") + 200 * (n_docs + 1)).alias("doc_id"), "text"
+    )
+    probe_times = {}
+    for copies in (10, 100):
+        cdim = spark.range(copies).select(F.col("id").alias("copy"))
+        big = docs.crossJoin(F.broadcast(cdim)).select(
+            (F.col("doc_id") + F.col("copy") * (n_docs + 1)).alias("doc_id"),
+            "text",
+        )
+        name = f"t_scale_idx_{copies}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        t0 = time.time()
+        persist_minhash_index(
+            spark, big, name, f"/tmp/spark_graft_scale_idx_{copies}",
+            hash_fn="affine",
+        )
+        timings[f"index_build_{copies}x"] = round(time.time() - t0, 3)
+        # warm + timed probe: hash the batch, semi-join the index
+        def probe():
+            sig = minhash_signatures(probe_docs, hash_fn="affine")
+            pb = minhash_band_buckets(sig)
+            idx = spark.table(name).select("band", "bucket").distinct()
+            return pb.join(idx, ["band", "bucket"], "left_semi").count()
+
+        probe()
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            probe()
+            runs.append(time.time() - t0)
+        probe_times[copies] = round(sorted(runs)[1], 3)
+        timings[f"probe_vs_{copies}x_index"] = probe_times[copies]
+    out["probe_growth_10x_to_100x"] = round(
+        probe_times[100] / probe_times[10], 2
+    )
+
+    # ---- 3. salted stitch under a 10^5-turn skew conversation ----
+    skew_turn = F.concat(
+        F.lit("skew payload turn "), F.col("id").cast("string")
+    )
+    skew = spark.range(SKEW_TURNS).select(
+        F.lit("skew:conv").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        skew_turn.alias("extracted_text"),
+        F.length(skew_turn).cast("long").alias("chars_extracted"),
+    )
+    normal = extract_pipeline(base).select(
+        "conv_id", "turn_idx", "extracted_text", "chars_extracted"
+    )
+    per_turn = normal.unionByName(skew).localCheckpoint(eager=True)
+    t0 = time.time()
+    stitched = stitch_conversations_salted(per_turn)
+    row = stitched.filter(F.col("conv_id") == "skew:conv").select(
+        "n_turns", "chars_extracted", F.length("conversation_text").alias("L")
+    ).collect()[0]
+    n_convs = stitched.count()
+    timings["stitch_salted_skew"] = round(time.time() - t0, 3)
+    chars = skew.agg(F.sum("chars_extracted").alias("c")).collect()[0]["c"]
+    assert row["n_turns"] == SKEW_TURNS, row
+    assert row["chars_extracted"] == chars, (row, chars)
+    assert row["L"] == chars + (SKEW_TURNS - 1) * len(STITCH_SEP), row
+    out["skew_conv_turns"] = SKEW_TURNS
+    out["stitched_convs"] = n_convs
+
+    out["queries"] = timings
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
