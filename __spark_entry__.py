@@ -1130,6 +1130,40 @@ ORDER BY d.doc_id
 """
 
 
+def _incremental_text_semantic_sql() -> str:
+    """SQL twin of embedding.incremental_text_semantic_dedup: new docs
+    (doc_id ≥ the shared boundary) embedded through the SAME integer
+    embed CTE, banded through the shared hyperplane CTE, band-bucket
+    collisions against the pre-boundary corpus, exact-cosine verify at
+    the text threshold — the text member of the incremental family."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        INGEST_BOUNDARY,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
+        EMBED_DIM,
+        TEXT_NEAR_DUP_THRESHOLD_E6,
+    )
+
+    arr = ", ".join(f"CAST(s{d} AS DOUBLE)" for d in range(EMBED_DIM))
+    return f"""
+WITH {_embed_sums_cte()},
+emb_arr AS (SELECT doc_id, [{arr}] AS embedding FROM esum),
+{_lsh_bands_cte(src="emb_arr", id_col="doc_id")},
+existing AS (SELECT DISTINCT vec_id AS evec, band, key FROM bands WHERE vec_id < {INGEST_BOUNDARY}),
+newb AS (SELECT DISTINCT vec_id, band, key FROM bands WHERE vec_id >= {INGEST_BOUNDARY}),
+pairs AS (SELECT DISTINCT n.vec_id, x.evec FROM newb n JOIN existing x USING (band, key)),
+sc AS (
+  SELECT p.vec_id, {_cos_e6('a', 'b')} AS s
+  FROM pairs p JOIN e a ON a.vec_id = p.vec_id JOIN e b ON b.vec_id = p.evec),
+dup AS (SELECT DISTINCT vec_id FROM sc WHERE s >= {TEXT_NEAR_DUP_THRESHOLD_E6}),
+alln AS (SELECT doc_id FROM documents WHERE doc_id >= {INGEST_BOUNDARY})
+SELECT doc_id,
+       CASE WHEN doc_id IN (SELECT vec_id FROM dup)
+            THEN 'near_dup' ELSE 'new' END AS verdict
+FROM alln ORDER BY doc_id
+"""
+
+
 def _pin_session(spark: SparkSession) -> None:
     """The driver owns the session; pin the two confs our oracle
     comparisons assume (UTC epochs; Arrow for the pandas stages).
@@ -1149,8 +1183,9 @@ def _wrap(mod_fn):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order IS the driver's check order and the driver records at
     # most 50 rows per round. Round-5 hygiene (round-4 verdict #6):
-    # the three NEW entries lead (embed_documents,
-    # semantic_dedup_text_corpus, exact_stats — zero driver signal),
+    # the four NEW entries lead (embed_documents,
+    # semantic_dedup_text_corpus, incremental_text_semantic_dedup,
+    # exact_stats — zero driver signal),
     # then the three knn entries whose final stage changed this round
     # (bounded-heap default) for their first post-change row, then the
     # five entries whose ONLY green is r04 (they rotate to the tail
@@ -1159,10 +1194,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # approx_stats (shape proven recordable in r04; it can NEVER be
     # green — no oracle exists for a sketch; its driver signal now
     # flows through the exact_stats order-statistic twin at the head)
-    # and pivot_lang_by_source + symbol_ratios (green r03+r04,
-    # unchanged). Window = 50 of 76; every tail entry has >= 2 green
-    # driver rows except the by-design pytest-only extract_synthetic
-    # and the by-design oracle-less approx_stats.
+    # and pivot_lang_by_source + symbol_ratios + cosine_lsh_pairs
+    # (multi-green, unchanged). Window = 50 of 77; every tail entry has
+    # >= 2 green driver rows except the by-design pytest-only
+    # extract_synthetic and the by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
         chunking,
         curation,
@@ -1177,6 +1212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW this round: zero driver signal
         "embed_documents": _wrap(embedding.embed_documents),
         "semantic_dedup_text_corpus": _wrap(embedding.semantic_dedup_text_corpus),
+        "incremental_text_semantic_dedup": _wrap(
+            embedding.incremental_text_semantic_dedup
+        ),
         "exact_stats": _wrap(curation.exact_length_stats),
         # --- final top-k stage changed this round (bounded heap):
         # first post-change driver row
@@ -1230,9 +1268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _wrap(dedup.simhash_near_dup_pairs),
         "dedup_clusters": _wrap(dedup.dedup_clusters),
         "near_dup_cosine": _wrap(similarity.near_dup_pairs_cosine),
-        "cosine_lsh_pairs": _wrap(similarity.cosine_lsh_pairs),
         # --- tail (index >= 50): >= 2 green driver rounds each, except
         # the two by-design entries noted above
+        "cosine_lsh_pairs": _wrap(similarity.cosine_lsh_pairs),
         "approx_stats": _q_approx_stats,
         "pivot_lang_by_source": _q_pivot_lang,
         "symbol_ratios": _q_symbol_ratios,
@@ -1791,6 +1829,7 @@ FROM t ORDER BY doc_id
         "incremental_cosine_dedup": _incremental_cosine_sql(),
         "embed_documents": _embed_documents_sql(),
         "semantic_dedup_text_corpus": _semantic_text_sql(),
+        "incremental_text_semantic_dedup": _incremental_text_semantic_sql(),
         "exact_stats": """
 WITH hist AS (
   SELECT source, length(text) AS len, CAST(count(*) AS BIGINT) AS c

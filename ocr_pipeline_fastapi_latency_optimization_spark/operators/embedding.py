@@ -150,6 +150,140 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def persist_text_cosine_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    name: str,
+    path: str,
+    n_storage_buckets: int = 32,
+) -> str:
+    """Persist the hyperplane LSH index of a TEXT corpus's computed
+    embeddings — `similarity.persist_cosine_index` fed by
+    `embed_documents_df` (doc_id in the vec_id role), so the whole
+    cosine-index toolchain (param handshake, boundary guard, idempotent
+    `append_to_cosine_index`) applies to text unchanged."""
+    from .similarity import persist_cosine_index
+
+    emb = embed_documents_df(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return persist_cosine_index(
+        spark, emb, name, path, n_storage_buckets=n_storage_buckets
+    )
+
+
+def incremental_text_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    boundary: int | None = None,
+    threshold_e6: int = TEXT_NEAR_DUP_THRESHOLD_E6,
+    index_table: str | None = None,
+) -> DataFrame:
+    """Ingest-time SEMANTIC dedup of a text batch — completes the
+    incremental matrix (exact fp / MinHash / fixture-cosine / now
+    text-cosine): every NEW document (doc_id ≥ ``boundary``) is
+    embedded, collects its band-bucket collisions against the EXISTING
+    corpus's hyperplane index, and each candidate pair is verified with
+    the exact quantized cosine at the text threshold; verdict is
+    ``near_dup`` iff some existing document scores ≥ ``threshold_e6``,
+    else ``new``. With ``index_table`` (written by
+    ``persist_text_cosine_index``) only the new batch is embedded and
+    the candidate join reads the index shuffle-free with the
+    ``vec_id < boundary`` consumption guard; default computes both
+    sides from the boundary split — the driver-oracle path,
+    byte-identical output. Per-ingest cost is O(batch) embedding +
+    bucket-local joins — the corpus is never re-embedded or rescanned.
+    Token-less new docs have no embedding and report ``new`` (route
+    them through exact ``incremental_dedup``)."""
+    from .dedup import INGEST_BOUNDARY
+    from .similarity import (
+        LSH_BANDS,
+        LSH_PLANES,
+        LSH_SEED,
+        cosine_band_buckets,
+        cosine_e6,
+    )
+
+    boundary = INGEST_BOUNDARY if boundary is None else boundary
+    docs = _docs(spark, sf_dir)
+    if index_table is not None:
+        from ..sources.catalog import check_index_params
+
+        check_index_params(
+            spark,
+            index_table,
+            {
+                "cosine.n_planes": LSH_PLANES,
+                "cosine.bands": LSH_BANDS,
+                "cosine.seed": LSH_SEED,
+            },
+            kind="cosine",
+        )
+        new_emb = embed_documents_df(
+            docs.filter(F.col("doc_id") >= boundary)
+        ).select(F.col("doc_id").alias("vec_id"), "embedding")
+        new = cosine_band_buckets(new_emb)
+        existing = spark.table(index_table).filter(F.col("vec_id") < boundary)
+        # exact verify needs the EXISTING side's embeddings too — they
+        # are recomputed only for candidate ids (O(candidates)), not the
+        # whole corpus: semi-join the docs table on the candidate ids
+        emb_all = None
+    else:
+        emb_all = embed_documents_df(docs).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        buckets = cosine_band_buckets(emb_all)
+        existing = buckets.filter(F.col("vec_id") < boundary)
+        new = buckets.filter(F.col("vec_id") >= boundary)
+        new_emb = emb_all.filter(F.col("vec_id") >= boundary)
+    pairs = (
+        new.join(
+            existing.select(F.col("vec_id").alias("evec"), "band", "key"),
+            ["band", "key"],
+        )
+        .select("vec_id", "evec")
+        .distinct()
+    )
+    if emb_all is None:
+        cand_ids = pairs.select(F.col("evec").alias("doc_id")).distinct()
+        cand_emb = embed_documents_df(
+            docs.join(cand_ids, "doc_id", "left_semi")
+        ).select(F.col("doc_id").alias("vec_id"), "embedding")
+        na = new_emb.select("vec_id", F.col("embedding").alias("na_emb"))
+        ne = cand_emb.select(
+            F.col("vec_id").alias("evec"), F.col("embedding").alias("ne_emb")
+        )
+    else:
+        na = emb_all.select("vec_id", F.col("embedding").alias("na_emb"))
+        ne = emb_all.select(
+            F.col("vec_id").alias("evec"), F.col("embedding").alias("ne_emb")
+        )
+    scored = (
+        pairs.join(na, "vec_id")
+        .join(ne, "evec")
+        .select(
+            "vec_id", cosine_e6(F.col("na_emb"), F.col("ne_emb")).alias("score_e6")
+        )
+    )
+    dups = (
+        scored.filter(F.col("score_e6") >= threshold_e6)
+        .select("vec_id")
+        .distinct()
+        .select("vec_id", F.lit("near_dup").alias("verdict"))
+    )
+    all_new = docs.filter(F.col("doc_id") >= boundary).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    fresh = all_new.join(dups.select("vec_id"), "vec_id", "left_anti").select(
+        "vec_id", F.lit("new").alias("verdict")
+    )
+    return (
+        dups.unionByName(fresh)
+        .select(F.col("vec_id").alias("doc_id"), "verdict")
+        .orderBy("doc_id")
+    )
+
+
 def semantic_dedup_text_corpus(
     spark: SparkSession,
     sf_dir: str,

@@ -158,3 +158,68 @@ def test_semantic_text_threshold_recovers_jaccard_ground_truth(spark):
         .toPandas()
     )
     assert set(zip(pairs["id_a"], pairs["id_b"])) == jset
+
+
+def test_incremental_text_semantic_dedup_paths_agree(spark, tmp_path):
+    """The indexed probe (persist_text_cosine_index + index_table=) must
+    return byte-identical verdicts to the boundary-split driver-oracle
+    path, and the full text ingest cycle works: probe → append the
+    batch's embeddings → a later batch of near-copies is flagged
+    near_dup BECAUSE of the append."""
+    import pandas as pd
+
+    def text(i, tag):
+        return " ".join(f"{tag}{i}w{j}" for j in range(15))
+
+    existing = [(i, text(i, "base"), "s") for i in range(60)]
+    batch1 = [(250 + i, text(i, "novel"), "s") for i in range(8)]
+    batch2 = [(400 + i, text(i, "novel") + " x", "s") for i in range(8)]
+    docs = spark.createDataFrame(
+        existing + batch1 + batch2, "doc_id long, text string, source string"
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+    try:
+        embedding.persist_text_cosine_index(
+            spark,
+            docs.filter(F.col("doc_id") < 250),
+            "t_txt_idx",
+            str(tmp_path / "tidx"),
+            n_storage_buckets=4,
+        )
+        got = (
+            embedding.incremental_text_semantic_dedup(
+                spark, sf, boundary=250, index_table="t_txt_idx"
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            embedding.incremental_text_semantic_dedup(spark, sf, boundary=250)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # batch1 (novel vocab) is new against the base-only index
+        b1 = got[got["doc_id"] < 400]
+        assert (b1["verdict"] == "new").all() and len(b1) == 8
+
+        # append batch1's embeddings, then probe batch2 (near-copies of
+        # batch1): the appended rows flip the verdict
+        from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
+            append_to_cosine_index,
+        )
+
+        emb1 = embedding.embed_documents_df(
+            docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 400))
+        ).select(F.col("doc_id").alias("vec_id"), "embedding")
+        r = append_to_cosine_index(spark, emb1, "t_txt_idx")
+        assert r["status"] == "appended"
+        p2 = embedding.incremental_text_semantic_dedup(
+            spark, sf, boundary=400, index_table="t_txt_idx"
+        ).toPandas()
+        assert (p2["verdict"] == "near_dup").all() and len(p2) == 8
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_txt_idx")
