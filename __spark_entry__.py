@@ -892,28 +892,36 @@ ORDER BY query_id, rnk
     return "".join(parts)
 
 
-def _lsh_bands_cte(src: str = "embeddings", id_col: str = "vec_id") -> str:
+def _lsh_bands_cte(
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    planes: list | None = None,
+    bands: int | None = None,
+) -> str:
     """Shared CTE chain ending in ``bands(vec_id, embedding, nrm, band,
     key)`` — the hyperplane-LSH banding used by the cosine pair oracle,
     the semantic-dedup oracle, and the incremental-cosine oracle.
     ``src``/``id_col`` let the text-embedding twin band a COMPUTED
-    (doc_id, embedding) CTE through the identical machinery."""
+    (doc_id, embedding) CTE through the identical machinery;
+    ``planes``/``bands`` select the hash family (default: the 16-plane
+    fixture family; the text twins pass the 64-plane text family)."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
         LSH_BANDS,
-        LSH_PLANES,
         _PLANES,
     )
 
+    planes = _PLANES if planes is None else planes
+    bands = LSH_BANDS if bands is None else bands
     bit_exprs = []
-    for i, plane in enumerate(_PLANES):
+    for i, plane in enumerate(planes):
         lit = "[" + ", ".join(repr(w) for w in plane) + "]"
         bit_exprs.append(
             f"CASE WHEN list_sum(list_transform(list_zip(embedding, {lit}), "
             f"x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN 1 ELSE 0 END AS bit{i}"
         )
-    per_band = LSH_PLANES // LSH_BANDS
+    per_band = len(planes) // bands
     band_selects = []
-    for b in range(LSH_BANDS):
+    for b in range(bands):
         key = " + ".join(
             f"bit{b * per_band + r} * {2 ** (per_band - 1 - r)}"
             for r in range(per_band)
@@ -1086,34 +1094,56 @@ FROM esum ORDER BY doc_id
 """
 
 
-def _semantic_text_sql() -> str:
-    """SQL twin of embedding.semantic_dedup_text_corpus: the computed
-    text embeddings banded through the SAME hyperplane-LSH CTE the
-    fixture-vector oracles use, exact-cosine verify at the text
-    threshold, recursive components, per-document keep/drop."""
+def _text_center_ctes(where: str = "") -> str:
+    """CTE fragment: ``csum`` (centering totals over ``esum``,
+    optionally boundary-filtered) and ``cent`` (the division-free
+    centered vectors n·s_d − t_d as doubles) plus ``ue`` (the RAW
+    vectors with norms for the exact verify). Mirrors
+    embedding.embed_totals / centered_band_buckets exactly, including
+    the greatest(n,1)/coalesce empty-corpus guards."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
         EMBED_DIM,
-        TEXT_NEAR_DUP_THRESHOLD_E6,
     )
 
-    arr = ", ".join(f"CAST(s{d} AS DOUBLE)" for d in range(EMBED_DIM))
-    dot = (
-        "list_sum(list_transform(list_zip(ea, eb), "
-        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    tsums = ", ".join(
+        f"coalesce(sum(s{d}), 0) AS t{d}" for d in range(EMBED_DIM)
     )
+    carr = ", ".join(
+        f"CAST(n * s{d} - t{d} AS DOUBLE)" for d in range(EMBED_DIM)
+    )
+    rarr = ", ".join(f"CAST(s{d} AS DOUBLE)" for d in range(EMBED_DIM))
+    return f"""csum AS (SELECT CAST(greatest(count(*), 1) AS BIGINT) AS n, {tsums}
+         FROM esum {where}),
+cent AS (SELECT doc_id, [{carr}] AS embedding FROM esum, csum),
+ue0 AS (SELECT doc_id AS vec_id, [{rarr}] AS embedding FROM esum),
+ue AS (SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM ue0)"""
+
+
+def _semantic_text_sql() -> str:
+    """SQL twin of embedding.semantic_dedup_text_corpus: the computed
+    text embeddings CENTER-banded through the SAME hyperplane-LSH CTE
+    the fixture-vector oracles use (shared-vocabulary skew fix — see
+    the centering note in operators/embedding.py), exact RAW-cosine
+    verify at the text threshold, recursive components, per-document
+    keep/drop."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
+        TEXT_LSH_BANDS,
+        TEXT_NEAR_DUP_THRESHOLD_E6,
+        _TEXT_PLANES,
+    )
+
     return f"""
 WITH RECURSIVE {_embed_sums_cte()},
-emb_arr AS (SELECT doc_id, [{arr}] AS embedding FROM esum),
-{_lsh_bands_cte(src="emb_arr", id_col="doc_id")},
+{_text_center_ctes()},
+{_lsh_bands_cte(src="cent", id_col="doc_id", planes=_TEXT_PLANES, bands=TEXT_LSH_BANDS)},
 cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-         a.embedding AS ea, b.embedding AS eb, a.nrm AS na, b.nrm AS nb
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
 pairs AS (
-  SELECT id_a, id_b FROM cand
-  WHERE CAST(floor({dot} / (na * nb) * 1000000.0) AS BIGINT)
-        >= {TEXT_NEAR_DUP_THRESHOLD_E6}),
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN ue a ON a.vec_id = c.id_a JOIN ue b ON b.vec_id = c.id_b
+  WHERE {_cos_e6('a', 'b')} >= {TEXT_NEAR_DUP_THRESHOLD_E6}),
 sym AS (SELECT id_a AS s, id_b AS d FROM pairs
         UNION ALL SELECT id_b, id_a FROM pairs),
 nodes AS (SELECT DISTINCT s AS node FROM sym),
@@ -1140,21 +1170,21 @@ def _incremental_text_semantic_sql() -> str:
         INGEST_BOUNDARY,
     )
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
-        EMBED_DIM,
+        TEXT_LSH_BANDS,
         TEXT_NEAR_DUP_THRESHOLD_E6,
+        _TEXT_PLANES,
     )
 
-    arr = ", ".join(f"CAST(s{d} AS DOUBLE)" for d in range(EMBED_DIM))
     return f"""
 WITH {_embed_sums_cte()},
-emb_arr AS (SELECT doc_id, [{arr}] AS embedding FROM esum),
-{_lsh_bands_cte(src="emb_arr", id_col="doc_id")},
+{_text_center_ctes(where=f"WHERE doc_id < {INGEST_BOUNDARY}")},
+{_lsh_bands_cte(src="cent", id_col="doc_id", planes=_TEXT_PLANES, bands=TEXT_LSH_BANDS)},
 existing AS (SELECT DISTINCT vec_id AS evec, band, key FROM bands WHERE vec_id < {INGEST_BOUNDARY}),
 newb AS (SELECT DISTINCT vec_id, band, key FROM bands WHERE vec_id >= {INGEST_BOUNDARY}),
 pairs AS (SELECT DISTINCT n.vec_id, x.evec FROM newb n JOIN existing x USING (band, key)),
 sc AS (
   SELECT p.vec_id, {_cos_e6('a', 'b')} AS s
-  FROM pairs p JOIN e a ON a.vec_id = p.vec_id JOIN e b ON b.vec_id = p.evec),
+  FROM pairs p JOIN ue a ON a.vec_id = p.vec_id JOIN ue b ON b.vec_id = p.evec),
 dup AS (SELECT DISTINCT vec_id FROM sc WHERE s >= {TEXT_NEAR_DUP_THRESHOLD_E6}),
 alln AS (SELECT doc_id FROM documents WHERE doc_id >= {INGEST_BOUNDARY})
 SELECT doc_id,

@@ -150,6 +150,186 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- centered banding: the bucketing fix for shared-vocabulary skew ---
+#
+# Hashed bag-of-token vectors all share a large common-vocabulary
+# component, so raw hyperplane sign bits are heavily correlated across
+# documents: band buckets skew, and the O(Σ bucket²) candidate join
+# blows up (measured at sf0.1: the raw-banded semantic dedup cost 11.1 s
+# vs ~2.4 s for the same machinery over uncorrelated fixture vectors).
+# Centering the vectors on the corpus mean before SIGNING removes that
+# shared component and restores balanced buckets — measured at sf0.01:
+# candidate pairs 75,820 → 32,263 (the balanced-random floor for 4-bit
+# band keys) with ground-truth recall unchanged at 25/25. Division-free
+# construction keeps it integer-exact in both engines:
+#     sign⟨x − T/n, p⟩ == sign⟨n·x − T, p⟩        (n > 0)
+# so the banding input is the INTEGER vector n·s_d − t_d. Only
+# CANDIDATE GENERATION uses centered vectors; the exact verify keeps the
+# raw cosine (the committed 0.95 threshold semantics are unchanged).
+# The center is part of the frozen hash family: a persisted text index
+# records (n, t_0..t_63) in its properties and probes/appends reuse the
+# BUILD-TIME center — drift as the corpus grows only degrades bucket
+# balance, never correctness (verify is exact).
+#
+# Scale notes: n·s_d and the t_d sums stay in longs — ANSI throws
+# loudly past ~2⁶³ (≈10⁹ docs × pathological sums); a deployment at
+# that size moves the two expressions to decimal.
+#
+# KEY WIDTH is the second lever: the fixture-vector paths use the
+# 16-plane / 4-bit-band family, whose 16 keys per band do not grow
+# with N — at sf0.1 (5,000 docs) even perfectly balanced buckets
+# yield the ~3.2M-pair floor of Σ C(N/16, 2) per band. The text path
+# therefore uses its own WIDER frozen family: 64 hyperplanes, 8 bands
+# × 8 bits (256 keys/band, seed 43 — independent of the fixture
+# family). For centered near-dup pairs (centered cosine ≈ 0.97,
+# per-bit agreement ≈ 0.93) band recall is 1−(1−0.93⁸)⁸ ≈ 0.997 —
+# verified empirically: ground-truth recall stays 25/25 at sf0.01.
+# Production at larger N widens per-band bits further: same machinery,
+# recall retuned by adding bands.
+
+TEXT_LSH_PLANES = 64
+TEXT_LSH_BANDS = 8  # 8 bands x 8 bits = 256 keys/band
+TEXT_LSH_SEED = 43
+
+
+def _text_planes():
+    from .similarity import LSH_DIM, _hyperplanes
+
+    return _hyperplanes(TEXT_LSH_PLANES, LSH_DIM, seed=TEXT_LSH_SEED)
+
+
+_TEXT_PLANES = _text_planes()
+
+
+def _text_band_keys_udf():
+    """Per-band LSH keys for the text family as ONE vectorized pandas
+    UDF: batch matmul (B×64)@(64×64) → sign bits → 8 per-band 8-bit
+    keys, returned as an array column (small integers — no packing
+    overflow games). Arrow-batched numpy, same rationale as
+    similarity._signature_udf."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = np.array(_TEXT_PLANES, dtype=np.float64)  # (64, 64)
+    per_band = TEXT_LSH_PLANES // TEXT_LSH_BANDS
+    w = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
+
+    def _keys(emb):
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        bits = (mat @ planes.T) >= 0.0  # (B, 64)
+        keys = np.stack(
+            [
+                bits[:, b * per_band : (b + 1) * per_band].astype(np.int64) @ w
+                for b in range(TEXT_LSH_BANDS)
+            ],
+            axis=1,
+        )
+        return pd.Series(keys.tolist())
+
+    return F.pandas_udf(_keys, T.ArrayType(T.LongType()))
+
+
+def text_band_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, key) rows under the TEXT hash family — ids-only,
+    same shape as similarity.cosine_band_buckets but 8×8-bit keys."""
+    return emb.select(
+        "vec_id", F.posexplode(_text_band_keys_udf()(F.col("embedding")))
+    ).select("vec_id", F.col("pos").alias("band"), F.col("col").alias("key"))
+
+
+def embed_totals(sums: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """1-row (n, t0..t{dim-1}) corpus totals of the integer feature
+    sums — the centering statistic. Empty input degrades to n=0/t=0
+    (centered == raw scaled by n=1 guard downstream)."""
+    return sums.agg(
+        F.count("*").alias("n"),
+        *[F.coalesce(F.sum(f"s{d}"), F.lit(0)).alias(f"t{d}") for d in range(dim)],
+    )
+
+
+def centered_band_buckets(
+    sums: DataFrame, totals: DataFrame, dim: int = EMBED_DIM
+) -> DataFrame:
+    """(vec_id, band, key) TEXT-family LSH rows over CENTERED vectors
+    n·s_d − t_d. ``totals`` is a 1-row frame (broadcast — the center is
+    a constant of the hash family, not data)."""
+    centered = sums.crossJoin(F.broadcast(totals)).select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.greatest(F.col("n"), F.lit(1)) * F.col(f"s{d}")
+                    - F.col(f"t{d}")
+                ).cast("double")
+                for d in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    return text_band_buckets(centered)
+
+
+def _center_literals_frame(spark: SparkSession, props: dict) -> DataFrame:
+    """Rebuild the 1-row totals frame from a persisted index's recorded
+    center properties (text.center_n / text.center_t)."""
+    n = int(props["text.center_n"])
+    ts = [int(x) for x in props["text.center_t"].split(",")]
+    return spark.createDataFrame(
+        [tuple([n] + ts)],
+        "n long, " + ", ".join(f"t{d} long" for d in range(len(ts))),
+    )
+
+
+def text_near_dup_pairs(
+    docs: DataFrame, threshold_e6: int = TEXT_NEAR_DUP_THRESHOLD_E6
+) -> DataFrame:
+    """(id_a, id_b, score_e6) verified semantic near-dup pairs over a
+    text frame: centered-banded candidates, exact RAW-cosine verify —
+    the corpus-path kernel `semantic_dedup_text_corpus` builds on.
+
+    The sums frame feeds THREE consumers (centering totals, banding,
+    exact verify) — materialize it once (`localCheckpoint`, ~0.5 KB/doc)
+    instead of re-running the token explode+aggregate per consumer; at
+    corpus scale this is the same materialize-the-signatures-once choice
+    the MinHash index build makes."""
+    from .similarity import cosine_e6
+
+    sums = embed_sums(docs).localCheckpoint(eager=True)
+    buckets = centered_band_buckets(sums, embed_totals(sums))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    emb = _sums_to_array(sums)
+    ea = emb.select(F.col("doc_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("doc_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a", "id_b", cosine_e6(F.col("ea"), F.col("eb")).alias("score_e6")
+        )
+        .filter(F.col("score_e6") >= threshold_e6)
+    )
+
+
+def _sums_to_array(sums: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    return sums.select(
+        "doc_id",
+        F.array(*[F.col(f"s{d}").cast("double") for d in range(dim)]).alias(
+            "embedding"
+        ),
+    )
+
+
 def persist_text_cosine_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -157,18 +337,95 @@ def persist_text_cosine_index(
     path: str,
     n_storage_buckets: int = 32,
 ) -> str:
-    """Persist the hyperplane LSH index of a TEXT corpus's computed
-    embeddings — `similarity.persist_cosine_index` fed by
-    `embed_documents_df` (doc_id in the vec_id role), so the whole
-    cosine-index toolchain (param handshake, boundary guard, idempotent
-    `append_to_cosine_index`) applies to text unchanged."""
-    from .similarity import persist_cosine_index
+    """Persist the CENTERED hyperplane LSH index of a text corpus's
+    computed embeddings, bucketed by its probe key. Records the full
+    frozen hash family — hyperplanes (module constants) AND the
+    centering statistic (n, t_0..t_63) — plus the append metadata, so
+    probes (`incremental_text_semantic_dedup(index_table=)`) and
+    appends (`append_to_text_cosine_index`) rehash batches identically
+    and fail fast on any family mismatch."""
+    from ..sources.catalog import set_table_properties, write_bucketed_table
 
-    emb = embed_documents_df(docs).select(
-        F.col("doc_id").alias("vec_id"), "embedding"
+    sums = embed_sums(docs)
+    totals_row = embed_totals(sums).collect()[0]  # 1 row — control plane
+    totals = _center_literals_frame(
+        spark,
+        {
+            "text.center_n": int(totals_row["n"]),
+            "text.center_t": ",".join(
+                str(int(totals_row[f"t{d}"])) for d in range(EMBED_DIM)
+            ),
+        },
     )
-    return persist_cosine_index(
-        spark, emb, name, path, n_storage_buckets=n_storage_buckets
+    buckets = centered_band_buckets(sums, totals)
+    write_bucketed_table(buckets, name, path, ["band", "key"], n_storage_buckets)
+    max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    set_table_properties(
+        spark,
+        name,
+        {
+            "cosine.n_planes": TEXT_LSH_PLANES,
+            "cosine.bands": TEXT_LSH_BANDS,
+            "cosine.seed": TEXT_LSH_SEED,
+            "cosine.max_vec_id": -1 if max_id is None else int(max_id),
+            "cosine.path": path,
+            "cosine.n_storage_buckets": int(n_storage_buckets),
+            "cosine.bucket_cols": "band,key",
+            "text.center_n": int(totals_row["n"]),
+            "text.center_t": ",".join(
+                str(int(totals_row[f"t{d}"])) for d in range(EMBED_DIM)
+            ),
+        },
+    )
+    return name
+
+
+def append_to_text_cosine_index(
+    spark: SparkSession, docs_batch: DataFrame, index_table: str
+) -> dict:
+    """Text twin of ``similarity.append_to_cosine_index``: embeds the
+    batch, bands it with the index's FROZEN center (recorded at build
+    time — the hash family never drifts), and delegates to the
+    idempotent bucketed append (content-fp no-op on replay, monotone
+    doc_id watermark)."""
+    from ..sources.catalog import append_to_bucketed_index, check_index_params
+
+    props = check_index_params(
+        spark,
+        index_table,
+        {
+            "cosine.n_planes": TEXT_LSH_PLANES,
+            "cosine.bands": TEXT_LSH_BANDS,
+            "cosine.seed": TEXT_LSH_SEED,
+        },
+        kind="cosine",
+    )
+    if "text.center_n" not in props:
+        raise ValueError(
+            f"index table {index_table} records no text centering "
+            "statistic — it was not written by persist_text_cosine_index;"
+            " rebuild it before appending text batches."
+        )
+    stat = docs_batch.agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.sum(F.xxhash64("doc_id", "text").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    if stat["n"] == 0:
+        return {"status": "noop", "batch_fp": "empty", "table": index_table}
+    buckets = centered_band_buckets(
+        embed_sums(docs_batch), _center_literals_frame(spark, props)
+    )
+    return append_to_bucketed_index(
+        spark,
+        buckets,
+        index_table,
+        "cosine",
+        batch_fp=f"{stat['n']}:{stat['h']}",
+        batch_min_id=int(stat["lo"]),
+        batch_max_id=int(stat["hi"]),
+        watermark_key="cosine.max_vec_id",
     )
 
 
@@ -191,50 +448,59 @@ def incremental_text_semantic_dedup(
     the candidate join reads the index shuffle-free with the
     ``vec_id < boundary`` consumption guard; default computes both
     sides from the boundary split — the driver-oracle path,
-    byte-identical output. Per-ingest cost is O(batch) embedding +
-    bucket-local joins — the corpus is never re-embedded or rescanned.
-    Token-less new docs have no embedding and report ``new`` (route
-    them through exact ``incremental_dedup``)."""
+    byte-identical output (both paths band with the EXISTING corpus's
+    frozen center — the split path computes it from the pre-boundary
+    sums, the indexed path reads it from the index properties).
+    Per-ingest cost is O(batch) embedding + bucket-local joins — the
+    corpus is never re-embedded or rescanned. Token-less new docs have
+    no embedding and report ``new`` (route them through exact
+    ``incremental_dedup``)."""
     from .dedup import INGEST_BOUNDARY
-    from .similarity import (
-        LSH_BANDS,
-        LSH_PLANES,
-        LSH_SEED,
-        cosine_band_buckets,
-        cosine_e6,
-    )
+    from .similarity import cosine_e6
 
     boundary = INGEST_BOUNDARY if boundary is None else boundary
     docs = _docs(spark, sf_dir)
     if index_table is not None:
         from ..sources.catalog import check_index_params
 
-        check_index_params(
+        props = check_index_params(
             spark,
             index_table,
             {
-                "cosine.n_planes": LSH_PLANES,
-                "cosine.bands": LSH_BANDS,
-                "cosine.seed": LSH_SEED,
+                "cosine.n_planes": TEXT_LSH_PLANES,
+                "cosine.bands": TEXT_LSH_BANDS,
+                "cosine.seed": TEXT_LSH_SEED,
             },
             kind="cosine",
         )
-        new_emb = embed_documents_df(
-            docs.filter(F.col("doc_id") >= boundary)
-        ).select(F.col("doc_id").alias("vec_id"), "embedding")
-        new = cosine_band_buckets(new_emb)
+        if "text.center_n" not in props:
+            raise ValueError(
+                f"index table {index_table} records no text centering "
+                "statistic — rebuild it with persist_text_cosine_index."
+            )
+        totals = _center_literals_frame(spark, props)
+        new_sums = embed_sums(docs.filter(F.col("doc_id") >= boundary))
+        new = centered_band_buckets(new_sums, totals)
+        new_emb = _sums_to_array(new_sums).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
         existing = spark.table(index_table).filter(F.col("vec_id") < boundary)
         # exact verify needs the EXISTING side's embeddings too — they
         # are recomputed only for candidate ids (O(candidates)), not the
         # whole corpus: semi-join the docs table on the candidate ids
         emb_all = None
     else:
-        emb_all = embed_documents_df(docs).select(
-            F.col("doc_id").alias("vec_id"), "embedding"
-        )
-        buckets = cosine_band_buckets(emb_all)
+        # three consumers of the sums frame (totals, banding, verify) —
+        # materialize once, same rationale as text_near_dup_pairs
+        sums = embed_sums(docs).localCheckpoint(eager=True)
+        existing_sums = sums.filter(F.col("doc_id") < boundary)
+        totals = embed_totals(existing_sums)
+        buckets = centered_band_buckets(sums, totals)
         existing = buckets.filter(F.col("vec_id") < boundary)
         new = buckets.filter(F.col("vec_id") >= boundary)
+        emb_all = _sums_to_array(sums).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
         new_emb = emb_all.filter(F.col("vec_id") >= boundary)
     pairs = (
         new.join(
@@ -298,37 +564,13 @@ def semantic_dedup_text_corpus(
     proven scale paths as ``similarity.semantic_dedup_corpus``, now fed
     by the corpus's own text instead of fixture vectors. Output shape
     matches ``dedup.near_dedup_corpus``: (doc_id, cluster_id, keep);
-    token-less documents trivially keep themselves."""
+    token-less documents trivially keep themselves. Candidates are
+    CENTERED-banded (see the centering note above ``embed_totals``) —
+    the exact verify keeps the raw-cosine threshold semantics."""
     from .dedup import connected_components
-    from .similarity import cosine_band_buckets, cosine_e6
 
     docs = _docs(spark, sf_dir)
-    emb = embed_documents_df(docs).select(
-        F.col("doc_id").alias("vec_id"), "embedding"
-    )
-    buckets = cosine_band_buckets(emb)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
-    )
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    pairs = (
-        cands.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            "id_a", "id_b", cosine_e6(F.col("ea"), F.col("eb")).alias("score_e6")
-        )
-        .filter(F.col("score_e6") >= threshold_e6)
-    )
+    pairs = text_near_dup_pairs(docs, threshold_e6=threshold_e6)
     cc = connected_components(pairs, src="id_a", dst="id_b")
     joined = docs.select("doc_id").join(cc, docs["doc_id"] == cc["node"], "left")
     return joined.select(

@@ -422,8 +422,22 @@ def append_to_cosine_index(
     monotone vec_id watermark, content-fingerprint no-op on replay,
     append through the recorded bucket spec (probe side stays
     Exchange-free). Returns the append receipt dict."""
-    from ..sources.catalog import append_to_bucketed_index, check_index_params
+    from ..sources.catalog import (
+        append_to_bucketed_index,
+        check_index_params,
+        get_table_properties,
+    )
 
+    # the specific refusal first: a centered TEXT index is a different
+    # hash family even when plane counts happen to collide — raw-banded
+    # appends would mix two families in one table
+    if "text.center_n" in get_table_properties(spark, index_table):
+        raise ValueError(
+            f"index table {index_table} is a CENTERED text index "
+            "(persist_text_cosine_index) — appending raw-banded rows "
+            "would mix two hash families in one table. Use "
+            "embedding.append_to_text_cosine_index."
+        )
     check_index_params(
         spark,
         index_table,

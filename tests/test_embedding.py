@@ -119,45 +119,56 @@ def test_semantic_text_dedup_planted_duplicates(spark, tmp_path):
 
 
 def test_semantic_text_threshold_recovers_jaccard_ground_truth(spark):
-    """The committed threshold claim, asserted: at 0.95 the cosine pair
-    set over the corpus's own text equals the n-gram Jaccard≥0.8 pair
-    set exactly (measured in-session on sf0.01 and frozen here) — the
-    embedding stage loses nothing against the text-side ground truth."""
-    from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
-        cosine_band_buckets,
-        cosine_e6,
-    )
-
+    """The committed threshold claim, asserted on the CORPUS-PATH kernel
+    (centered-banded candidates + raw-cosine verify): at 0.95 the
+    verified pair set over the corpus's own text equals the n-gram
+    Jaccard≥0.8 pair set exactly (measured in-session on sf0.01 and
+    frozen here) — centering changes candidate VOLUME (75,820→32,263
+    measured), never the verified result."""
     docs = spark.read.parquet(f"{SF_01}/documents.parquet")
     jac = dedup.ngram_jaccard_pairs(spark, SF_01).toPandas()
     jset = set(zip(jac["doc_a"], jac["doc_b"]))
-    emb = embedding.embed_documents_df(docs).select(
-        F.col("doc_id").alias("vec_id"), "embedding"
-    )
-    b = cosine_band_buckets(emb)
-    a2, b2 = b.alias("a"), b.alias("b")
-    cands = (
-        a2.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
-    )
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    pairs = (
-        cands.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            "id_a", "id_b", cosine_e6(F.col("ea"), F.col("eb")).alias("s")
-        )
-        .filter(F.col("s") >= embedding.TEXT_NEAR_DUP_THRESHOLD_E6)
-        .toPandas()
-    )
+    pairs = embedding.text_near_dup_pairs(docs).toPandas()
     assert set(zip(pairs["id_a"], pairs["id_b"])) == jset
+
+
+def test_centered_banding_balances_buckets(spark):
+    """The skew fix, asserted structurally: centered band buckets over
+    the sf0.01 corpus are near-balanced (max bucket ≤ 4× the ideal
+    N·bands/keys width), while RAW banding concentrates the corpus's
+    shared-vocabulary direction into dominant buckets (max bucket > 4×
+    ideal — the O(Σ bucket²) blowup the 11 s bench number exposed)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
+        LSH_BANDS,
+        LSH_PLANES,
+        cosine_band_buckets,
+    )
+
+    docs = spark.read.parquet(f"{SF_01}/documents.parquet")
+    sums = embedding.embed_sums(docs)
+    n_docs = sums.count()
+    keys = 2 ** (LSH_PLANES // LSH_BANDS)
+    ideal = n_docs / keys  # per (band, key) cell if perfectly balanced
+    cent_w = (
+        embedding.centered_band_buckets(sums, embedding.embed_totals(sums))
+        .groupBy("band", "key")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    raw_w = (
+        cosine_band_buckets(
+            embedding._sums_to_array(sums).select(
+                F.col("doc_id").alias("vec_id"), "embedding"
+            )
+        )
+        .groupBy("band", "key")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert cent_w <= 4 * ideal, (cent_w, ideal)
+    assert raw_w > 4 * ideal, (raw_w, ideal)
 
 
 def test_incremental_text_semantic_dedup_paths_agree(spark, tmp_path):
@@ -206,17 +217,28 @@ def test_incremental_text_semantic_dedup_paths_agree(spark, tmp_path):
         b1 = got[got["doc_id"] < 400]
         assert (b1["verdict"] == "new").all() and len(b1) == 8
 
-        # append batch1's embeddings, then probe batch2 (near-copies of
-        # batch1): the appended rows flip the verdict
+        # append batch1, then probe batch2 (near-copies of batch1): the
+        # appended rows flip the verdict. The append MUST go through the
+        # text-aware variant — the raw cosine append refuses a centered
+        # text index (mixing hash families would corrupt probes).
+        import pytest
+
         from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
             append_to_cosine_index,
         )
 
-        emb1 = embedding.embed_documents_df(
-            docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 400))
-        ).select(F.col("doc_id").alias("vec_id"), "embedding")
-        r = append_to_cosine_index(spark, emb1, "t_txt_idx")
+        batch1_docs = docs.filter(
+            (F.col("doc_id") >= 250) & (F.col("doc_id") < 400)
+        )
+        emb1 = embedding.embed_documents_df(batch1_docs).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        with pytest.raises(ValueError, match="CENTERED text index"):
+            append_to_cosine_index(spark, emb1, "t_txt_idx")
+        r = embedding.append_to_text_cosine_index(spark, batch1_docs, "t_txt_idx")
         assert r["status"] == "appended"
+        r2 = embedding.append_to_text_cosine_index(spark, batch1_docs, "t_txt_idx")
+        assert r2["status"] == "noop"
         p2 = embedding.incremental_text_semantic_dedup(
             spark, sf, boundary=400, index_table="t_txt_idx"
         ).toPandas()
