@@ -1194,6 +1194,32 @@ FROM alln ORDER BY doc_id
 """
 
 
+def _knn_text_sql() -> str:
+    """SQL twin of embedding.knn_text: raw-cosine top-k over the
+    computed text embeddings, window form (the heap default is
+    byte-identical by test)."""
+    return f"""
+WITH {_embed_sums_cte()},
+{_text_center_ctes()},
+q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM ue WHERE vec_id < 8),
+sc AS (
+  SELECT q.query_id, e2.vec_id AS neighbor_id,
+         CAST(floor(
+           list_sum(list_transform(list_zip(q.qe, e2.embedding),
+                                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (q.qn * e2.nrm) * 1000000.0) AS BIGINT) AS score_e6
+  FROM q JOIN ue e2 ON e2.vec_id <> q.query_id),
+rnked AS (
+  SELECT query_id, neighbor_id, score_e6,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score_e6 DESC, neighbor_id
+         ) AS INTEGER) AS rnk
+  FROM sc)
+SELECT query_id, neighbor_id, rnk, score_e6
+FROM rnked WHERE rnk <= 5 ORDER BY query_id, rnk
+"""
+
+
 def _pin_session(spark: SparkSession) -> None:
     """The driver owns the session; pin the two confs our oracle
     comparisons assume (UTC epochs; Arrow for the pandas stages).
@@ -1213,9 +1239,9 @@ def _wrap(mod_fn):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order IS the driver's check order and the driver records at
     # most 50 rows per round. Round-5 hygiene (round-4 verdict #6):
-    # the four NEW entries lead (embed_documents,
+    # the five NEW entries lead (embed_documents,
     # semantic_dedup_text_corpus, incremental_text_semantic_dedup,
-    # exact_stats — zero driver signal),
+    # knn_text, exact_stats — zero driver signal),
     # then the three knn entries whose final stage changed this round
     # (bounded-heap default) for their first post-change row, then the
     # five entries whose ONLY green is r04 (they rotate to the tail
@@ -1224,8 +1250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # approx_stats (shape proven recordable in r04; it can NEVER be
     # green — no oracle exists for a sketch; its driver signal now
     # flows through the exact_stats order-statistic twin at the head)
-    # and pivot_lang_by_source + symbol_ratios + cosine_lsh_pairs
-    # (multi-green, unchanged). Window = 50 of 77; every tail entry has
+    # and pivot_lang_by_source + symbol_ratios + cosine_lsh_pairs +
+    # near_dup_cosine (multi-green, unchanged). Window = 50 of 78; every
+    # tail entry has
     # >= 2 green driver rows except the by-design pytest-only
     # extract_synthetic and the by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -1245,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_text_semantic_dedup": _wrap(
             embedding.incremental_text_semantic_dedup
         ),
+        "knn_text": _wrap(embedding.knn_text),
         "exact_stats": _wrap(curation.exact_length_stats),
         # --- final top-k stage changed this round (bounded heap):
         # first post-change driver row
@@ -1297,9 +1325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _wrap(dedup.minhash_lsh_pairs),
         "simhash_near_dups": _wrap(dedup.simhash_near_dup_pairs),
         "dedup_clusters": _wrap(dedup.dedup_clusters),
-        "near_dup_cosine": _wrap(similarity.near_dup_pairs_cosine),
         # --- tail (index >= 50): >= 2 green driver rounds each, except
         # the two by-design entries noted above
+        "near_dup_cosine": _wrap(similarity.near_dup_pairs_cosine),
         "cosine_lsh_pairs": _wrap(similarity.cosine_lsh_pairs),
         "approx_stats": _q_approx_stats,
         "pivot_lang_by_source": _q_pivot_lang,
@@ -1860,6 +1888,7 @@ FROM t ORDER BY doc_id
         "embed_documents": _embed_documents_sql(),
         "semantic_dedup_text_corpus": _semantic_text_sql(),
         "incremental_text_semantic_dedup": _incremental_text_semantic_sql(),
+        "knn_text": _knn_text_sql(),
         "exact_stats": """
 WITH hist AS (
   SELECT source, length(text) AS len, CAST(count(*) AS BIGINT) AS c

@@ -330,6 +330,40 @@ def _sums_to_array(sums: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     )
 
 
+def knn_text(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 8,
+    topk: str = "heap",
+) -> DataFrame:
+    """Similarity search over the corpus's OWN text: the first
+    ``n_queries`` documents retrieve their k nearest neighbors by
+    quantized cosine over the computed embeddings — the text twin of
+    ``similarity.brute_force_knn`` (same broadcast-query scoring, same
+    bounded-heap default final stage, same (score desc, id asc) total
+    order). Raw (uncentered) cosine: retrieval semantics match the
+    dedup verify, not the banding."""
+    from .similarity import _topk_per_query, cosine_e6
+
+    emb = embed_documents_df(_docs(spark, sf_dir)).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_e6(F.col("q_emb"), F.col("embedding")).alias("score_e6"),
+        )
+    )
+    return _topk_per_query(scored, k, topk=topk)
+
+
 def persist_text_cosine_index(
     spark: SparkSession,
     docs: DataFrame,

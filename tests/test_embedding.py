@@ -245,3 +245,46 @@ def test_incremental_text_semantic_dedup_paths_agree(spark, tmp_path):
         assert (p2["verdict"] == "near_dup").all() and len(p2) == 8
     finally:
         spark.sql("DROP TABLE IF EXISTS t_txt_idx")
+
+
+def test_knn_text_heap_matches_window_and_retrieves_planted_dup(spark, tmp_path):
+    """Text-side similarity search: heap and window forms byte-identical
+    (same contract as the fixture knn), and a planted near-copy of a
+    query doc is its top-1 neighbor."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.filter(F.col("doc_id") < 40).select("doc_id", "text", "source")
+    copy = docs.filter(F.col("doc_id") == 2).select(
+        F.lit(999).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "source",
+    )
+    base.unionByName(copy).write.parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+    heap = embedding.knn_text(spark, sf).toPandas()
+    window = embedding.knn_text(spark, sf, topk="window").toPandas()
+    pd.testing.assert_frame_equal(heap, window)
+    top1 = heap[(heap["query_id"] == 2) & (heap["rnk"] == 1)].iloc[0]
+    assert top1["neighbor_id"] == 999
+    assert top1["score_e6"] >= embedding.TEXT_NEAR_DUP_THRESHOLD_E6
+
+
+def test_embed_documents_plan_is_jvm_only(spark):
+    """Structural freeze of the audited plan property: the embedding
+    query is pure JVM (no Python/Arrow eval nodes, no pandas stages)
+    and shuffles exactly once on doc_id (plus the oracle orderBy's
+    range partitioning)."""
+    import contextlib
+    import io
+    import re
+
+    df = embedding.embed_documents(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    for banned in ("Python", "ArrowEval", "MapInPandas", "FlatMapGroups"):
+        assert banned not in plan, (banned, plan)
+    # formatted mode puts partitioning in the node-detail Arguments
+    assert len(re.findall(r"hashpartitioning\(doc_id", plan)) >= 1, plan
+    # one data shuffle + one orderBy range exchange — nothing else
+    assert len(set(re.findall(r"\(\d+\) Exchange", plan))) <= 2, plan
