@@ -86,3 +86,106 @@ def streaming_curate(
     )
     fp = extracted.withColumn("fp", fingerprint(F.col("extracted_text")))
     return fp.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["fp"])
+
+
+def streaming_semantic_candidates(
+    spark, docs_stream: DataFrame, index_table: str
+) -> DataFrame:
+    """Streaming SEMANTIC dedup-on-ingest, candidate stage: the
+    streaming analog of
+    ``operators/embedding.py::incremental_text_semantic_dedup``.
+
+    Each arriving document is embedded and banded IN-ROW (one stateless
+    vectorized pandas UDF: md5-token features → affine integer
+    projections → centering with the index's FROZEN build center →
+    8×8-bit band keys — bit-identical to the batch
+    ``centered_band_buckets``, asserted in tests), then stream-static
+    left-SEMI joined against the persisted text index: a document emits
+    a row iff it collides with the existing corpus in some band. No
+    streaming state at all — the index is the state, maintained by the
+    batch ``append_to_text_cosine_index`` path; the exact-cosine verify
+    of surviving candidates stays in the micro-batch/batch tier (the
+    same two-tier design as the exact-fingerprint stream above).
+
+    The per-row Python embed is the designated slow path (a stream sees
+    one doc per row, so the batch path's explode + JVM aggregate shape
+    does not apply); Arrow batching amortizes it per micro-batch."""
+    from pyspark.sql import functions as F, types as T
+
+    from ..operators.embedding import (
+        EMBED_DIM,
+        TEXT_LSH_BANDS,
+        TEXT_LSH_PLANES,
+        TEXT_LSH_SEED,
+        _CENTER,
+        _embed_consts,
+        _text_planes,
+    )
+    from ..sources.catalog import check_index_params
+
+    props = check_index_params(
+        spark,
+        index_table,
+        {
+            "cosine.n_planes": TEXT_LSH_PLANES,
+            "cosine.bands": TEXT_LSH_BANDS,
+            "cosine.seed": TEXT_LSH_SEED,
+        },
+        kind="cosine",
+    )
+    if "text.center_n" not in props:
+        raise ValueError(
+            f"index table {index_table} records no text centering "
+            "statistic — rebuild it with persist_text_cosine_index."
+        )
+    center_n = max(1, int(props["text.center_n"]))
+    center_t = [int(x) for x in props["text.center_t"].split(",")]
+
+    def _keys_udf():
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        consts = _embed_consts(EMBED_DIM)
+        a_vec = np.array([a for a, _ in consts], dtype=np.int64)
+        b_vec = np.array([b for _, b in consts], dtype=np.int64)
+        t_vec = np.array(center_t, dtype=np.int64)
+        planes = np.array(_text_planes(), dtype=np.float64)
+        per_band = TEXT_LSH_PLANES // TEXT_LSH_BANDS
+        w = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
+        mask31 = 0x7FFFFFFF
+
+        def embed_one(text):
+            sums = np.zeros(EMBED_DIM, dtype=np.int64)
+            for tok in text.split(" "):
+                if tok == "":
+                    continue
+                base = (
+                    int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                    & mask31
+                )
+                sums += ((base * a_vec + b_vec) & mask31) - _CENTER
+            return sums
+
+        def _keys(texts):
+            out = []
+            for t in texts:
+                s = embed_one(t or "")
+                centered = (center_n * s - t_vec).astype(np.float64)
+                bits = (planes @ centered) >= 0.0
+                out.append(
+                    [
+                        int(bits[b * per_band : (b + 1) * per_band].astype(np.int64) @ w)
+                        for b in range(TEXT_LSH_BANDS)
+                    ]
+                )
+            return pd.Series(out)
+
+        return F.pandas_udf(_keys, T.ArrayType(T.LongType()))
+
+    banded = docs_stream.select(
+        "doc_id", "ts", F.posexplode(_keys_udf()(F.col("text")))
+    ).select("doc_id", "ts", F.col("pos").alias("band"), F.col("col").alias("key"))
+    idx = spark.table(index_table).select("band", "key")
+    return banded.join(idx, ["band", "key"], "left_semi")

@@ -955,3 +955,118 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
         r["doc_id"] for r in spark.sql(f"SELECT doc_id FROM {name}").collect()
     )
     assert got == [1, 2, 4]  # doc 3 deduped against doc 1's state
+
+
+def test_streaming_semantic_candidates_probe_static_index(spark, tmp_path):
+    """Streaming semantic dedup-on-ingest: arriving docs are embedded +
+    centered-banded IN-ROW (bit-identical to the batch
+    centered_band_buckets under the index's frozen center — asserted)
+    and left-semi joined against the persisted text index. Planted
+    near-copies of indexed docs emit candidate rows; novel-vocabulary
+    docs emit none; no streaming state is used."""
+    import pandas as pd
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
+        embedding as emb,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.catalog import (
+        get_table_properties,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.streaming.dedup import (
+        streaming_semantic_candidates,
+    )
+
+    def text(i, tag):
+        return " ".join(f"{tag}{i}w{j}" for j in range(15))
+
+    existing = spark.createDataFrame(
+        [(i, text(i, "base"), "s") for i in range(50)],
+        "doc_id long, text string, source string",
+    )
+    try:
+        emb.persist_text_cosine_index(
+            spark, existing, "t_stream_idx", str(tmp_path / "sidx"),
+            n_storage_buckets=4,
+        )
+        # incoming batch: 5 near-copies of indexed docs + 5 novel docs
+        rows = [
+            (100 + i, text(i, "base") + " x", "2024-01-01 00:00:00")
+            for i in range(5)
+        ] + [
+            (200 + i, text(i, "fresh"), "2024-01-01 00:00:00")
+            for i in range(5)
+        ]
+        src = str(tmp_path / "in")
+        batch_df = spark.createDataFrame(
+            rows, "doc_id long, text string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        batch_df.write.parquet(src)
+
+        # bit-equality of the in-row streaming keys vs the batch banding
+        # under the SAME frozen center
+        props = get_table_properties(spark, "t_stream_idx")
+        totals = emb._center_literals_frame(spark, props)
+        want_keys = (
+            emb.centered_band_buckets(
+                emb.embed_sums(batch_df.select("doc_id", "text")), totals
+            )
+            .toPandas()
+            .sort_values(["vec_id", "band"])
+            .reset_index(drop=True)
+        )
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(src)
+        q = (
+            streaming_semantic_candidates(spark, stream, "t_stream_idx")
+            .writeStream.format("memory")
+            .queryName("sem_cands")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("sem_cands").toPandas()
+        # candidate-stage RECALL guarantee: every planted near-copy
+        # collides in >= 1 band. (Novel docs may also collide — a band
+        # collision is a candidate, not a verdict; with 8 bands x 256
+        # keys random texts hit ~1-(1-n_idx/256)^8 of the time. The
+        # exact-cosine verify tier is what separates them, below.)
+        assert {100, 101, 102, 103, 104} <= set(got["doc_id"].unique()), got
+
+        # tier 2 (micro-batch/batch): exact-cosine verify of candidate
+        # docs against the indexed corpus — only the true near-copies
+        # survive the 0.95 threshold
+        cand_docs = batch_df.join(
+            spark.createDataFrame(
+                [(int(d),) for d in got["doc_id"].unique()], "doc_id long"
+            ),
+            "doc_id",
+            "left_semi",
+        ).select("doc_id", "text")
+        both = existing.select("doc_id", "text").unionByName(cand_docs)
+        verified = emb.text_near_dup_pairs(both).toPandas()
+        flagged = {
+            int(b) for a, b in zip(verified["id_a"], verified["id_b"]) if b >= 100
+        }
+        assert flagged == {100, 101, 102, 103, 104}, verified
+
+        # bit-equality of the in-row streaming banding vs the batch
+        # path: the same function runs on a BATCH frame (pandas UDFs are
+        # mode-agnostic). The semi-join filters to colliding rows only —
+        # every one of them must appear in the JVM-path batch banding
+        # (centered_band_buckets under the same frozen center) with an
+        # identical (doc_id, band, key) triple.
+        all_keys = want_keys.rename(columns={"vec_id": "doc_id"})
+        got_all = (
+            streaming_semantic_candidates(spark, batch_df, "t_stream_idx")
+            .toPandas()
+            .sort_values(["doc_id", "band"])
+            .reset_index(drop=True)
+        )
+        assert len(got_all) > 0
+        merged = got_all.merge(
+            all_keys, on=["doc_id", "band", "key"], how="left", indicator=True
+        )
+        assert (merged["_merge"] == "both").all(), merged
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_stream_idx")
