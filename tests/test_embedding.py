@@ -288,3 +288,51 @@ def test_embed_documents_plan_is_jvm_only(spark):
     assert len(re.findall(r"hashpartitioning\(doc_id", plan)) >= 1, plan
     # one data shuffle + one orderBy range exchange — nothing else
     assert len(set(re.findall(r"\(\d+\) Exchange", plan))) <= 2, plan
+
+
+def test_embed_py_hypothesis_unicode_totality():
+    """Property: the pure-Python embed kernel is total and deterministic
+    over arbitrary unicode text (md5 hashes UTF-8 bytes — no encoding
+    edge can diverge between engines), sums are bounded by the documented
+    envelope |S_d| < 2^30 * n_tokens, and multiset semantics hold:
+    permuting token order never changes the embedding."""
+    from hypothesis import given, settings, strategies as st
+
+    token = st.text(
+        alphabet=st.characters(blacklist_characters=" ", blacklist_categories=("Cs",)),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(token, min_size=0, max_size=20))
+    def prop(tokens):
+        text = " ".join(tokens)
+        n, s = embedding.embed_py(text)
+        assert n == len(tokens)
+        assert (n, s) == embedding.embed_py(text)  # deterministic
+        bound = (1 << 30) * max(n, 1)
+        assert all(abs(v) <= bound for v in s)
+        # multiset invariance: sorted token order gives the same sums
+        _, s2 = embedding.embed_py(" ".join(sorted(tokens)))
+        assert s2 == s
+
+    prop()
+
+
+def test_embed_spark_matches_python_on_unicode_edge_docs(spark):
+    """Spark/JVM md5 and Python hashlib md5 must agree on non-ASCII
+    token bytes: accented text, CJK, emoji, RTL, combining marks."""
+    rows = [
+        (0, "café naïve jalapeño", "s"),
+        (1, "東京 大阪 京都 テスト", "s"),
+        (2, "🚀 data 🧪 test 🔬", "s"),
+        (3, "مرحبا بالعالم اختبار", "s"),
+        (4, "étoile à ça", "s"),  # combining marks
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sums = embedding.embed_sums(docs).toPandas().set_index("doc_id")
+    for doc_id, text, _ in rows:
+        n, s = embedding.embed_py(text)
+        assert sums.loc[doc_id, "n_tokens"] == n, doc_id
+        assert [sums.loc[doc_id, f"s{d}"] for d in range(embedding.EMBED_DIM)] == s
