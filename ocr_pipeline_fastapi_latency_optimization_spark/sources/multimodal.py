@@ -10,9 +10,12 @@ pattern as ``functions/arabic.py``) and otherwise degrades to a
 ``fake`` codec keeps the pipeline shape exercisable end-to-end in
 containers with no media libs. The AUDIO codec is real for WAV/PCM via
 stdlib ``wave`` (segment-RMS features) and the VIDEO codec is real for
-uncompressed YUV4MPEG2 (per-segment mean luma) — both zero-dependency;
-compressed containers degrade to per-row error sentinels, and a real
-deployment swaps in librosa/av decoders behind the same registry seam.
+uncompressed YUV4MPEG2 (per-segment mean luma) — both zero-dependency.
+Stream-compression ENVELOPES (gzip/bz2/xz around any payload) are
+decoded for real via the stdlib with a decompression-bomb guard;
+codec-compressed formats (MP3/H.264) degrade to per-row error
+sentinels, and a real deployment swaps in librosa/av decoders behind
+the same registry seam.
 """
 
 from __future__ import annotations
@@ -178,11 +181,75 @@ def _video_decode_features(payload: bytes) -> list:
     return out
 
 
+# --- compression envelopes (stdlib, zero-dependency) -------------------
+#
+# Real corpora often store media payloads wrapped in a stream
+# compressor (gzip/bz2/xz) independent of the inner media format. These
+# ENVELOPES are fully decodable with the standard library, so the
+# registry handles them for real: magic-sniff → decompress → decode the
+# inner payload with the same codec. This is honest scope: envelope
+# compression (gzip around a WAV) is not codec compression (MP3/H.264) —
+# the latter still degrade to per-row error sentinels until a real
+# media lib is registered.
+
+_ENVELOPE_MAGIC = (
+    (b"\x1f\x8b", "gzip"),
+    (b"BZh", "bz2"),
+    (b"\xfd7zXZ\x00", "xz"),
+)
+# decompression-bomb guard: refuse to inflate past this many bytes —
+# a malicious 10^6:1 bomb degrades to the per-row error sentinel
+# instead of an executor OOM
+MAX_DECOMPRESSED_BYTES = 64 * 1024 * 1024
+
+
+def _strip_envelope(payload: bytes) -> bytes:
+    """Transparently decompress a gzip/bz2/xz envelope (bounded read);
+    non-enveloped payloads pass through untouched."""
+    for magic, kind in _ENVELOPE_MAGIC:
+        if payload[: len(magic)] == magic:
+            if kind == "gzip":
+                import gzip as _gzip
+                import io as _io
+
+                with _gzip.GzipFile(fileobj=_io.BytesIO(payload)) as fh:
+                    out = fh.read(MAX_DECOMPRESSED_BYTES + 1)
+            elif kind == "bz2":
+                import bz2 as _bz2
+
+                out = _bz2.BZ2Decompressor().decompress(
+                    payload, MAX_DECOMPRESSED_BYTES + 1
+                )
+            else:
+                import lzma as _lzma
+
+                out = _lzma.LZMADecompressor().decompress(
+                    payload, MAX_DECOMPRESSED_BYTES + 1
+                )
+            if len(out) > MAX_DECOMPRESSED_BYTES:
+                raise ValueError(
+                    f"{kind} payload inflates past "
+                    f"{MAX_DECOMPRESSED_BYTES} bytes — refusing "
+                    "(decompression bomb guard)"
+                )
+            return out
+    return payload
+
+
+def _with_envelope(decode: Callable[[bytes], list]) -> Callable[[bytes], list]:
+    def run(payload: bytes) -> list:
+        return decode(_strip_envelope(payload))
+
+    return run
+
+
 CODECS: Dict[str, Callable[[bytes], list]] = {
     "fake": _fake_decode_features,
-    "image": _image_decode_features if _PILImage is not None else _real_decode,
-    "audio": _audio_decode_features,
-    "video": _video_decode_features,
+    "image": _with_envelope(
+        _image_decode_features if _PILImage is not None else _real_decode
+    ),
+    "audio": _with_envelope(_audio_decode_features),
+    "video": _with_envelope(_video_decode_features),
 }
 
 

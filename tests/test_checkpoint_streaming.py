@@ -1070,3 +1070,41 @@ def test_streaming_semantic_candidates_probe_static_index(spark, tmp_path):
         assert (merged["_merge"] == "both").all(), merged
     finally:
         spark.sql("DROP TABLE IF EXISTS t_stream_idx")
+
+
+def test_multimodal_compression_envelopes_roundtrip(spark):
+    """Stdlib compression envelopes are decoded for REAL: a
+    gzip/bz2/xz-wrapped WAV (and gzip-wrapped Y4M) produces features
+    bit-identical to the uncompressed payload, both directly and through
+    the Spark mapInPandas path; a decompression bomb degrades to the
+    per-row error sentinel, never an executor failure."""
+    import bz2
+    import gzip
+    import lzma
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources import multimodal as mm
+
+    wav = mm.gen_wav_bytes(n_samples=800)
+    base = mm.CODECS["audio"](wav)
+    assert mm.CODECS["audio"](gzip.compress(wav)) == base
+    assert mm.CODECS["audio"](bz2.compress(wav)) == base
+    assert mm.CODECS["audio"](lzma.compress(wav)) == base
+    clip = mm.gen_y4m_bytes(n_frames=8)
+    assert mm.CODECS["video"](gzip.compress(clip)) == mm.CODECS["video"](clip)
+
+    rows = [
+        (0, "audio", "audio/wav+gzip", bytearray(gzip.compress(wav)), None, None, None),
+        (1, "audio", "audio/wav+xz", bytearray(lzma.compress(wav)), None, None, None),
+        # a 64 MiB+ zero bomb compresses to ~64 KiB — must sentinel, not OOM
+        (2, "audio", "audio/wav+gzip",
+         bytearray(gzip.compress(b"\x00" * (mm.MAX_DECOMPRESSED_BYTES + 1024))),
+         None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = mm.extract_features(df, codec="audio").toPandas().set_index("media_id")
+    assert out.loc[0, "decode_status"] == "ok"
+    assert out.loc[1, "decode_status"] == "ok"
+    assert [round(f, 9) for f in out.loc[0, "feat"]] == [round(f, 9) for f in base]
+    # the sentinel records the exception TYPE (ValueError from the bomb
+    # guard), proving the row degraded instead of inflating 64 MiB
+    assert out.loc[2, "decode_status"] == "error:ValueError"
