@@ -192,36 +192,42 @@ TEXT_LSH_BANDS = 8  # 8 bands x 8 bits = 256 keys/band
 TEXT_LSH_SEED = 43
 
 
-def _text_planes():
+def _text_planes(n_planes: int = TEXT_LSH_PLANES):
+    """The text hyperplane family (seeded rng stream — a wider request
+    extends the same stream, so plane i is identical at every width)."""
     from .similarity import LSH_DIM, _hyperplanes
 
-    return _hyperplanes(TEXT_LSH_PLANES, LSH_DIM, seed=TEXT_LSH_SEED)
+    return _hyperplanes(n_planes, LSH_DIM, seed=TEXT_LSH_SEED)
 
 
 _TEXT_PLANES = _text_planes()
 
 
-def _text_band_keys_udf():
+def _text_band_keys_udf(planes_list=None, bands: int = TEXT_LSH_BANDS):
     """Per-band LSH keys for the text family as ONE vectorized pandas
-    UDF: batch matmul (B×64)@(64×64) → sign bits → 8 per-band 8-bit
-    keys, returned as an array column (small integers — no packing
-    overflow games). Arrow-batched numpy, same rationale as
-    similarity._signature_udf."""
+    UDF: batch matmul (B×64)@(64×P) → sign bits → per-band keys,
+    returned as an array column (small integers — no packing overflow
+    games). Arrow-batched numpy, same rationale as
+    similarity._signature_udf. ``planes_list``/``bands`` select the
+    family width — the scale lever: keys per band must grow with corpus
+    size (default: the frozen 64-plane / 8×8-bit family)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    planes = np.array(_TEXT_PLANES, dtype=np.float64)  # (64, 64)
-    per_band = TEXT_LSH_PLANES // TEXT_LSH_BANDS
+    planes = np.array(
+        _TEXT_PLANES if planes_list is None else planes_list, dtype=np.float64
+    )
+    per_band = len(planes) // bands
     w = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
 
     def _keys(emb):
         mat = np.array(emb.tolist(), dtype=np.float64)
-        bits = (mat @ planes.T) >= 0.0  # (B, 64)
+        bits = (mat @ planes.T) >= 0.0  # (B, P)
         keys = np.stack(
             [
                 bits[:, b * per_band : (b + 1) * per_band].astype(np.int64) @ w
-                for b in range(TEXT_LSH_BANDS)
+                for b in range(bands)
             ],
             axis=1,
         )
@@ -230,11 +236,16 @@ def _text_band_keys_udf():
     return F.pandas_udf(_keys, T.ArrayType(T.LongType()))
 
 
-def text_band_buckets(emb: DataFrame) -> DataFrame:
+def text_band_buckets(
+    emb: DataFrame, planes_list=None, bands: int = TEXT_LSH_BANDS
+) -> DataFrame:
     """(vec_id, band, key) rows under the TEXT hash family — ids-only,
-    same shape as similarity.cosine_band_buckets but 8×8-bit keys."""
+    same shape as similarity.cosine_band_buckets but wide keys."""
     return emb.select(
-        "vec_id", F.posexplode(_text_band_keys_udf()(F.col("embedding")))
+        "vec_id",
+        F.posexplode(
+            _text_band_keys_udf(planes_list, bands)(F.col("embedding"))
+        ),
     ).select("vec_id", F.col("pos").alias("band"), F.col("col").alias("key"))
 
 
@@ -249,11 +260,17 @@ def embed_totals(sums: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
 
 
 def centered_band_buckets(
-    sums: DataFrame, totals: DataFrame, dim: int = EMBED_DIM
+    sums: DataFrame,
+    totals: DataFrame,
+    dim: int = EMBED_DIM,
+    planes_list=None,
+    bands: int = TEXT_LSH_BANDS,
 ) -> DataFrame:
     """(vec_id, band, key) TEXT-family LSH rows over CENTERED vectors
     n·s_d − t_d. ``totals`` is a 1-row frame (broadcast — the center is
-    a constant of the hash family, not data)."""
+    a constant of the hash family, not data); ``planes_list``/``bands``
+    widen the family for larger corpora (bench/scale_text_run.py
+    measures the effect)."""
     centered = sums.crossJoin(F.broadcast(totals)).select(
         F.col("doc_id").alias("vec_id"),
         F.array(
@@ -266,7 +283,7 @@ def centered_band_buckets(
             ]
         ).alias("embedding"),
     )
-    return text_band_buckets(centered)
+    return text_band_buckets(centered, planes_list, bands)
 
 
 def _center_literals_frame(spark: SparkSession, props: dict) -> DataFrame:
