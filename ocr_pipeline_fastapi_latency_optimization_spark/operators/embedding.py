@@ -298,7 +298,10 @@ def _center_literals_frame(spark: SparkSession, props: dict) -> DataFrame:
 
 
 def text_near_dup_pairs(
-    docs: DataFrame, threshold_e6: int = TEXT_NEAR_DUP_THRESHOLD_E6
+    docs: DataFrame,
+    threshold_e6: int = TEXT_NEAR_DUP_THRESHOLD_E6,
+    planes_list=None,
+    bands: int = TEXT_LSH_BANDS,
 ) -> DataFrame:
     """(id_a, id_b, score_e6) verified semantic near-dup pairs over a
     text frame: centered-banded candidates, exact RAW-cosine verify —
@@ -312,7 +315,9 @@ def text_near_dup_pairs(
     from .similarity import cosine_e6
 
     sums = embed_sums(docs).localCheckpoint(eager=True)
-    buckets = centered_band_buckets(sums, embed_totals(sums))
+    buckets = centered_band_buckets(
+        sums, embed_totals(sums), planes_list=planes_list, bands=bands
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cands = (
@@ -605,6 +610,8 @@ def semantic_dedup_text_corpus(
     spark: SparkSession,
     sf_dir: str,
     threshold_e6: int = TEXT_NEAR_DUP_THRESHOLD_E6,
+    planes_list=None,
+    bands: int = TEXT_LSH_BANDS,
 ) -> DataFrame:
     """The closed loop the round-4 verdict asked for: extract-side TEXT
     → deterministic embeddings → hyperplane-LSH banded candidates →
@@ -621,7 +628,9 @@ def semantic_dedup_text_corpus(
     from .dedup import connected_components
 
     docs = _docs(spark, sf_dir)
-    pairs = text_near_dup_pairs(docs, threshold_e6=threshold_e6)
+    pairs = text_near_dup_pairs(
+        docs, threshold_e6=threshold_e6, planes_list=planes_list, bands=bands
+    )
     cc = connected_components(pairs, src="id_a", dst="id_b")
     joined = docs.select("doc_id").join(cc, docs["doc_id"] == cc["node"], "left")
     return joined.select(
