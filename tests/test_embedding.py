@@ -336,3 +336,72 @@ def test_embed_spark_matches_python_on_unicode_edge_docs(spark):
         n, s = embedding.embed_py(text)
         assert sums.loc[doc_id, "n_tokens"] == n, doc_id
         assert [sums.loc[doc_id, f"s{d}"] for d in range(embedding.EMBED_DIM)] == s
+
+
+def test_text_index_probe_is_shuffle_free_on_index_side(spark, tmp_path):
+    """Completes the plan evidence across all three index families
+    (MinHash, fixture-cosine, text-cosine): with broadcast disabled, a
+    probe batch semi-joining the persisted text index reads the index
+    co-located (SelectedBucketsCount in the scan) with exactly one
+    (band, key)-keyed exchange — the probe batch aligning to the
+    index's bucketing; zero on the index branch."""
+    import contextlib
+    import io
+    import re
+
+    def text(i, tag):
+        return " ".join(f"{tag}{i}w{j}" for j in range(15))
+
+    docs = spark.createDataFrame(
+        [(i, text(i, "base"), "s") for i in range(60)]
+        + [(250 + i, text(i, "probe"), "s") for i in range(8)],
+        "doc_id long, text string, source string",
+    )
+    try:
+        embedding.persist_text_cosine_index(
+            spark,
+            docs.filter(F.col("doc_id") < 250),
+            "t_txt_plan_idx",
+            str(tmp_path / "pidx"),
+            n_storage_buckets=4,
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            from ocr_pipeline_fastapi_latency_optimization_spark.sources.catalog import (
+                get_table_properties,
+            )
+
+            props = get_table_properties(spark, "t_txt_plan_idx")
+            totals = embedding._center_literals_frame(spark, props)
+            probe = embedding.centered_band_buckets(
+                embedding.embed_sums(docs.filter(F.col("doc_id") >= 250)),
+                totals,
+            )
+            idx = (
+                spark.table("t_txt_plan_idx")
+                .filter(F.col("vec_id") < 250)
+                .select("band", "key")
+                .distinct()
+            )
+            j = probe.join(idx, ["band", "key"], "left_semi")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain(mode="simple")
+            plan = buf.getvalue()
+            assert "SelectedBucketsCount" in plan, plan
+            # the probe branch owns exactly two hash exchanges — its
+            # embed aggregate (doc_id) and the join alignment (Catalyst
+            # keeps the posexplode names pos/col there); the INDEX
+            # branch contributes none: its band/key-named attributes
+            # never appear under an Exchange
+            assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+            assert not re.search(r"Exchange hashpartitioning\(band#", plan), plan
+            assert re.search(r"Exchange hashpartitioning\(pos#", plan), plan
+            assert re.search(r"Exchange hashpartitioning\(doc_id#", plan), plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_txt_plan_idx")
