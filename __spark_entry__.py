@@ -807,13 +807,18 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _ivf_oracle_sql(nprobe: int = 1) -> str:
+def _ivf_oracle_sql(
+    nprobe: int = 1, pre_ctes: str = "", src: str = "embeddings",
+    id_col: str = "vec_id",
+) -> str:
     """DuckDB twin of similarity.ivf_knn(train=True): unrolled sampled
     k-means passes (same seeds, same per-row-quantized means, same
     empty-cluster carry-over), then bucket-probe top-k. ``nprobe > 1``
     fans each query out to its n best centroids (the recall lever) while
     corpus vectors stay in exactly one bucket — candidates never
-    duplicate, mirroring similarity.ivf_knn."""
+    duplicate, mirroring similarity.ivf_knn. ``pre_ctes``/``src``/
+    ``id_col`` feed a COMPUTED embedding CTE (the text twin) through the
+    identical machinery."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
         DEFAULT_K,
         DEFAULT_QUERIES,
@@ -836,7 +841,7 @@ def _ivf_oracle_sql(nprobe: int = 1) -> str:
     cnrm = "sqrt(list_sum(list_transform(c_emb, x -> x * x)))"
     parts = [
         f"""
-WITH e AS (SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM embeddings),
+WITH {pre_ctes}e AS (SELECT {id_col} AS vec_id, embedding, {_COS_NORM} AS nrm FROM {src}),
 s AS (SELECT * FROM e WHERE vec_id % {KMEANS_SAMPLE_MOD} = 0),
 c0 AS (SELECT vec_id AS centroid_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb, nrm AS c_nrm
        FROM e WHERE vec_id < {IVF_CENTROIDS})"""
@@ -1194,6 +1199,24 @@ FROM alln ORDER BY doc_id
 """
 
 
+def _knn_text_ivf_sql() -> str:
+    """SQL twin of embedding.knn_text_ivf: the unrolled trained-IVF
+    oracle fed by the computed text embeddings (scaled by the exact
+    2⁻³⁰ the Spark side applies)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
+        EMBED_DIM,
+        _IVF_SCALE,
+    )
+
+    arr = ", ".join(
+        f"CAST(s{d} AS DOUBLE) / {_IVF_SCALE!r}" for d in range(EMBED_DIM)
+    )
+    pre = f"""{_embed_sums_cte()},
+emb_arr AS (SELECT doc_id, [{arr}] AS embedding FROM esum),
+"""
+    return _ivf_oracle_sql(pre_ctes=pre, src="emb_arr", id_col="doc_id")
+
+
 def _knn_text_sql() -> str:
     """SQL twin of embedding.knn_text: raw-cosine top-k over the
     computed text embeddings, window form (the heap default is
@@ -1239,9 +1262,9 @@ def _wrap(mod_fn):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order IS the driver's check order and the driver records at
     # most 50 rows per round. Round-5 hygiene (round-4 verdict #6):
-    # the five NEW entries lead (embed_documents,
+    # the six NEW entries lead (embed_documents,
     # semantic_dedup_text_corpus, incremental_text_semantic_dedup,
-    # knn_text, exact_stats — zero driver signal),
+    # knn_text, knn_text_ivf, exact_stats — zero driver signal),
     # then the three knn entries whose final stage changed this round
     # (bounded-heap default) for their first post-change row, then the
     # five entries whose ONLY green is r04 (they rotate to the tail
@@ -1251,8 +1274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green — no oracle exists for a sketch; its driver signal now
     # flows through the exact_stats order-statistic twin at the head)
     # and pivot_lang_by_source + symbol_ratios + cosine_lsh_pairs +
-    # near_dup_cosine (multi-green, unchanged). Window = 50 of 78; every
-    # tail entry has
+    # near_dup_cosine + dedup_clusters (multi-green, unchanged).
+    # Window = 50 of 79; every tail entry has
     # >= 2 green driver rows except the by-design pytest-only
     # extract_synthetic and the by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -1273,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             embedding.incremental_text_semantic_dedup
         ),
         "knn_text": _wrap(embedding.knn_text),
+        "knn_text_ivf": _wrap(embedding.knn_text_ivf),
         "exact_stats": _wrap(curation.exact_length_stats),
         # --- final top-k stage changed this round (bounded heap):
         # first post-change driver row
@@ -1324,9 +1348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _wrap(dedup.ngram_jaccard_pairs),
         "minhash_lsh_pairs": _wrap(dedup.minhash_lsh_pairs),
         "simhash_near_dups": _wrap(dedup.simhash_near_dup_pairs),
-        "dedup_clusters": _wrap(dedup.dedup_clusters),
         # --- tail (index >= 50): >= 2 green driver rounds each, except
         # the two by-design entries noted above
+        "dedup_clusters": _wrap(dedup.dedup_clusters),
         "near_dup_cosine": _wrap(similarity.near_dup_pairs_cosine),
         "cosine_lsh_pairs": _wrap(similarity.cosine_lsh_pairs),
         "approx_stats": _q_approx_stats,
@@ -1889,6 +1913,7 @@ FROM t ORDER BY doc_id
         "semantic_dedup_text_corpus": _semantic_text_sql(),
         "incremental_text_semantic_dedup": _incremental_text_semantic_sql(),
         "knn_text": _knn_text_sql(),
+        "knn_text_ivf": _knn_text_ivf_sql(),
         "exact_stats": """
 WITH hist AS (
   SELECT source, length(text) AS len, CAST(count(*) AS BIGINT) AS c

@@ -386,6 +386,51 @@ def knn_text(
     return _topk_per_query(scored, k, topk=topk)
 
 
+# exact power-of-two scaling for the IVF path: cosine is
+# scale-invariant, but the trained k-means quantizes per-row values at
+# 1e-6 — raw integer-sum embeddings (~2^30·tokens) would overflow the
+# ANSI long sum in the per-dimension means. Dividing by 2^30 is EXACT
+# in IEEE-754 (exponent shift), so both engines see identical doubles.
+_IVF_SCALE = float(1 << 30)
+
+
+def knn_text_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 8,
+    nprobe: int = 1,
+    topk: str = "heap",
+) -> DataFrame:
+    """Scale-path similarity search over the corpus's OWN text: the
+    trained-IVF machinery (sampled k-means → bucket assignment →
+    bucket-local probe, ``similarity.ivf_knn``) fed by the computed
+    embeddings — work per query scales with probed-bucket size, not
+    corpus size. Embeddings are scaled by 2⁻³⁰ (exact, cosine-neutral)
+    so the k-means per-row e6 quantization stays inside ANSI long
+    sums. ``nprobe=n_centroids`` probes every bucket and is then
+    byte-identical to ``knn_text`` brute force (asserted in tests) —
+    the recall-vs-work dial proven at both ends."""
+    from .similarity import ivf_knn
+
+    emb = embed_documents_df(_docs(spark, sf_dir)).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x / F.lit(_IVF_SCALE)).alias(
+            "embedding"
+        ),
+    )
+    return ivf_knn(
+        spark,
+        sf_dir,
+        k=k,
+        n_queries=n_queries,
+        train=True,
+        nprobe=nprobe,
+        topk=topk,
+        emb=emb,
+    )
+
+
 def persist_text_cosine_index(
     spark: SparkSession,
     docs: DataFrame,

@@ -806,6 +806,7 @@ def ivf_knn(
     train: bool = True,
     nprobe: int = 1,
     topk: str = "heap",
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the query's ``nprobe`` nearest buckets — the
     candidate join is bucket-co-located (equi-join on bucket), so work
@@ -816,8 +817,12 @@ def ivf_knn(
     (round-4 verdict #1: a hot probed bucket skews the candidate list,
     and a row_number window would sort ALL of a query's candidates in
     one partition — the heap keeps per-task state at O(queries·k));
-    ``topk='window'`` retains the oracle-shaped form."""
-    emb = _emb(spark, sf_dir)
+    ``topk='window'`` retains the oracle-shaped form. ``emb`` overrides
+    the fixture embeddings with any (vec_id, embedding array<double>)
+    frame — e.g. the computed text embeddings (embedding.knn_text_ivf);
+    the whole trained pipeline (sampled k-means, bucket assignment,
+    probe) is source-agnostic."""
+    emb = _emb(spark, sf_dir) if emb is None else emb
     if train:
         cents = kmeans_centroids(emb, n_centroids=n_centroids)
     else:

@@ -405,3 +405,34 @@ def test_text_index_probe_is_shuffle_free_on_index_side(spark, tmp_path):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     finally:
         spark.sql("DROP TABLE IF EXISTS t_txt_plan_idx")
+
+
+def test_knn_text_ivf_probe_all_equals_brute_force(spark):
+    """The recall-vs-work dial proven at both ends: with
+    nprobe = n_centroids the text IVF probes every bucket and must be
+    BYTE-IDENTICAL to knn_text brute force (scores included — the 2⁻³⁰
+    scaling is exact, cosine-neutral); with nprobe = 1 it is a subset
+    computation whose surviving rows carry the same exact scores."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
+        IVF_CENTROIDS,
+    )
+
+    bf = embedding.knn_text(spark, SF_DIR).toPandas()
+    ivf_all = embedding.knn_text_ivf(
+        spark, SF_DIR, nprobe=IVF_CENTROIDS
+    ).toPandas()
+    pd.testing.assert_frame_equal(ivf_all, bf)
+
+    ivf1 = embedding.knn_text_ivf(spark, SF_DIR, nprobe=1).toPandas()
+    assert len(ivf1) <= len(bf)
+    merged = ivf1.merge(
+        bf[["query_id", "neighbor_id", "score_e6"]].rename(
+            columns={"score_e6": "bf_score"}
+        ),
+        on=["query_id", "neighbor_id"],
+        how="left",
+    )
+    # any neighbor IVF found that brute force also ranked has the same
+    # exact quantized score
+    both = merged.dropna(subset=["bf_score"])
+    assert (both["score_e6"] == both["bf_score"]).all()
