@@ -1113,8 +1113,13 @@ def _text_center_ctes(where: str = "") -> str:
     tsums = ", ".join(
         f"coalesce(sum(s{d}), 0) AS t{d}" for d in range(EMBED_DIM)
     )
+    # DOUBLE product mirroring the Spark side exactly: the identical
+    # IEEE-754 sequence round(n·s) − t in both engines, so band keys
+    # are bit-equal; the overflow-prone corpus totals stay HUGEINT
+    # (DuckDB sum) / decimal (Spark sum)
     carr = ", ".join(
-        f"CAST(n * s{d} - t{d} AS DOUBLE)" for d in range(EMBED_DIM)
+        f"(CAST(n AS DOUBLE) * CAST(s{d} AS DOUBLE) - CAST(t{d} AS DOUBLE))"
+        for d in range(EMBED_DIM)
     )
     rarr = ", ".join(f"CAST(s{d} AS DOUBLE)" for d in range(EMBED_DIM))
     return f"""csum AS (SELECT CAST(greatest(count(*), 1) AS BIGINT) AS n, {tsums}

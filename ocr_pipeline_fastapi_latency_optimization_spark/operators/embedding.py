@@ -251,11 +251,21 @@ def text_band_buckets(
 
 def embed_totals(sums: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     """1-row (n, t0..t{dim-1}) corpus totals of the integer feature
-    sums — the centering statistic. Empty input degrades to n=0/t=0
-    (centered == raw scaled by n=1 guard downstream)."""
+    sums — the centering statistic. Totals are DECIMAL(38,0): a long
+    sum would overflow (loudly, under ANSI) near 10⁹ docs × 2³⁷-scale
+    per-doc sums — decimal carries the corpus-scale range, and its
+    cast to double is correctly rounded in both engines (DuckDB's twin
+    sums to HUGEINT, same property). Empty input degrades to n=0/t=0
+    (centered == raw, scaled by the n=1 guard downstream)."""
     return sums.agg(
         F.count("*").alias("n"),
-        *[F.coalesce(F.sum(f"s{d}"), F.lit(0)).alias(f"t{d}") for d in range(dim)],
+        *[
+            F.coalesce(
+                F.sum(F.col(f"s{d}").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias(f"t{d}")
+            for d in range(dim)
+        ],
     )
 
 
@@ -271,14 +281,23 @@ def centered_band_buckets(
     a constant of the hash family, not data); ``planes_list``/``bands``
     widen the family for larger corpora (bench/scale_text_run.py
     measures the effect)."""
+    # per-row arithmetic in DOUBLE: a sign computation needs direction,
+    # not exact integers — n·s_d would overflow longs at corpus scale
+    # and decimal is ~3.5× slower in this hot expression (measured).
+    # Both engines evaluate the identical IEEE-754 sequence
+    # (round(n·s) then round(−t)), so cross-engine key equality holds
+    # bit-for-bit — the same guarantee class as the hyperplane dot
+    # products themselves. Only the corpus-total AGGREGATE (where the
+    # overflow actually lives) stays decimal.
     centered = sums.crossJoin(F.broadcast(totals)).select(
         F.col("doc_id").alias("vec_id"),
         F.array(
             *[
                 (
-                    F.greatest(F.col("n"), F.lit(1)) * F.col(f"s{d}")
-                    - F.col(f"t{d}")
-                ).cast("double")
+                    F.greatest(F.col("n"), F.lit(1)).cast("double")
+                    * F.col(f"s{d}").cast("double")
+                    - F.col(f"t{d}").cast("double")
+                )
                 for d in range(dim)
             ]
         ).alias("embedding"),
@@ -289,11 +308,13 @@ def centered_band_buckets(
 def _center_literals_frame(spark: SparkSession, props: dict) -> DataFrame:
     """Rebuild the 1-row totals frame from a persisted index's recorded
     center properties (text.center_n / text.center_t)."""
+    from decimal import Decimal
+
     n = int(props["text.center_n"])
-    ts = [int(x) for x in props["text.center_t"].split(",")]
+    ts = [Decimal(x) for x in props["text.center_t"].split(",")]
     return spark.createDataFrame(
         [tuple([n] + ts)],
-        "n long, " + ", ".join(f"t{d} long" for d in range(len(ts))),
+        "n long, " + ", ".join(f"t{d} decimal(38,0)" for d in range(len(ts))),
     )
 
 

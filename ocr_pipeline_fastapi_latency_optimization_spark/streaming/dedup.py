@@ -150,7 +150,10 @@ def streaming_semantic_candidates(
         consts = _embed_consts(EMBED_DIM)
         a_vec = np.array([a for a, _ in consts], dtype=np.int64)
         b_vec = np.array([b for _, b in consts], dtype=np.int64)
-        t_vec = np.array(center_t, dtype=np.int64)
+        # float64 directly: center totals can exceed int64 at corpus
+        # scale; float(python int) is the same correctly rounded value
+        # the batch path gets from its decimal→double cast
+        t_vec = np.array([float(x) for x in center_t], dtype=np.float64)
         planes = np.array(_text_planes(), dtype=np.float64)
         per_band = TEXT_LSH_PLANES // TEXT_LSH_BANDS
         w = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
@@ -172,7 +175,11 @@ def streaming_semantic_candidates(
             out = []
             for t in texts:
                 s = embed_one(t or "")
-                centered = (center_n * s - t_vec).astype(np.float64)
+                # the batch banding computes round(n·s) − t in float64;
+                # replicate the identical IEEE sequence (numpy
+                # elementwise does exactly this) so streaming keys are
+                # bit-equal to the batch keys at every scale
+                centered = float(center_n) * s.astype(np.float64) - t_vec
                 bits = (planes @ centered) >= 0.0
                 out.append(
                     [

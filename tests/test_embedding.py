@@ -436,3 +436,50 @@ def test_knn_text_ivf_probe_all_equals_brute_force(spark):
     # exact quantized score
     both = merged.dropna(subset=["bf_score"])
     assert (both["score_e6"] == both["bf_score"]).all()
+
+
+def test_centering_decimal_carries_past_int64(spark):
+    """The centering product n·s_d − t_d runs in decimal(38,0) (HUGEINT
+    in the DuckDB twin): a frozen center with past-2⁶³ totals must
+    evaluate without ANSI overflow, and the resulting band keys must
+    equal a Python-bigint reference (exact integers → one correctly
+    rounded float64 conversion → plane signs)."""
+    from decimal import Decimal
+
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta", "s"), (1, "epsilon zeta", "s")],
+        "doc_id long, text string, source string",
+    )
+    sums = embedding.embed_sums(docs)
+    n = 10**10
+    ts = [Decimal((-1) ** d) * Decimal(10) ** 20 + d for d in range(64)]
+    totals = spark.createDataFrame(
+        [tuple([n] + ts)],
+        "n long, " + ", ".join(f"t{d} decimal(38,0)" for d in range(64)),
+    )
+    got = (
+        embedding.centered_band_buckets(sums, totals)
+        .toPandas()
+        .sort_values(["vec_id", "band"])
+        .reset_index(drop=True)
+    )
+    planes = np.array(embedding._text_planes(), dtype=np.float64)
+    per_band = embedding.TEXT_LSH_PLANES // embedding.TEXT_LSH_BANDS
+    w = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
+    for doc_id, text in [(0, "alpha beta gamma delta"), (1, "epsilon zeta")]:
+        _, s = embedding.embed_py(text)
+        # the engine computes round(n·s) − t in float64 — replicate the
+        # same two-rounding IEEE sequence, not exact-bigint-then-round
+        centered = np.array(
+            [float(n) * float(s[d]) - float(ts[d]) for d in range(64)],
+            dtype=np.float64,
+        )
+        bits = (planes @ centered) >= 0.0
+        want = [
+            int(bits[b * per_band : (b + 1) * per_band].astype(np.int64) @ w)
+            for b in range(embedding.TEXT_LSH_BANDS)
+        ]
+        rows = got[got["vec_id"] == doc_id].sort_values("band")
+        assert rows["key"].tolist() == want, doc_id
