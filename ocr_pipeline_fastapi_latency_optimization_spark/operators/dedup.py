@@ -280,9 +280,14 @@ _AFFINE_SEED = 0x9E3779B97F4A7C15
 _MASK31 = 0x7FFFFFFF
 
 
-def _affine_consts(n: int):
+def _affine_consts(n: int, seed: int = _AFFINE_SEED):
+    """Deterministic (A, B) affine-permutation constants from a
+    splitmix-style stream. ``seed`` selects the stream — MinHash uses
+    the default; the embedding module draws its own independent stream
+    through this one generator (a forked copy would silently
+    desynchronize on any future fix to the construction)."""
     consts = []
-    x = _AFFINE_SEED
+    x = seed
     for _ in range(n):
         # splitmix64-ish stream of deterministic odd multipliers + offsets
         x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF

@@ -62,18 +62,13 @@ TEXT_NEAR_DUP_THRESHOLD_E6 = 950000
 
 
 def _embed_consts(n: int = EMBED_DIM):
-    """Deterministic (A_d, B_d) affine constants — same splitmix-style
-    stream construction as dedup._affine_consts but seeded independently
-    so embedding dims never replicate MinHash permutations."""
-    consts = []
-    x = _EMBED_SEED
-    for _ in range(n):
-        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
-        a = (x & _MASK31) | 1
-        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
-        b = x & _MASK31
-        consts.append((a, b))
-    return consts
+    """Deterministic (A_d, B_d) affine constants — the SAME generator
+    MinHash uses (dedup._affine_consts) on an independent seed, so
+    embedding dims never replicate MinHash permutations and the stream
+    construction has exactly one implementation."""
+    from .dedup import _affine_consts
+
+    return _affine_consts(n, seed=_EMBED_SEED)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,6 +300,19 @@ def centered_band_buckets(
     return text_band_buckets(centered, planes_list, bands)
 
 
+def require_text_center(props: dict, table: str) -> dict:
+    """Fail fast when a table lacks the text centering statistic — it
+    was not written by persist_text_cosine_index (one guard, used by
+    the batch probe, the append path, and the streaming probe)."""
+    if "text.center_n" not in props:
+        raise ValueError(
+            f"index table {table} records no text centering statistic — "
+            "it was not written by persist_text_cosine_index; rebuild it "
+            "before probing/appending text batches."
+        )
+    return props
+
+
 def _center_literals_frame(spark: SparkSession, props: dict) -> DataFrame:
     """Rebuild the 1-row totals frame from a persisted index's recorded
     center properties (text.center_n / text.center_t)."""
@@ -468,7 +476,10 @@ def persist_text_cosine_index(
     and fail fast on any family mismatch."""
     from ..sources.catalog import set_table_properties, write_bucketed_table
 
-    sums = embed_sums(docs)
+    # three consumers (totals collect, banding write, watermark) — one
+    # materialization instead of re-running the token explode+aggregate
+    # per consumer (the module's materialize-once rule; round-5 review)
+    sums = embed_sums(docs).localCheckpoint(eager=True)
     totals_row = embed_totals(sums).collect()[0]  # 1 row — control plane
     totals = _center_literals_frame(
         spark,
@@ -522,12 +533,7 @@ def append_to_text_cosine_index(
         },
         kind="cosine",
     )
-    if "text.center_n" not in props:
-        raise ValueError(
-            f"index table {index_table} records no text centering "
-            "statistic — it was not written by persist_text_cosine_index;"
-            " rebuild it before appending text batches."
-        )
+    require_text_center(props, index_table)
     stat = docs_batch.agg(
         F.count("*").alias("n"),
         F.min("doc_id").alias("lo"),
@@ -570,9 +576,17 @@ def incremental_text_semantic_dedup(
     the candidate join reads the index shuffle-free with the
     ``vec_id < boundary`` consumption guard; default computes both
     sides from the boundary split — the driver-oracle path,
-    byte-identical output (both paths band with the EXISTING corpus's
-    frozen center — the split path computes it from the pre-boundary
-    sums, the indexed path reads it from the index properties).
+    byte-identical output — PROVIDED the index's build corpus equals
+    the pre-boundary split (the driver-oracle scenario, asserted in
+    tests): the split path computes the center from the pre-boundary
+    sums, the indexed path reads the index's FROZEN build center from
+    its properties. After `append_to_text_cosine_index` the two
+    deliberately diverge on borderline bucket collisions: the index
+    keeps its frozen hash family (centers are build-time constants —
+    re-centering would invalidate every persisted key) while the split
+    path re-derives the center from whatever is pre-boundary now. Both
+    are valid LSH configurations; the exact-cosine verify bounds the
+    difference to candidate RECALL, never to a false near_dup.
     Per-ingest cost is O(batch) embedding + bucket-local joins — the
     corpus is never re-embedded or rescanned. Token-less new docs have
     no embedding and report ``new`` (route them through exact
@@ -595,11 +609,7 @@ def incremental_text_semantic_dedup(
             },
             kind="cosine",
         )
-        if "text.center_n" not in props:
-            raise ValueError(
-                f"index table {index_table} records no text centering "
-                "statistic — rebuild it with persist_text_cosine_index."
-            )
+        require_text_center(props, index_table)
         totals = _center_literals_frame(spark, props)
         new_sums = embed_sums(docs.filter(F.col("doc_id") >= boundary))
         new = centered_band_buckets(new_sums, totals)
@@ -623,7 +633,6 @@ def incremental_text_semantic_dedup(
         emb_all = _sums_to_array(sums).select(
             F.col("doc_id").alias("vec_id"), "embedding"
         )
-        new_emb = emb_all.filter(F.col("vec_id") >= boundary)
     pairs = (
         new.join(
             existing.select(F.col("vec_id").alias("evec"), "band", "key"),

@@ -80,21 +80,50 @@ def cosine_e6(a: Column, b: Column) -> Column:
     return _cosine_e6_udf()(a, b)
 
 
+def _partition_topk_rows(scored: DataFrame, k: int) -> DataFrame:
+    """NARROW per-partition top-k (no shuffle): one vectorized pass over
+    each input partition keeping at most k rows per query — the genuine
+    pre-shuffle truncation (round-5 review #3: a groupBy-collect_list
+    level-1 aggregate evaluates its slice only AFTER the exchange, so
+    full candidate lists would cross the wire; this mapInPandas bounds
+    both the running state and the shuffle input to O(queries·k) per
+    partition). Rank order: score desc, neighbor_id asc — a total
+    order, so per-partition truncation is exact for the global top-k
+    (top-k is mergeable)."""
+    import pandas as pd
+
+    def run(batches):
+        best = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            cur = cur.sort_values(
+                ["query_id", "score_e6", "neighbor_id"],
+                ascending=[True, False, True],
+            )
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    return scored.mapInPandas(
+        run, schema="query_id long, neighbor_id long, score_e6 long"
+    )
+
+
 def _topk_per_query(scored: DataFrame, k: int, topk: str = "heap") -> DataFrame:
     """Final per-query top-k over (query_id, neighbor_id, score_e6) —
     rank = quantized cosine desc, neighbor id asc (a total order, so
     both implementations are byte-identical; asserted in tests).
 
-    ``topk='heap'`` (default, the scale path — round-4 verdict #1): a
-    two-level bounded aggregate. Level 1 groups by (query_id, input
-    partition id), so each group lives entirely inside one partition and
-    its ``slice(array_sort(collect_list(...)), 1, k)`` keeps only the k
-    best candidates BEFORE anything shuffles — the map-side-partial
-    top-k the old docstring promised; the per-task state is O(queries x
-    k), never all candidates. Level 2 merges the <= k x n_partitions
-    survivors per query with one more sort+slice. No Window anywhere: a
-    hot IVF bucket (skewed candidate list) costs a bounded merge, not a
-    single-partition sort of every candidate of that query.
+    ``topk='heap'`` (default, the scale path — round-4 verdict #1):
+    a narrow per-partition truncation (``_partition_topk_rows``) keeps
+    only each partition's k best rows per query BEFORE anything
+    shuffles — per-task state and shuffle volume are O(queries·k) per
+    partition, never a partition's full candidate list — then ONE
+    bounded merge aggregate (``slice(array_sort(collect_list))`` over
+    ≤ k·n_partitions rows per query) picks the global top-k. No Window
+    anywhere: a hot IVF bucket (skewed candidate list) costs bounded
+    truncation + a bounded merge, not a single-partition sort of every
+    candidate of that query.
 
     ``topk='window'``: the per-query ``row_number`` form — kept as the
     small-scale twin whose shape matches the DuckDB oracle SQL."""
@@ -110,17 +139,15 @@ def _topk_per_query(scored: DataFrame, k: int, topk: str = "heap") -> DataFrame:
         )
     if topk != "heap":
         raise ValueError(f"unknown topk implementation {topk!r}")
+    pruned = _partition_topk_rows(
+        scored.select("query_id", "neighbor_id", "score_e6"), k
+    )
     # struct sorts by field order: (-score, id) asc == score desc, id asc
     entry = F.struct(
         (-F.col("score_e6")).alias("ns"), F.col("neighbor_id").alias("nid")
     )
-    partial = scored.groupBy(
-        "query_id", F.spark_partition_id().alias("_p")
-    ).agg(F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("top"))
-    merged = (
-        partial.select("query_id", F.explode("top").alias("t"))
-        .groupBy("query_id")
-        .agg(F.slice(F.array_sort(F.collect_list("t")), 1, k).alias("top"))
+    merged = pruned.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("top")
     )
     return (
         merged.select("query_id", F.posexplode("top").alias("i", "t"))

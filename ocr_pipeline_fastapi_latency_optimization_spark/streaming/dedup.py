@@ -133,11 +133,9 @@ def streaming_semantic_candidates(
         },
         kind="cosine",
     )
-    if "text.center_n" not in props:
-        raise ValueError(
-            f"index table {index_table} records no text centering "
-            "statistic — rebuild it with persist_text_cosine_index."
-        )
+    from ..operators.embedding import require_text_center
+
+    require_text_center(props, index_table)
     center_n = max(1, int(props["text.center_n"]))
     center_t = [int(x) for x in props["text.center_t"].split(",")]
 
@@ -160,33 +158,49 @@ def streaming_semantic_candidates(
         mask31 = 0x7FFFFFFF
 
         def embed_one(text):
+            """(n_tokens, sums) — sums int64; token-less → (0, zeros)."""
             sums = np.zeros(EMBED_DIM, dtype=np.int64)
+            n_tok = 0
             for tok in text.split(" "):
                 if tok == "":
                     continue
+                n_tok += 1
                 base = (
                     int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
                     & mask31
                 )
                 sums += ((base * a_vec + b_vec) & mask31) - _CENTER
-            return sums
+            return n_tok, sums
 
         def _keys(texts):
-            out = []
-            for t in texts:
-                s = embed_one(t or "")
-                # the batch banding computes round(n·s) − t in float64;
-                # replicate the identical IEEE sequence (numpy
-                # elementwise does exactly this) so streaming keys are
-                # bit-equal to the batch keys at every scale
-                centered = float(center_n) * s.astype(np.float64) - t_vec
-                bits = (planes @ centered) >= 0.0
-                out.append(
+            # batch-shaped computation so the BLAS kernel matches the
+            # batch UDF exactly: build the (B, 64) centered matrix and
+            # run ONE mat @ planes.T — a per-row matrix-vector product
+            # could route to a different BLAS kernel with a different
+            # accumulation order and flip a borderline sign bit
+            # (round-5 review #4). Token-less docs get NULL (no band
+            # rows after posexplode) — the batch path emits no row for
+            # them either (round-5 review #1).
+            embedded = [embed_one(t or "") for t in texts]
+            has_tok = [n > 0 for n, _ in embedded]
+            rows = [s for (n, s), ok in zip(embedded, has_tok) if ok]
+            keys_by_row = iter(())
+            if rows:
+                smat = np.stack(rows).astype(np.float64)  # (B', 64)
+                cmat = float(center_n) * smat - t_vec[None, :]
+                bits = (cmat @ planes.T) >= 0.0  # same kernel as batch
+                keys = np.stack(
                     [
-                        int(bits[b * per_band : (b + 1) * per_band].astype(np.int64) @ w)
+                        bits[:, b * per_band : (b + 1) * per_band].astype(
+                            np.int64
+                        )
+                        @ w
                         for b in range(TEXT_LSH_BANDS)
-                    ]
+                    ],
+                    axis=1,
                 )
+                keys_by_row = iter(keys.tolist())
+            out = [next(keys_by_row) if ok else None for ok in has_tok]
             return pd.Series(out)
 
         return F.pandas_udf(_keys, T.ArrayType(T.LongType()))

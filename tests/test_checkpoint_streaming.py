@@ -989,12 +989,17 @@ def test_streaming_semantic_candidates_probe_static_index(spark, tmp_path):
             n_storage_buckets=4,
         )
         # incoming batch: 5 near-copies of indexed docs + 5 novel docs
+        # + 2 token-less docs (must emit NO band rows — the batch path
+        # has no embedding for them either; round-5 review #1)
         rows = [
             (100 + i, text(i, "base") + " x", "2024-01-01 00:00:00")
             for i in range(5)
         ] + [
             (200 + i, text(i, "fresh"), "2024-01-01 00:00:00")
             for i in range(5)
+        ] + [
+            (300, "", "2024-01-01 00:00:00"),
+            (301, "   ", "2024-01-01 00:00:00"),
         ]
         src = str(tmp_path / "in")
         batch_df = spark.createDataFrame(
