@@ -1129,23 +1129,73 @@ ue0 AS (SELECT doc_id AS vec_id, [{rarr}] AS embedding FROM esum),
 ue AS (SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM ue0)"""
 
 
+def _text_lsh_auto_cte(where_n: str = "") -> str:
+    """CTE chain ending in ``bands(vec_id, band, key)`` — the
+    AUTO-SIZED text hyperplane family (embedding.auto_text_family):
+    ``nb`` counts the banded population (esum rows, optionally
+    boundary-filtered — the same count the Spark side takes on its
+    checkpointed sums frame), ``cfg`` picks the per-band bit width by
+    the identical integer rule (smallest bits with
+    2^bits·TARGET_BUCKET ≥ n), ``sig`` computes sign bits for the
+    WIDEST enumerated family once, and ``bands`` assembles each
+    config's keys guarded by ``cfg.bits`` — only the selected config
+    produces rows. Enumerates bits 8–12 (corpora ≤ 2¹²·16 = 65,536
+    banded docs — ample for every oracle scale; the Python rule
+    continues past it, see the sizing note in operators/embedding.py).
+    Sign bits come from the centered vectors (``cent``)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
+        TEXT_LSH_TARGET_BUCKET,
+        _TEXT_BANDS_FOR_BITS,
+        _text_planes,
+    )
+
+    configs = [(bits, _TEXT_BANDS_FOR_BITS[bits]) for bits in range(8, 13)]
+    planes = _text_planes(max(bits * nb for bits, nb in configs))
+    cases = " ".join(
+        f"WHEN n <= {(1 << bits) * TEXT_LSH_TARGET_BUCKET} THEN {bits}"
+        for bits, _ in configs[:-1]
+    )
+    bit_exprs = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(w) for w in plane) + "]"
+        bit_exprs.append(
+            f"CASE WHEN list_sum(list_transform(list_zip(embedding, {lit}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN 1 ELSE 0 END AS bit{i}"
+        )
+    band_selects = []
+    for bits, n_bands in configs:
+        for b in range(n_bands):
+            key = " + ".join(
+                f"bit{b * bits + r} * {2 ** (bits - 1 - r)}" for r in range(bits)
+            )
+            band_selects.append(
+                f"SELECT vec_id, {b} AS band, {key} AS key "
+                f"FROM sig, cfg WHERE cfg.bits = {bits}"
+            )
+    # sig is referenced by every per-config band select (46 of them) —
+    # MATERIALIZED stops DuckDB 1.0 from inlining the 132 list-dot
+    # bit expressions into each reference (46× recompute = minutes)
+    return f"""nb AS (SELECT count(*) AS n FROM esum {where_n}),
+cfg AS MATERIALIZED (SELECT CASE {cases} ELSE {configs[-1][0]} END AS bits FROM nb),
+sig AS MATERIALIZED (SELECT doc_id AS vec_id, {", ".join(bit_exprs)} FROM cent),
+bands AS ({" UNION ALL ".join(band_selects)})"""
+
+
 def _semantic_text_sql() -> str:
     """SQL twin of embedding.semantic_dedup_text_corpus: the computed
-    text embeddings CENTER-banded through the SAME hyperplane-LSH CTE
-    the fixture-vector oracles use (shared-vocabulary skew fix — see
-    the centering note in operators/embedding.py), exact RAW-cosine
-    verify at the text threshold, recursive components, per-document
-    keep/drop."""
+    text embeddings CENTER-banded through the AUTO-SIZED text family
+    CTE (shared-vocabulary skew fix + derived-from-N key width — see
+    the centering and sizing notes in operators/embedding.py), exact
+    RAW-cosine verify at the text threshold, recursive components,
+    per-document keep/drop."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
-        TEXT_LSH_BANDS,
         TEXT_NEAR_DUP_THRESHOLD_E6,
-        _TEXT_PLANES,
     )
 
     return f"""
 WITH RECURSIVE {_embed_sums_cte()},
 {_text_center_ctes()},
-{_lsh_bands_cte(src="cent", id_col="doc_id", planes=_TEXT_PLANES, bands=TEXT_LSH_BANDS)},
+{_text_lsh_auto_cte()},
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bands a JOIN bands b
@@ -1180,15 +1230,13 @@ def _incremental_text_semantic_sql() -> str:
         INGEST_BOUNDARY,
     )
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
-        TEXT_LSH_BANDS,
         TEXT_NEAR_DUP_THRESHOLD_E6,
-        _TEXT_PLANES,
     )
 
     return f"""
 WITH {_embed_sums_cte()},
 {_text_center_ctes(where=f"WHERE doc_id < {INGEST_BOUNDARY}")},
-{_lsh_bands_cte(src="cent", id_col="doc_id", planes=_TEXT_PLANES, bands=TEXT_LSH_BANDS)},
+{_text_lsh_auto_cte(where_n=f"WHERE doc_id < {INGEST_BOUNDARY}")},
 existing AS (SELECT DISTINCT vec_id AS evec, band, key FROM bands WHERE vec_id < {INGEST_BOUNDARY}),
 newb AS (SELECT DISTINCT vec_id, band, key FROM bands WHERE vec_id >= {INGEST_BOUNDARY}),
 pairs AS (SELECT DISTINCT n.vec_id, x.evec FROM newb n JOIN existing x USING (band, key)),

@@ -183,8 +183,58 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall retuned by adding bands.
 
 TEXT_LSH_PLANES = 64
-TEXT_LSH_BANDS = 8  # 8 bands x 8 bits = 256 keys/band
+TEXT_LSH_BANDS = 8  # 8 bands x 8 bits = 256 keys/band — the FLOOR family
 TEXT_LSH_SEED = 43
+
+# --- auto-sized family (round-5 verdict #1) ---
+#
+# A FIXED key width goes quadratic: with K keys/band, even perfectly
+# balanced buckets generate Σ C(N/K, 2)·K ≈ N²/2K candidate pairs per
+# band — the repo's own rung measured the frozen 256-key default at
+# 100.06 M pairs on just 50 k docs vs 19.98 M for a 4,096-key family
+# (bench/scale_text_run.py, BENCH/BASELINE.md). Keys must grow with N.
+# The default family is therefore DERIVED from corpus size:
+#
+#   bits  = smallest b in [MIN_BITS, MAX_BITS] with
+#           2^b · TARGET_BUCKET ≥ n_docs      (integer compare — both
+#           engines evaluate the identical rule; n_docs counts docs
+#           with ≥1 token, i.e. the banded population)
+#   bands = _TEXT_BANDS_FOR_BITS[bits]
+#   planes = bits · bands   (plane i of the seeded stream is identical
+#           at every width, so families NEST — _text_planes)
+#
+# TARGET_BUCKET=16 keeps expected bucket width ~16 docs: per-band
+# candidate floor ≈ N·(width−1)/2 — LINEAR in N. The bands table holds
+# per-pair recall ≈ 1−(1−p^bits)^bands ≥ 0.997 at the measured
+# centered near-dup per-bit agreement p ≈ 0.93 (cosine ≈ 0.97 →
+# p = 1−θ/π): bands(bits) = ceil(ln 0.003 / ln(1−0.93^bits)), frozen
+# as a literal so both engines share exact integers (a pytest recomputes
+# the formula against the dict). At n_docs ≤ 4,096 the rule yields the
+# 8×8-bit floor family — bit-identical to the round-5 frozen default.
+# MAX_BITS=24 (16.7 M keys/band, ~270 M docs at width 16) bounds the
+# literal table; beyond it, pass planes_list/bands explicitly. The SQL
+# oracle twin enumerates bits 8–12 (corpora ≤ 65,536 docs — every
+# driver/replica scale); the Python rule continues past it.
+TEXT_LSH_TARGET_BUCKET = 16
+TEXT_LSH_MIN_BITS = 8
+TEXT_LSH_MAX_BITS = 24
+_TEXT_BANDS_FOR_BITS = {
+    8: 8, 9: 8, 10: 9, 11: 10, 12: 11, 13: 12, 14: 13, 15: 15, 16: 16,
+    17: 17, 18: 19, 19: 21, 20: 22, 21: 24, 22: 26, 23: 28, 24: 31,
+}
+
+
+def auto_text_family(n_docs: int) -> tuple:
+    """(n_planes, bands) for a corpus of ``n_docs`` banded documents —
+    the derived-from-N default family (see the sizing note above)."""
+    bits = TEXT_LSH_MIN_BITS
+    while (
+        bits < TEXT_LSH_MAX_BITS
+        and (1 << bits) * TEXT_LSH_TARGET_BUCKET < n_docs
+    ):
+        bits += 1
+    bands = _TEXT_BANDS_FOR_BITS[bits]
+    return bits * bands, bands
 
 
 def _text_planes(n_planes: int = TEXT_LSH_PLANES):
@@ -213,6 +263,12 @@ def _text_band_keys_udf(planes_list=None, bands: int = TEXT_LSH_BANDS):
     planes = np.array(
         _TEXT_PLANES if planes_list is None else planes_list, dtype=np.float64
     )
+    if len(planes) % bands != 0:
+        raise ValueError(
+            f"planes_list length {len(planes)} is not a multiple of "
+            f"bands={bands} — trailing hyperplanes would be silently "
+            "dropped, weakening recall (round-5 ADVICE #3)."
+        )
     per_band = len(planes) // bands
     w = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
 
@@ -313,6 +369,22 @@ def require_text_center(props: dict, table: str) -> dict:
     return props
 
 
+def _index_family(props: dict):
+    """(planes_list, bands) recorded in a text index's properties at
+    build time — the frozen authority every probe / append / streaming
+    consumer adopts (re-deriving the family from the probe's own view
+    of N would silently desync hash families as the corpus grows; the
+    seed handshake still runs through check_index_params)."""
+    n_planes = int(props["cosine.n_planes"])
+    bands = int(props["cosine.bands"])
+    if bands <= 0 or n_planes % bands != 0:
+        raise ValueError(
+            f"index records an inconsistent family: n_planes={n_planes} "
+            f"is not a positive multiple of bands={bands}."
+        )
+    return _text_planes(n_planes), bands
+
+
 def _center_literals_frame(spark: SparkSession, props: dict) -> DataFrame:
     """Rebuild the 1-row totals frame from a persisted index's recorded
     center properties (text.center_n / text.center_t)."""
@@ -326,24 +398,41 @@ def _center_literals_frame(spark: SparkSession, props: dict) -> DataFrame:
     )
 
 
+def _resolve_text_family(planes_list, bands, n_docs: int):
+    """(planes_list, bands) under the family-selection contract:
+    ``planes_list``/``bands`` both None → AUTO-sized from corpus size
+    (the scale default — round-5 verdict #1); an explicit ``bands``
+    alone selects that many bands of the floor plane family; an
+    explicit ``planes_list`` is fully manual (the production override
+    past MAX_BITS and the bench rung's lever)."""
+    if planes_list is None and bands is None:
+        n_planes, bands = auto_text_family(n_docs)
+        return _text_planes(n_planes), bands
+    return planes_list, TEXT_LSH_BANDS if bands is None else bands
+
+
 def text_near_dup_pairs(
     docs: DataFrame,
     threshold_e6: int = TEXT_NEAR_DUP_THRESHOLD_E6,
     planes_list=None,
-    bands: int = TEXT_LSH_BANDS,
+    bands: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, score_e6) verified semantic near-dup pairs over a
-    text frame: centered-banded candidates, exact RAW-cosine verify —
-    the corpus-path kernel `semantic_dedup_text_corpus` builds on.
+    text frame: centered-banded candidates (family AUTO-sized from the
+    corpus's banded-doc count by default — see ``auto_text_family``),
+    exact RAW-cosine verify — the corpus-path kernel
+    `semantic_dedup_text_corpus` builds on.
 
     The sums frame feeds THREE consumers (centering totals, banding,
     exact verify) — materialize it once (`localCheckpoint`, ~0.5 KB/doc)
     instead of re-running the token explode+aggregate per consumer; at
     corpus scale this is the same materialize-the-signatures-once choice
-    the MinHash index build makes."""
+    the MinHash index build makes. The family-sizing count rides that
+    materialization (control-plane scalar)."""
     from .similarity import cosine_e6
 
     sums = embed_sums(docs).localCheckpoint(eager=True)
+    planes_list, bands = _resolve_text_family(planes_list, bands, sums.count())
     buckets = centered_band_buckets(
         sums, embed_totals(sums), planes_list=planes_list, bands=bands
     )
@@ -469,10 +558,12 @@ def persist_text_cosine_index(
 ) -> str:
     """Persist the CENTERED hyperplane LSH index of a text corpus's
     computed embeddings, bucketed by its probe key. Records the full
-    frozen hash family — hyperplanes (module constants) AND the
+    frozen hash family — the hyperplane family AUTO-sized from the
+    build corpus's size (``auto_text_family``; overridable) AND the
     centering statistic (n, t_0..t_63) — plus the append metadata, so
     probes (`incremental_text_semantic_dedup(index_table=)`) and
-    appends (`append_to_text_cosine_index`) rehash batches identically
+    appends (`append_to_text_cosine_index`) rehash batches with the
+    index's RECORDED family (frozen at build — appends never re-size)
     and fail fast on any family mismatch."""
     from ..sources.catalog import set_table_properties, write_bucketed_table
 
@@ -481,6 +572,7 @@ def persist_text_cosine_index(
     # per consumer (the module's materialize-once rule; round-5 review)
     sums = embed_sums(docs).localCheckpoint(eager=True)
     totals_row = embed_totals(sums).collect()[0]  # 1 row — control plane
+    n_planes, bands = auto_text_family(int(totals_row["n"]))
     totals = _center_literals_frame(
         spark,
         {
@@ -490,15 +582,17 @@ def persist_text_cosine_index(
             ),
         },
     )
-    buckets = centered_band_buckets(sums, totals)
+    buckets = centered_band_buckets(
+        sums, totals, planes_list=_text_planes(n_planes), bands=bands
+    )
     write_bucketed_table(buckets, name, path, ["band", "key"], n_storage_buckets)
     max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
     set_table_properties(
         spark,
         name,
         {
-            "cosine.n_planes": TEXT_LSH_PLANES,
-            "cosine.bands": TEXT_LSH_BANDS,
+            "cosine.n_planes": n_planes,
+            "cosine.bands": bands,
             "cosine.seed": TEXT_LSH_SEED,
             "cosine.max_vec_id": -1 if max_id is None else int(max_id),
             "cosine.path": path,
@@ -517,22 +611,17 @@ def append_to_text_cosine_index(
     spark: SparkSession, docs_batch: DataFrame, index_table: str
 ) -> dict:
     """Text twin of ``similarity.append_to_cosine_index``: embeds the
-    batch, bands it with the index's FROZEN center (recorded at build
-    time — the hash family never drifts), and delegates to the
-    idempotent bucketed append (content-fp no-op on replay, monotone
-    doc_id watermark)."""
+    batch, bands it with the index's FROZEN center AND family (both
+    recorded at build time — the hash family never drifts, even when
+    the grown corpus would auto-size differently today), and delegates
+    to the idempotent bucketed append (content-fp no-op on replay,
+    monotone doc_id watermark)."""
     from ..sources.catalog import append_to_bucketed_index, check_index_params
 
     props = check_index_params(
-        spark,
-        index_table,
-        {
-            "cosine.n_planes": TEXT_LSH_PLANES,
-            "cosine.bands": TEXT_LSH_BANDS,
-            "cosine.seed": TEXT_LSH_SEED,
-        },
-        kind="cosine",
+        spark, index_table, {"cosine.seed": TEXT_LSH_SEED}, kind="cosine"
     )
+    planes_list, bands = _index_family(props)
     require_text_center(props, index_table)
     stat = docs_batch.agg(
         F.count("*").alias("n"),
@@ -543,7 +632,10 @@ def append_to_text_cosine_index(
     if stat["n"] == 0:
         return {"status": "noop", "batch_fp": "empty", "table": index_table}
     buckets = centered_band_buckets(
-        embed_sums(docs_batch), _center_literals_frame(spark, props)
+        embed_sums(docs_batch),
+        _center_literals_frame(spark, props),
+        planes_list=planes_list,
+        bands=bands,
     )
     return append_to_bucketed_index(
         spark,
@@ -600,19 +692,15 @@ def incremental_text_semantic_dedup(
         from ..sources.catalog import check_index_params
 
         props = check_index_params(
-            spark,
-            index_table,
-            {
-                "cosine.n_planes": TEXT_LSH_PLANES,
-                "cosine.bands": TEXT_LSH_BANDS,
-                "cosine.seed": TEXT_LSH_SEED,
-            },
-            kind="cosine",
+            spark, index_table, {"cosine.seed": TEXT_LSH_SEED}, kind="cosine"
         )
+        planes_list, bands = _index_family(props)
         require_text_center(props, index_table)
         totals = _center_literals_frame(spark, props)
         new_sums = embed_sums(docs.filter(F.col("doc_id") >= boundary))
-        new = centered_band_buckets(new_sums, totals)
+        new = centered_band_buckets(
+            new_sums, totals, planes_list=planes_list, bands=bands
+        )
         new_emb = _sums_to_array(new_sums).select(
             F.col("doc_id").alias("vec_id"), "embedding"
         )
@@ -623,11 +711,20 @@ def incremental_text_semantic_dedup(
         emb_all = None
     else:
         # three consumers of the sums frame (totals, banding, verify) —
-        # materialize once, same rationale as text_near_dup_pairs
+        # materialize once, same rationale as text_near_dup_pairs.
+        # Family: auto-sized from the EXISTING (pre-boundary) corpus —
+        # the population an index built over it would have recorded
+        # (keeps the split path byte-identical to the indexed path in
+        # the driver-oracle scenario).
         sums = embed_sums(docs).localCheckpoint(eager=True)
         existing_sums = sums.filter(F.col("doc_id") < boundary)
+        planes_list, bands = _resolve_text_family(
+            None, None, existing_sums.count()
+        )
         totals = embed_totals(existing_sums)
-        buckets = centered_band_buckets(sums, totals)
+        buckets = centered_band_buckets(
+            sums, totals, planes_list=planes_list, bands=bands
+        )
         existing = buckets.filter(F.col("vec_id") < boundary)
         new = buckets.filter(F.col("vec_id") >= boundary)
         emb_all = _sums_to_array(sums).select(
@@ -686,13 +783,15 @@ def semantic_dedup_text_corpus(
     sf_dir: str,
     threshold_e6: int = TEXT_NEAR_DUP_THRESHOLD_E6,
     planes_list=None,
-    bands: int = TEXT_LSH_BANDS,
+    bands: int | None = None,
 ) -> DataFrame:
     """The closed loop the round-4 verdict asked for: extract-side TEXT
     → deterministic embeddings → hyperplane-LSH banded candidates →
     exact quantized-cosine verify → star-contraction components → one
     keep/drop verdict per document. No stage is all-pairs: candidates
-    come from 4-bit band buckets (ids-only joins), verification touches
+    come from band buckets whose key width is AUTO-sized from corpus
+    size (ids-only joins; ``auto_text_family`` keeps the candidate
+    floor linear in N), verification touches
     only candidates, components contract in O(log² n) rounds — the same
     proven scale paths as ``similarity.semantic_dedup_corpus``, now fed
     by the corpus's own text instead of fixture vectors. Output shape

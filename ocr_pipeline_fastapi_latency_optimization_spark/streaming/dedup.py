@@ -98,14 +98,19 @@ def streaming_semantic_candidates(
     Each arriving document is embedded and banded IN-ROW (one stateless
     vectorized pandas UDF: md5-token features → affine integer
     projections → centering with the index's FROZEN build center →
-    8×8-bit band keys — bit-identical to the batch
-    ``centered_band_buckets``, asserted in tests), then stream-static
-    left-SEMI joined against the persisted text index: a document emits
-    a row iff it collides with the existing corpus in some band. No
+    band keys under the index's RECORDED family — bit-identical to the
+    batch ``centered_band_buckets``, asserted in tests), then
+    stream-static left-SEMI joined against the persisted text index: a
+    document emits a row iff it collides with a STRICTLY-EARLIER
+    existing document (``index vec_id < doc_id`` — the batch probes'
+    pair-ordering guard, so a document replayed through the stream
+    after ``append_to_text_cosine_index`` folded it in never collides
+    with its own index rows; round-5 ADVICE #1). No
     streaming state at all — the index is the state, maintained by the
     batch ``append_to_text_cosine_index`` path; the exact-cosine verify
     of surviving candidates stays in the micro-batch/batch tier (the
-    same two-tier design as the exact-fingerprint stream above).
+    same two-tier design as the exact-fingerprint stream above; the
+    full in-stream verdict is ``streaming_semantic_verdicts``).
 
     The per-row Python embed is the designated slow path (a stream sees
     one doc per row, so the batch path's explode + JVM aggregate shape
@@ -114,27 +119,18 @@ def streaming_semantic_candidates(
 
     from ..operators.embedding import (
         EMBED_DIM,
-        TEXT_LSH_BANDS,
-        TEXT_LSH_PLANES,
         TEXT_LSH_SEED,
         _CENTER,
         _embed_consts,
-        _text_planes,
+        _index_family,
+        require_text_center,
     )
     from ..sources.catalog import check_index_params
 
     props = check_index_params(
-        spark,
-        index_table,
-        {
-            "cosine.n_planes": TEXT_LSH_PLANES,
-            "cosine.bands": TEXT_LSH_BANDS,
-            "cosine.seed": TEXT_LSH_SEED,
-        },
-        kind="cosine",
+        spark, index_table, {"cosine.seed": TEXT_LSH_SEED}, kind="cosine"
     )
-    from ..operators.embedding import require_text_center
-
+    planes_list, n_bands = _index_family(props)
     require_text_center(props, index_table)
     center_n = max(1, int(props["text.center_n"]))
     center_t = [int(x) for x in props["text.center_t"].split(",")]
@@ -152,8 +148,14 @@ def streaming_semantic_candidates(
         # scale; float(python int) is the same correctly rounded value
         # the batch path gets from its decimal→double cast
         t_vec = np.array([float(x) for x in center_t], dtype=np.float64)
-        planes = np.array(_text_planes(), dtype=np.float64)
-        per_band = TEXT_LSH_PLANES // TEXT_LSH_BANDS
+        planes = np.array(planes_list, dtype=np.float64)
+        if len(planes) % n_bands != 0:  # same guard as the batch UDF
+            raise ValueError(
+                f"planes_list length {len(planes)} is not a multiple of "
+                f"bands={n_bands} — trailing hyperplanes would be "
+                "silently dropped (round-5 ADVICE #3)."
+            )
+        per_band = len(planes) // n_bands
         w = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
         mask31 = 0x7FFFFFFF
 
@@ -195,7 +197,7 @@ def streaming_semantic_candidates(
                             np.int64
                         )
                         @ w
-                        for b in range(TEXT_LSH_BANDS)
+                        for b in range(n_bands)
                     ],
                     axis=1,
                 )
@@ -208,5 +210,15 @@ def streaming_semantic_candidates(
     banded = docs_stream.select(
         "doc_id", "ts", F.posexplode(_keys_udf()(F.col("text")))
     ).select("doc_id", "ts", F.col("pos").alias("band"), F.col("col").alias("key"))
-    idx = spark.table(index_table).select("band", "key")
-    return banded.join(idx, ["band", "key"], "left_semi")
+    idx = spark.table(index_table).select(
+        F.col("vec_id").alias("_idx_vec"), "band", "key"
+    )
+    # semi-join with the strictly-earlier guard: an indexed copy of the
+    # arriving doc itself (same doc_id) never matches
+    return banded.join(
+        idx,
+        (banded["band"] == idx["band"])
+        & (banded["key"] == idx["key"])
+        & (idx["_idx_vec"] < banded["doc_id"]),
+        "left_semi",
+    )

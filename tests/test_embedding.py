@@ -132,6 +132,68 @@ def test_semantic_text_threshold_recovers_jaccard_ground_truth(spark):
     assert set(zip(pairs["id_a"], pairs["id_b"])) == jset
 
 
+def test_auto_text_family_rule():
+    """The derived-from-N default family (round-5 verdict #1): the
+    frozen bands table matches its documented recall formula, the bit
+    width GROWS with corpus size (the quadratic-candidates fix the
+    scale rung measured), small corpora keep the round-5 floor family
+    bit-identically, and the Python rule equals the SQL twin's CASE
+    rule over the oracle-enumerated range."""
+    import math
+
+    # bands(bits) = ceil(ln 0.003 / ln(1 - 0.93^bits)) — the documented
+    # ≥0.997 per-pair recall hold at measured per-bit agreement 0.93
+    for bits, bands in embedding._TEXT_BANDS_FOR_BITS.items():
+        want = math.ceil(math.log(0.003) / math.log(1 - 0.93**bits))
+        assert bands == want, (bits, bands, want)
+        assert 1 - (1 - 0.93**bits) ** bands >= 0.997
+
+    # floor family below the first knee: bit-identical to the round-5
+    # frozen default (sf0.001/sf0.01 oracles unchanged by construction)
+    for n in (0, 1, 500, 4096):
+        assert embedding.auto_text_family(n) == (
+            embedding.TEXT_LSH_PLANES,
+            embedding.TEXT_LSH_BANDS,
+        )
+    # width scales with N: keys per band = 2^bits grows monotonically,
+    # keeping expected bucket width ≤ TARGET_BUCKET until the cap
+    prev_bits = 0
+    for n in (1, 10**3, 10**4, 10**5, 10**6, 10**7, 10**8):
+        n_planes, bands = embedding.auto_text_family(n)
+        bits = n_planes // bands
+        assert bits >= prev_bits
+        prev_bits = bits
+        if bits < embedding.TEXT_LSH_MAX_BITS:
+            assert (1 << bits) * embedding.TEXT_LSH_TARGET_BUCKET >= n
+    assert embedding.auto_text_family(4097) == (72, 8)  # first step up
+    assert embedding.auto_text_family(50_000) == (132, 11)  # the rung scale
+    # cap: beyond MAX_BITS the family freezes (manual override territory)
+    cap = embedding.auto_text_family(10**12)
+    assert cap[0] // cap[1] == embedding.TEXT_LSH_MAX_BITS
+
+    # Python rule == the SQL twin's integer CASE rule over the
+    # enumerated oracle range (bits 8..12, n ≤ 2^12·16)
+    def sql_bits(n):
+        for bits in range(8, 12):
+            if n <= (1 << bits) * embedding.TEXT_LSH_TARGET_BUCKET:
+                return bits
+        return 12
+    for n in list(range(0, 70000, 137)) + [4096, 4097, 8192, 8193, 65536]:
+        n_planes, bands = embedding.auto_text_family(n)
+        if n <= (1 << 12) * embedding.TEXT_LSH_TARGET_BUCKET:
+            assert n_planes // bands == sql_bits(n), n
+
+
+def test_band_keys_udf_rejects_indivisible_family(spark):
+    """planes_list whose length is not a multiple of bands must raise
+    (silently dropped trailing hyperplanes weaken recall — round-5
+    ADVICE #3)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="not a multiple"):
+        embedding._text_band_keys_udf(embedding._text_planes(65), bands=8)
+
+
 def test_centered_banding_balances_buckets(spark):
     """The skew fix, asserted structurally: centered band buckets over
     the sf0.01 corpus are near-balanced (max bucket ≤ 4× the ideal
