@@ -87,16 +87,16 @@ def _token_base(docs: DataFrame) -> DataFrame:
 
 def embed_sums(docs: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     """(doc_id, n_tokens, s0..s{dim-1}) integer feature sums — the
-    canonical (exactly comparable) form of the embedding."""
+    canonical (exactly comparable) form of the embedding. Aggregates are
+    built as ``F.expr`` strings — one py4j call each instead of ~8
+    (Column-by-Column construction cost ~1 s of driver time per plan on
+    a 64-dim frame; semantics are pinned by the bit-equality oracle
+    tests)."""
     base = _token_base(docs)
-    aggs = [F.count("*").alias("n_tokens")]
-    for d, (a, b) in enumerate(_embed_consts(dim)):
-        feat = (
-            (F.col("b") * F.lit(a) + F.lit(b))
-            .bitwiseAND(F.lit(_MASK31))
-            - F.lit(_CENTER)
-        )
-        aggs.append(F.sum(feat).alias(f"s{d}"))
+    aggs = [F.count("*").alias("n_tokens")] + [
+        F.expr(f"sum(((b * {a} + {b_}) & {_MASK31}) - {_CENTER})").alias(f"s{d}")
+        for d, (a, b_) in enumerate(_embed_consts(dim))
+    ]
     return base.groupBy("doc_id").agg(*aggs)
 
 
@@ -106,11 +106,9 @@ def embed_documents_df(docs: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     doc_id in the vec_id role). Doubles are exact images of the integer
     sums for any document under ~2²³ tokens."""
     sums = embed_sums(docs, dim=dim)
+    arr = ", ".join(f"CAST(s{d} AS DOUBLE)" for d in range(dim))
     return sums.select(
-        "doc_id",
-        F.array(
-            *[F.col(f"s{d}").cast("double") for d in range(dim)]
-        ).alias("embedding"),
+        "doc_id", F.expr(f"array({arr})").alias("embedding")
     )
 
 
@@ -136,12 +134,11 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars, so the cross-engine hash comparison is exact (the array
     itself is what ``embed_documents_df`` serves to downstream ops)."""
     sums = embed_sums(_docs(spark, sf_dir))
+    cols = ", ".join(f"CAST(s{d} AS STRING)" for d in range(EMBED_DIM))
     return sums.select(
         "doc_id",
         "n_tokens",
-        F.md5(
-            F.concat_ws(",", *[F.col(f"s{d}").cast("string") for d in range(EMBED_DIM)])
-        ).alias("emb_fp"),
+        F.expr(f"md5(concat_ws(',', {cols}))").alias("emb_fp"),
     ).orderBy("doc_id")
 
 
@@ -311,9 +308,9 @@ def embed_totals(sums: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     return sums.agg(
         F.count("*").alias("n"),
         *[
-            F.coalesce(
-                F.sum(F.col(f"s{d}").cast("decimal(38,0)")),
-                F.lit(0).cast("decimal(38,0)"),
+            F.expr(
+                f"coalesce(sum(CAST(s{d} AS DECIMAL(38,0))), "
+                f"CAST(0 AS DECIMAL(38,0)))"
             ).alias(f"t{d}")
             for d in range(dim)
         ],
@@ -340,18 +337,16 @@ def centered_band_buckets(
     # bit-for-bit — the same guarantee class as the hyperplane dot
     # products themselves. Only the corpus-total AGGREGATE (where the
     # overflow actually lives) stays decimal.
+    # one F.expr string (vs ~8 py4j calls × dim for Column-by-Column —
+    # ~1 s of driver time per plan; bit-equality pinned by tests)
+    terms = ", ".join(
+        f"CAST(greatest(n, 1) AS DOUBLE) * CAST(s{d} AS DOUBLE) "
+        f"- CAST(t{d} AS DOUBLE)"
+        for d in range(dim)
+    )
     centered = sums.crossJoin(F.broadcast(totals)).select(
         F.col("doc_id").alias("vec_id"),
-        F.array(
-            *[
-                (
-                    F.greatest(F.col("n"), F.lit(1)).cast("double")
-                    * F.col(f"s{d}").cast("double")
-                    - F.col(f"t{d}").cast("double")
-                )
-                for d in range(dim)
-            ]
-        ).alias("embedding"),
+        F.expr(f"array({terms})").alias("embedding"),
     )
     return text_band_buckets(centered, planes_list, bands)
 
@@ -398,6 +393,45 @@ def _center_literals_frame(spark: SparkSession, props: dict) -> DataFrame:
     )
 
 
+def _sums_with_norm(sums: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """``embed_sums`` frame + a per-document ``nrm`` column — the same
+    factorization as the DuckDB twin's ``ue(…, nrm)`` CTE: norms are
+    computed ONCE per document (before any pair join), not re-derived
+    per candidate pair. The square chain folds left-associated like the
+    twin's sequential ``list_sum``."""
+    sq = " + ".join(
+        f"CAST(s{d} AS DOUBLE) * CAST(s{d} AS DOUBLE)" for d in range(dim)
+    )
+    return sums.withColumn("nrm", F.expr(f"sqrt({sq})"))
+
+
+def _sums_cosine_e6(a: str, b: str, dim: int = EMBED_DIM):
+    """``floor(10⁶ · cos)`` between two aliased ``_sums_with_norm``
+    frames as a PURE-JVM flat expression (round-5 verdict #4): the text
+    embeddings are integer sums exactly representable in doubles, so
+    the exact verify needs no Python at all — dim multiply-adds per
+    pair inside whole-stage codegen instead of an Arrow round-trip.
+    Built as ONE ``F.expr`` string (a ~380-node tree assembled
+    Column-by-Column costs ~1.7 s of py4j round trips PER PLAN — the
+    parser builds it JVM-side in one call). The left-associated dot
+    chain and the per-doc norms mirror the DuckDB twin's sequential
+    ``list_sum`` fold and its ``ue.nrm`` factorization exactly; the
+    10⁻⁶ quantization absorbs residual engine summation-order
+    differences — the same documented guarantee class as
+    ``similarity.cosine_e6`` (whose numpy fold order also differed from
+    the SQL twin's). Zero-norm inputs score 0, matching the Arrow UDF's
+    guard (unreachable for any document with ≥1 token)."""
+    dot = " + ".join(
+        f"CAST({a}.s{d} AS DOUBLE) * CAST({b}.s{d} AS DOUBLE)"
+        for d in range(dim)
+    )
+    return F.expr(
+        f"CASE WHEN {a}.nrm * {b}.nrm = 0.0D THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(FLOOR(({dot}) / ({a}.nrm * {b}.nrm) * 1000000.0D) "
+        f"AS BIGINT) END"
+    )
+
+
 def _resolve_text_family(planes_list, bands, n_docs: int):
     """(planes_list, bands) under the family-selection contract:
     ``planes_list``/``bands`` both None → AUTO-sized from corpus size
@@ -428,9 +462,9 @@ def text_near_dup_pairs(
     instead of re-running the token explode+aggregate per consumer; at
     corpus scale this is the same materialize-the-signatures-once choice
     the MinHash index build makes. The family-sizing count rides that
-    materialization (control-plane scalar)."""
-    from .similarity import cosine_e6
-
+    materialization (control-plane scalar). The verify stage is pure
+    JVM (``_sums_cosine_e6`` over the integer sums — no Python past
+    the banding UDF; plan-asserted in tests)."""
     sums = embed_sums(docs).localCheckpoint(eager=True)
     planes_list, bands = _resolve_text_family(planes_list, bands, sums.count())
     buckets = centered_band_buckets(
@@ -448,26 +482,20 @@ def text_near_dup_pairs(
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
-    emb = _sums_to_array(sums)
-    ea = emb.select(F.col("doc_id").alias("id_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("doc_id").alias("id_b"), F.col("embedding").alias("eb"))
+    wn = _sums_with_norm(sums)
+    sa = wn.alias("sa")
+    sb = wn.alias("sb")
     return (
-        cands.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            "id_a", "id_b", cosine_e6(F.col("ea"), F.col("eb")).alias("score_e6")
-        )
+        cands.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select("id_a", "id_b", _sums_cosine_e6("sa", "sb").alias("score_e6"))
         .filter(F.col("score_e6") >= threshold_e6)
     )
 
 
 def _sums_to_array(sums: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
-    return sums.select(
-        "doc_id",
-        F.array(*[F.col(f"s{d}").cast("double") for d in range(dim)]).alias(
-            "embedding"
-        ),
-    )
+    arr = ", ".join(f"CAST(s{d} AS DOUBLE)" for d in range(dim))
+    return sums.select("doc_id", F.expr(f"array({arr})").alias("embedding"))
 
 
 def knn_text(
@@ -684,7 +712,6 @@ def incremental_text_semantic_dedup(
     no embedding and report ``new`` (route them through exact
     ``incremental_dedup``)."""
     from .dedup import INGEST_BOUNDARY
-    from .similarity import cosine_e6
 
     boundary = INGEST_BOUNDARY if boundary is None else boundary
     docs = _docs(spark, sf_dir)
@@ -701,14 +728,11 @@ def incremental_text_semantic_dedup(
         new = centered_band_buckets(
             new_sums, totals, planes_list=planes_list, bands=bands
         )
-        new_emb = _sums_to_array(new_sums).select(
-            F.col("doc_id").alias("vec_id"), "embedding"
-        )
         existing = spark.table(index_table).filter(F.col("vec_id") < boundary)
-        # exact verify needs the EXISTING side's embeddings too — they
-        # are recomputed only for candidate ids (O(candidates)), not the
+        # exact verify needs the EXISTING side's sums too — they are
+        # recomputed only for candidate ids (O(candidates)), not the
         # whole corpus: semi-join the docs table on the candidate ids
-        emb_all = None
+        sums_all = None
     else:
         # three consumers of the sums frame (totals, banding, verify) —
         # materialize once, same rationale as text_near_dup_pairs.
@@ -727,9 +751,7 @@ def incremental_text_semantic_dedup(
         )
         existing = buckets.filter(F.col("vec_id") < boundary)
         new = buckets.filter(F.col("vec_id") >= boundary)
-        emb_all = _sums_to_array(sums).select(
-            F.col("doc_id").alias("vec_id"), "embedding"
-        )
+        sums_all = sums
     pairs = (
         new.join(
             existing.select(F.col("vec_id").alias("evec"), "band", "key"),
@@ -738,26 +760,19 @@ def incremental_text_semantic_dedup(
         .select("vec_id", "evec")
         .distinct()
     )
-    if emb_all is None:
+    if sums_all is None:
         cand_ids = pairs.select(F.col("evec").alias("doc_id")).distinct()
-        cand_emb = embed_documents_df(
-            docs.join(cand_ids, "doc_id", "left_semi")
-        ).select(F.col("doc_id").alias("vec_id"), "embedding")
-        na = new_emb.select("vec_id", F.col("embedding").alias("na_emb"))
-        ne = cand_emb.select(
-            F.col("vec_id").alias("evec"), F.col("embedding").alias("ne_emb")
-        )
+        na_sums = new_sums
+        ne_sums = embed_sums(docs.join(cand_ids, "doc_id", "left_semi"))
     else:
-        na = emb_all.select("vec_id", F.col("embedding").alias("na_emb"))
-        ne = emb_all.select(
-            F.col("vec_id").alias("evec"), F.col("embedding").alias("ne_emb")
-        )
+        na_sums = ne_sums = sums_all
+    # exact verify: pure-JVM integer-sum cosine (round-5 verdict #4)
+    na = _sums_with_norm(na_sums).alias("na")
+    ne = _sums_with_norm(ne_sums).alias("ne")
     scored = (
-        pairs.join(na, "vec_id")
-        .join(ne, "evec")
-        .select(
-            "vec_id", cosine_e6(F.col("na_emb"), F.col("ne_emb")).alias("score_e6")
-        )
+        pairs.join(na, F.col("vec_id") == F.col("na.doc_id"))
+        .join(ne, F.col("evec") == F.col("ne.doc_id"))
+        .select("vec_id", _sums_cosine_e6("na", "ne").alias("score_e6"))
     )
     dups = (
         scored.filter(F.col("score_e6") >= threshold_e6)

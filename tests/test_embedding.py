@@ -233,6 +233,53 @@ def test_centered_banding_balances_buckets(spark):
     assert raw_w > 4 * ideal, (raw_w, ideal)
 
 
+def test_text_verify_is_pure_jvm_and_matches_arrow_cosine(spark):
+    """Round-5 verdict #4: the exact-verify stage of the text dedup path
+    is a pure-JVM integer-sum cosine — the ONLY Python node in the whole
+    text_near_dup_pairs plan is the banding key UDF — and its quantized
+    scores are byte-identical to the Arrow cosine_e6 UDF over the same
+    candidate pairs."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
+        cosine_e6,
+    )
+
+    docs = spark.read.parquet(f"{SF_01}/documents.parquet")
+    pairs = embedding.text_near_dup_pairs(docs, threshold_e6=0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain(mode="formatted")
+    plan = buf.getvalue()
+    # the ONLY Arrow evals are the band-keys UDF — one per branch of
+    # the candidate self-join (formatted mode emits one "(n) Node"
+    # detail header per physical node); the verify stage contributes
+    # zero Python nodes
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2, plan
+    for banned in ("BatchEvalPython", "MapInPandas", "FlatMapGroups"):
+        assert banned not in plan, (banned, plan)
+
+    got = pairs.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(got) > 0
+    emb = embedding.embed_documents_df(docs)
+    ea = emb.select(F.col("doc_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("doc_id").alias("id_b"), F.col("embedding").alias("eb"))
+    want = (
+        pairs.select("id_a", "id_b")
+        .join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cosine_e6(F.col("ea"), F.col("eb")).alias("score_e6"))
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_incremental_text_semantic_dedup_paths_agree(spark, tmp_path):
     """The indexed probe (persist_text_cosine_index + index_table=) must
     return byte-identical verdicts to the boundary-split driver-oracle
