@@ -166,23 +166,44 @@ def main() -> None:
             hash_fn="affine",
         )
         timings[f"index_build_{copies}x"] = round(time.time() - t0, 3)
-        # warm + timed probe: hash the batch, semi-join the index
-        def probe():
+        # warm + timed probe: hash the batch, semi-join the index.
+        # pruned = the production path (catalog.prune_index_scan pushes
+        # the batch's touched (band, bucket) set into the index read —
+        # round-5 verdict #2); unpruned = the r5 full-scan form, kept
+        # as the honest comparison at both index sizes.
+        from ocr_pipeline_fastapi_latency_optimization_spark.sources.catalog import (
+            prune_index_scan,
+        )
+
+        def probe(pruned: bool):
             sig = minhash_signatures(probe_docs, hash_fn="affine")
             pb = minhash_band_buckets(sig)
-            idx = spark.table(name).select("band", "bucket").distinct()
+            idx = spark.table(name)
+            if pruned:
+                pb = pb.localCheckpoint(eager=True)
+                idx = prune_index_scan(idx, pb, key_col="bucket")
+            idx = idx.select("band", "bucket").distinct()
             return pb.join(idx, ["band", "bucket"], "left_semi").count()
 
-        probe()
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            probe()
-            runs.append(time.time() - t0)
-        probe_times[copies] = round(sorted(runs)[1], 3)
-        timings[f"probe_vs_{copies}x_index"] = probe_times[copies]
+        for pruned in (False, True):
+            tag = "" if pruned else "_unpruned"
+            probe(pruned)
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                probe(pruned)
+                runs.append(time.time() - t0)
+            med = round(sorted(runs)[1], 3)
+            if pruned:
+                probe_times[copies] = med
+            timings[f"probe_vs_{copies}x_index{tag}"] = med
     out["probe_growth_10x_to_100x"] = round(
         probe_times[100] / probe_times[10], 2
+    )
+    out["probe_growth_10x_to_100x_unpruned"] = round(
+        timings["probe_vs_100x_index_unpruned"]
+        / timings["probe_vs_10x_index_unpruned"],
+        2,
     )
 
     # ---- 3. salted stitch under a 10^5-turn skew conversation ----

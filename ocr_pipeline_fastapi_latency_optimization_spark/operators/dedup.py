@@ -420,7 +420,19 @@ def persist_minhash_index(
 
     sig = minhash_signatures(docs, n_perms=n_perms, hash_fn=hash_fn)
     buckets = minhash_band_buckets(sig, n_perms=n_perms, bands=bands)
-    write_bucketed_table(buckets, name, path, ["band", "bucket"], n_storage_buckets)
+    # sorted small row groups: probe-side pruning pushes the batch's
+    # (band, bucket) set into this scan (catalog.prune_index_scan)
+    from ..sources.catalog import INDEX_ROWGROUP_BYTES
+
+    write_bucketed_table(
+        buckets,
+        name,
+        path,
+        ["band", "bucket"],
+        n_storage_buckets,
+        sort_cols=["band", "bucket"],
+        rowgroup_bytes=INDEX_ROWGROUP_BYTES,
+    )
     # parameter manifest (round-4 ADVICE #1): a probe hashing with
     # different n_perms/bands/hash_fn than the index was built with
     # produces silently wrong verdicts — record the build parameters so
@@ -441,6 +453,7 @@ def persist_minhash_index(
             "minhash.path": path,
             "minhash.n_storage_buckets": int(n_storage_buckets),
             "minhash.bucket_cols": "band,bucket",
+            "minhash.sort_cols": "band,bucket",
         },
     )
     return name
@@ -550,16 +563,27 @@ def incremental_minhash_dedup(
         )
         new_docs = _docs(spark, sf_dir).filter(F.col("doc_id") >= boundary)
         sig = minhash_signatures(new_docs, n_perms=n_perms, hash_fn=hash_fn)
-        new = minhash_band_buckets(sig, n_perms=n_perms, bands=bands)
+        # materialized once: the batch buckets feed the prune-key
+        # collect AND the probe join (O(batch) rows)
+        new = minhash_band_buckets(
+            sig, n_perms=n_perms, bands=bands
+        ).localCheckpoint(eager=True)
         # consumption-side boundary guard (round-4 ADVICE #2 analog): an
         # index accidentally built over the full corpus would make every
         # new doc collide with its own index rows — keep doc_id in the
         # read path and trust only rows strictly before the boundary
         # (narrow filter; does not disturb the bucketed co-location).
         # distinct on exactly the bucketing key: satisfied by the table's
-        # hash partitioning, so it adds no Exchange on the index side
+        # hash partitioning, so it adds no Exchange on the index side.
+        # prune_index_scan (round-5 verdict #2) narrows the scan to the
+        # batch's touched (band, bucket) set first — byte-identical
+        # output, O(touched buckets) probe compute.
+        from ..sources.catalog import prune_index_scan
+
         existing_idx = (
-            spark.table(index_table)
+            prune_index_scan(
+                spark.table(index_table), new, band_col="band", key_col="bucket"
+            )
             .filter(F.col("doc_id") < boundary)
             .select("band", "bucket")
             .distinct()

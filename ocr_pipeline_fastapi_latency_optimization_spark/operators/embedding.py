@@ -613,7 +613,17 @@ def persist_text_cosine_index(
     buckets = centered_band_buckets(
         sums, totals, planes_list=_text_planes(n_planes), bands=bands
     )
-    write_bucketed_table(buckets, name, path, ["band", "key"], n_storage_buckets)
+    from ..sources.catalog import INDEX_ROWGROUP_BYTES
+
+    write_bucketed_table(
+        buckets,
+        name,
+        path,
+        ["band", "key"],
+        n_storage_buckets,
+        sort_cols=["band", "key"],
+        rowgroup_bytes=INDEX_ROWGROUP_BYTES,
+    )
     max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
     set_table_properties(
         spark,
@@ -626,6 +636,7 @@ def persist_text_cosine_index(
             "cosine.path": path,
             "cosine.n_storage_buckets": int(n_storage_buckets),
             "cosine.bucket_cols": "band,key",
+            "cosine.sort_cols": "band,key",
             "text.center_n": int(totals_row["n"]),
             "text.center_t": ",".join(
                 str(int(totals_row[f"t{d}"])) for d in range(EMBED_DIM)
@@ -725,10 +736,18 @@ def incremental_text_semantic_dedup(
         require_text_center(props, index_table)
         totals = _center_literals_frame(spark, props)
         new_sums = embed_sums(docs.filter(F.col("doc_id") >= boundary))
+        # materialized once: the batch buckets feed the prune-key
+        # collect AND the probe join (O(batch) rows)
         new = centered_band_buckets(
             new_sums, totals, planes_list=planes_list, bands=bands
+        ).localCheckpoint(eager=True)
+        # prune_index_scan (round-5 verdict #2): scan only the batch's
+        # touched (band, key) set - byte-identical output
+        from ..sources.catalog import prune_index_scan
+
+        existing = prune_index_scan(spark.table(index_table), new).filter(
+            F.col("vec_id") < boundary
         )
-        existing = spark.table(index_table).filter(F.col("vec_id") < boundary)
         # exact verify needs the EXISTING side's sums too — they are
         # recomputed only for candidate ids (O(candidates)), not the
         # whole corpus: semi-join the docs table on the candidate ids

@@ -413,10 +413,20 @@ def persist_cosine_index(
     probe key — the embedding twin of ``dedup.persist_minhash_index``:
     an ingest batch semi-joins the index with no Exchange on the index
     side."""
-    from ..sources.catalog import set_table_properties, write_bucketed_table
+    from ..sources.catalog import (
+        INDEX_ROWGROUP_BYTES,
+        set_table_properties,
+        write_bucketed_table,
+    )
 
     write_bucketed_table(
-        cosine_band_buckets(emb), name, path, ["band", "key"], n_storage_buckets
+        cosine_band_buckets(emb),
+        name,
+        path,
+        ["band", "key"],
+        n_storage_buckets,
+        sort_cols=["band", "key"],
+        rowgroup_bytes=INDEX_ROWGROUP_BYTES,
     )
     # parameter manifest (round-4 ADVICE #1/#2): record the hyperplane
     # family (count/bands/seed are module constants baked into the
@@ -435,6 +445,7 @@ def persist_cosine_index(
             "cosine.path": path,
             "cosine.n_storage_buckets": int(n_storage_buckets),
             "cosine.bucket_cols": "band,key",
+            "cosine.sort_cols": "band,key",
         },
     )
     return name
@@ -538,14 +549,24 @@ def incremental_cosine_dedup(
             },
             kind="cosine",
         )
-        new = cosine_band_buckets(emb.filter(F.col("vec_id") >= boundary))
+        # materialized once: the batch buckets feed the prune-key
+        # collect AND the probe join (O(batch) rows)
+        new = cosine_band_buckets(
+            emb.filter(F.col("vec_id") >= boundary)
+        ).localCheckpoint(eager=True)
         # consumption-side boundary guard (round-4 ADVICE #2): an index
         # accidentally built over the FULL corpus would make every new
         # vector collide with its own index rows (cosine 1.0) and flag
         # the whole batch near_dup with no error — keep vec_id in the
         # read path and trust only rows strictly before the boundary
         # (narrow filter; bucketed co-location undisturbed).
-        existing = spark.table(index_table).filter(F.col("vec_id") < boundary)
+        # prune_index_scan (round-5 verdict #2): scan only the batch's
+        # touched (band, key) set — byte-identical output.
+        from ..sources.catalog import prune_index_scan
+
+        existing = prune_index_scan(spark.table(index_table), new).filter(
+            F.col("vec_id") < boundary
+        )
     else:
         buckets = cosine_band_buckets(emb)
         existing = buckets.filter(F.col("vec_id") < boundary)

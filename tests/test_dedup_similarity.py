@@ -604,6 +604,86 @@ def test_persisted_lsh_index_probe_is_shuffle_free_on_index_side(spark, tmp_path
         spark.sql("DROP TABLE IF EXISTS t_lsh_idx")
 
 
+def test_prune_index_scan_semantics_and_plan(spark, tmp_path):
+    """Round-5 verdict #2 (storage-pruned O(batch) probes): the pruned
+    index read keeps EXACTLY the rows whose (band, key) the probe batch
+    touches — a pure join-key restriction, so pruned and unpruned probe
+    verdicts are byte-identical (the paths-agree tests run the pruned
+    path against the split oracle); the empty batch reads nothing; an
+    over-cap key set falls back to the full scan; and the filter adds
+    no Exchange to the index branch (SelectedBucketsCount preserved)."""
+    import contextlib
+    import io
+    import re
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.catalog import (
+        prune_index_scan,
+    )
+
+    sf = SF_DIR
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    existing = docs.filter(F.col("doc_id") < dedup.INGEST_BOUNDARY)
+    try:
+        dedup.persist_minhash_index(
+            spark, existing, "t_prune_idx", str(tmp_path / "pidx"),
+            n_perms=16, bands=4, n_storage_buckets=8,
+        )
+        # probe batch = the post-boundary docs + one exact copy of an
+        # indexed doc (guarantees at least one touched bucket)
+        copy0 = existing.filter(F.col("doc_id") == 0).select(
+            F.lit(9999).cast("long").alias("doc_id"), "text"
+        )
+        new_docs = (
+            docs.filter(F.col("doc_id") >= dedup.INGEST_BOUNDARY)
+            .select("doc_id", "text")
+            .unionByName(copy0)
+        )
+        sig = dedup.minhash_signatures(
+            new_docs, n_perms=16, hash_fn="md5_affine"
+        )
+        probe = dedup.minhash_band_buckets(sig, n_perms=16, bands=4)
+        idx = spark.table("t_prune_idx")
+
+        pruned = prune_index_scan(idx, probe, key_col="bucket")
+        # restriction semantics: pruned == semi-join of the index on the
+        # probe's touched key set
+        want = idx.join(
+            probe.select("band", "bucket").distinct(), ["band", "bucket"],
+            "left_semi",
+        )
+        cols = ["band", "bucket", "doc_id"]
+        got_rows = pruned.toPandas()[cols].sort_values(cols)
+        want_rows = want.toPandas()[cols].sort_values(cols)
+        pd.testing.assert_frame_equal(
+            got_rows.reset_index(drop=True), want_rows.reset_index(drop=True)
+        )
+        assert 0 < len(got_rows) < idx.count()
+
+        # empty probe batch reads nothing
+        assert prune_index_scan(idx, probe.limit(0), key_col="bucket").count() == 0
+        # over-cap fallback: the full co-located scan, untouched
+        assert (
+            prune_index_scan(idx, probe, key_col="bucket", max_pairs=1).count()
+            == idx.count()
+        )
+
+        # plan: filter lives in/above the scan, no Exchange on the index
+        # branch of the probe semi-join
+        j = probe.join(
+            pruned.select("band", "bucket").distinct(),
+            ["band", "bucket"],
+            "left_semi",
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(mode="simple")
+        plan = buf.getvalue()
+        assert "SelectedBucketsCount" in plan, plan
+        assert len(re.findall(r"Exchange hashpartitioning\(band", plan)) <= 1, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_prune_idx")
+
+
 def test_semantic_dedup_corpus_planted_clusters(spark, tmp_path):
     """SemDeDup-style embedding verdict: vectors planted in tight
     clusters (near-identical directions) must collapse to one survivor
