@@ -812,6 +812,83 @@ def incremental_text_semantic_dedup(
     )
 
 
+def text_semantic_verdicts_for_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    index_table: str,
+    corpus_docs: DataFrame,
+    threshold_e6: int = TEXT_NEAR_DUP_THRESHOLD_E6,
+) -> DataFrame:
+    """(doc_id, verdict) for ONE ingest batch probed against a persisted
+    text index — the micro-batch kernel behind
+    ``streaming.dedup.streaming_semantic_verdicts`` (round-5 verdict
+    #6: the stream's full keep/drop verdict, not just candidates).
+    Same stages as ``incremental_text_semantic_dedup(index_table=…)``:
+    embed the batch, band with the index's FROZEN family+center, pruned
+    shuffle-free candidate probe, pure-JVM exact-cosine verify against
+    the corpus docs' recomputed sums (candidate ids only). The existing
+    side uses the STRICTLY-EARLIER guard (``index vec_id < doc_id`` —
+    the streaming-candidates rule), which equals the batch boundary
+    split whenever the index holds exactly the pre-batch corpus and the
+    batch's ids are past its watermark (the monotone-ingest model;
+    equality asserted in the streaming test). ``corpus_docs`` must be
+    the index's build corpus (plus appended batches) — only candidate
+    ids are re-embedded from it, O(candidates) not O(corpus)."""
+    from ..sources.catalog import check_index_params, prune_index_scan
+
+    props = check_index_params(
+        spark, index_table, {"cosine.seed": TEXT_LSH_SEED}, kind="cosine"
+    )
+    planes_list, bands = _index_family(props)
+    require_text_center(props, index_table)
+    totals = _center_literals_frame(spark, props)
+    new_sums = embed_sums(batch_docs)
+    new = centered_band_buckets(
+        new_sums, totals, planes_list=planes_list, bands=bands
+    ).localCheckpoint(eager=True)
+    existing = prune_index_scan(spark.table(index_table), new).select(
+        F.col("vec_id").alias("evec"),
+        F.col("band").alias("eband"),
+        F.col("key").alias("ekey"),
+    )
+    pairs = (
+        new.join(
+            existing,
+            (F.col("band") == F.col("eband"))
+            & (F.col("key") == F.col("ekey"))
+            & (F.col("evec") < F.col("vec_id")),
+        )
+        .select("vec_id", "evec")
+        .distinct()
+    )
+    cand_ids = pairs.select(F.col("evec").alias("doc_id")).distinct()
+    na = _sums_with_norm(new_sums).alias("na")
+    ne = _sums_with_norm(
+        embed_sums(corpus_docs.join(cand_ids, "doc_id", "left_semi"))
+    ).alias("ne")
+    scored = (
+        pairs.join(na, F.col("vec_id") == F.col("na.doc_id"))
+        .join(ne, F.col("evec") == F.col("ne.doc_id"))
+        .select("vec_id", _sums_cosine_e6("na", "ne").alias("score_e6"))
+    )
+    dups = (
+        scored.filter(F.col("score_e6") >= threshold_e6)
+        .select("vec_id")
+        .distinct()
+        .select("vec_id", F.lit("near_dup").alias("verdict"))
+    )
+    fresh = (
+        batch_docs.select(F.col("doc_id").alias("vec_id"))
+        .join(dups.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", F.lit("new").alias("verdict"))
+    )
+    return (
+        dups.unionByName(fresh)
+        .select(F.col("vec_id").alias("doc_id"), "verdict")
+        .orderBy("doc_id")
+    )
+
+
 def semantic_dedup_text_corpus(
     spark: SparkSession,
     sf_dir: str,

@@ -222,3 +222,49 @@ def streaming_semantic_candidates(
         & (idx["_idx_vec"] < banded["doc_id"]),
         "left_semi",
     )
+
+
+def streaming_semantic_verdicts(
+    spark,
+    docs_stream: DataFrame,
+    index_table: str,
+    corpus_docs: DataFrame,
+    out_path: str,
+    threshold_e6: int | None = None,
+):
+    """Streaming SEMANTIC dedup-on-ingest, FULL verdict tier (round-5
+    verdict #6): each micro-batch runs the complete candidate + exact
+    pure-JVM cosine verify + keep/drop pipeline via ``foreachBatch``
+    over the SAME batch kernel the incremental probe uses
+    (``embedding.text_semantic_verdicts_for_batch``), appending one
+    ``(doc_id, verdict, batch_id)`` row per document to ``out_path``.
+    ``streaming_semantic_candidates`` remains the candidates-only fast
+    tier; this is the ingest loop's decision stage — the in-stream
+    verdicts equal the batch ``incremental_text_semantic_dedup`` on the
+    same batch boundary (asserted in tests). The index is still the
+    only state; ``corpus_docs`` supplies candidate texts for the exact
+    verify (O(candidates) re-embeds per micro-batch).
+
+    Returns a ``DataStreamWriter`` — caller picks trigger and
+    ``.start()``s it."""
+    from pyspark.sql import functions as F
+
+    from ..operators.embedding import (
+        TEXT_NEAR_DUP_THRESHOLD_E6,
+        text_semantic_verdicts_for_batch,
+    )
+
+    thr = TEXT_NEAR_DUP_THRESHOLD_E6 if threshold_e6 is None else threshold_e6
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", "text")
+        if batch.isEmpty():
+            return
+        verdicts = text_semantic_verdicts_for_batch(
+            spark, batch, index_table, corpus_docs, threshold_e6=thr
+        )
+        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return docs_stream.writeStream.foreachBatch(handle)

@@ -1077,6 +1077,89 @@ def test_streaming_semantic_candidates_probe_static_index(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_stream_idx")
 
 
+def test_streaming_semantic_verdicts_equal_batch_incremental(spark, tmp_path):
+    """Round-5 verdict #6: the in-stream FULL verdict tier. A micro-batch
+    flowing through streaming_semantic_verdicts (foreachBatch over the
+    same embed→band→prune-probe→JVM-verify kernel) must produce verdicts
+    equal to the batch incremental_text_semantic_dedup(index_table=…)
+    at the same batch boundary; near-copies of indexed docs come back
+    near_dup, novel and token-less docs come back new."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
+        embedding as emb,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.streaming.dedup import (
+        streaming_semantic_verdicts,
+    )
+
+    def text(i, tag):
+        return " ".join(f"{tag}{i}w{j}" for j in range(15))
+
+    existing_rows = [(i, text(i, "base"), "s") for i in range(50)]
+    batch_rows = (
+        [(100 + i, text(i, "base") + " x", "s") for i in range(5)]  # near-dups
+        + [(200 + i, text(i, "fresh"), "s") for i in range(5)]       # novel
+        + [(300, "", "s"), (301, "   ", "s")]                        # token-less
+    )
+    existing = spark.createDataFrame(
+        existing_rows, "doc_id long, text string, source string"
+    )
+    try:
+        emb.persist_text_cosine_index(
+            spark, existing, "t_sv_idx", str(tmp_path / "svidx"),
+            n_storage_buckets=4,
+        )
+        # the batch-oracle form over the union table at boundary 100
+        spark.createDataFrame(
+            existing_rows + batch_rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        want = (
+            emb.incremental_text_semantic_dedup(
+                spark, str(tmp_path), boundary=100, index_table="t_sv_idx"
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert set(want[want["verdict"] == "near_dup"]["doc_id"]) == {
+            100, 101, 102, 103, 104
+        }
+
+        # stream the same batch through the verdict tier
+        src = str(tmp_path / "in")
+        spark.createDataFrame(
+            [(d, t, "2024-01-01 00:00:00") for d, t, _ in batch_rows],
+            "doc_id long, text string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(src)
+        out_dir = str(tmp_path / "verdicts")
+        q = (
+            streaming_semantic_verdicts(
+                spark, stream, "t_sv_idx",
+                existing.select("doc_id", "text"), out_dir,
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.read.parquet(out_dir)
+            .select("doc_id", "verdict")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sv_idx")
+
+
 def test_multimodal_compression_envelopes_roundtrip(spark):
     """Stdlib compression envelopes are decoded for REAL: a
     gzip/bz2/xz-wrapped WAV (and gzip-wrapped Y4M) produces features
