@@ -909,7 +909,20 @@ def _lsh_bands_cte(
     ``src``/``id_col`` let the text-embedding twin band a COMPUTED
     (doc_id, embedding) CTE through the identical machinery;
     ``planes``/``bands`` select the hash family (default: the 16-plane
-    fixture family; the text twins pass the 64-plane text family)."""
+    fixture family; the text twins use the auto-config CTE below).
+
+    Cross-engine sign assumption (round-5 ADVICE #4, shared with
+    ``_text_lsh_auto_cte``): Spark computes the plane dot products with
+    a numpy BLAS matmul, DuckDB with this sequential ``list_sum`` fold —
+    different accumulation orders. A dot product landing within one ULP
+    of 0.0 could therefore band differently per engine and change the
+    CANDIDATE set (never a verified score — the exact verify is
+    quantized at 10⁻⁶ and order-robust). With seeded continuous-valued
+    hyperplanes and integer-sum embeddings, an exactly-boundary dot
+    product has measure ≈ 0; every oracle row at all three SFs has
+    matched across 6 rounds. If it ever fires, the symptom is a
+    one-pair candidate diff at one SF — requantize the dot (floor at a
+    coarse epsilon before the sign) in BOTH engines to close it."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
         LSH_BANDS,
         _PLANES,
@@ -1142,7 +1155,9 @@ def _text_lsh_auto_cte(where_n: str = "") -> str:
     produces rows. Enumerates bits 8–12 (corpora ≤ 2¹²·16 = 65,536
     banded docs — ample for every oracle scale; the Python rule
     continues past it, see the sizing note in operators/embedding.py).
-    Sign bits come from the centered vectors (``cent``)."""
+    Sign bits come from the centered vectors (``cent``); the
+    BLAS-vs-list_sum sign assumption is documented on
+    ``_lsh_bands_cte``."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
         TEXT_LSH_TARGET_BUCKET,
         _TEXT_BANDS_FOR_BITS,

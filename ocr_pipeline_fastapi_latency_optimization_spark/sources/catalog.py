@@ -170,6 +170,17 @@ def append_to_bucketed_index(
       append can never silently re-bucket the table; Spark additionally
       validates the spec against the existing table on write.
 
+    Crash window (round-5 ADVICE #2): a failure BETWEEN the data append
+    and the properties update leaves the batch's rows in the table with
+    no recorded fingerprint — the retry re-appends them. Verdicts stay
+    correct forever (set semantics above), but the duplicate rows are
+    dead weight the manifest cannot detect. ``compact_bucketed_index``
+    is the repair: rewrite the table DISTINCT through the recorded
+    bucket spec (run it after any append whose receipt was lost, or on
+    a dead-weight budget). At production scale this is Iceberg's
+    ``rewrite_data_files`` plus a transactional snapshot-property
+    commit, which closes the window entirely.
+
     At production scale the applied-batch list lives in the Iceberg
     snapshot properties / a manifest table rather than session-catalog
     TBLPROPERTIES — same protocol, durable store."""
@@ -221,6 +232,66 @@ def append_to_bucketed_index(
         },
     )
     return {"status": "appended", "batch_fp": batch_fp, "table": name}
+
+
+def compact_bucketed_index(spark: SparkSession, name: str, prefix: str) -> dict:
+    """Rewrite a bucketed index table DISTINCT — the repair for the
+    append crash window documented on ``append_to_bucketed_index``
+    (duplicate rows from a retried append whose receipt was lost).
+    The distinct rows are staged to a fresh generation directory
+    through the RECORDED bucket/sort spec, the table is re-registered
+    at the new path, and the recorded path/generation advance — the
+    old directory is left for the caller to reap (the sandbox shim of
+    Iceberg ``rewrite_data_files`` + snapshot swap). All probe
+    guarantees (bucketed co-location, sorted row groups, properties
+    handshake) survive the rewrite; verdicts are unchanged because the
+    index was always consumed with set semantics."""
+    props = get_table_properties(spark, name)
+    path_key, nb_key, cols_key = (
+        f"{prefix}.path",
+        f"{prefix}.n_storage_buckets",
+        f"{prefix}.bucket_cols",
+    )
+    missing = [k for k in (path_key, nb_key, cols_key) if k not in props]
+    if missing:
+        raise ValueError(
+            f"index table {name} records no build metadata for "
+            f"{sorted(missing)} — cannot compact a table whose bucket "
+            "spec is unknown; rebuild it with the current persist "
+            "function instead."
+        )
+    before = spark.table(name).count()
+    # materialize the distinct rows BEFORE overwriting the catalog
+    # entry (Spark refuses to overwrite a path it is reading from)
+    rows = spark.table(name).distinct().localCheckpoint(eager=True)
+    after = rows.count()
+    gen = int(props.get(f"{prefix}.compaction_gen", "0")) + 1
+    old_path = props[path_key]
+    new_path = f"{old_path.rsplit('_gen', 1)[0]}_gen{gen}"
+    sort_cols = props.get(f"{prefix}.sort_cols")
+    write_bucketed_table(
+        rows,
+        name,
+        new_path,
+        props[cols_key].split(","),
+        int(props[nb_key]),
+        sort_cols=sort_cols.split(",") if sort_cols else None,
+        rowgroup_bytes=INDEX_ROWGROUP_BYTES if sort_cols else None,
+        mode="overwrite",
+    )
+    # re-assert the full manifest: saveAsTable(overwrite) drops
+    # TBLPROPERTIES with the old table definition
+    props[path_key] = new_path
+    props[f"{prefix}.compaction_gen"] = gen
+    set_table_properties(spark, name, props)
+    return {
+        "status": "compacted",
+        "table": name,
+        "rows_before": before,
+        "rows_after": after,
+        "path": new_path,
+        "old_path": old_path,
+    }
 
 
 def set_table_properties(spark: SparkSession, name: str, props: dict) -> None:
