@@ -1158,6 +1158,19 @@ def _text_lsh_auto_cte(where_n: str = "") -> str:
     Sign bits come from the centered vectors (``cent``); the
     BLAS-vs-list_sum sign assumption is documented on
     ``_lsh_bands_cte``."""
+    return _text_lsh_auto_cte_general(
+        nb_sql=f"SELECT count(*) AS n FROM esum {where_n}"
+    )
+
+
+def _text_lsh_auto_cte_general(
+    nb_sql: str, src: str = "cent", carry: str = ""
+) -> str:
+    """The adaptive-family machinery behind ``_text_lsh_auto_cte``:
+    ``nb_sql`` supplies the sizing population (full/boundary-filtered
+    count for the corpus twins; max per-domain count for the
+    domain-centered twin), ``src`` the centered-vector CTE, ``carry``
+    extra columns to thread through sig→bands (e.g. ``, domain``)."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
         TEXT_LSH_TARGET_BUCKET,
         _TEXT_BANDS_FOR_BITS,
@@ -1184,15 +1197,15 @@ def _text_lsh_auto_cte(where_n: str = "") -> str:
                 f"bit{b * bits + r} * {2 ** (bits - 1 - r)}" for r in range(bits)
             )
             band_selects.append(
-                f"SELECT vec_id, {b} AS band, {key} AS key "
+                f"SELECT vec_id{carry}, {b} AS band, {key} AS key "
                 f"FROM sig, cfg WHERE cfg.bits = {bits}"
             )
     # sig is referenced by every per-config band select (46 of them) —
     # MATERIALIZED stops DuckDB 1.0 from inlining the 132 list-dot
     # bit expressions into each reference (46× recompute = minutes)
-    return f"""nb AS (SELECT count(*) AS n FROM esum {where_n}),
+    return f"""nb AS ({nb_sql}),
 cfg AS MATERIALIZED (SELECT CASE {cases} ELSE {configs[-1][0]} END AS bits FROM nb),
-sig AS MATERIALIZED (SELECT doc_id AS vec_id, {", ".join(bit_exprs)} FROM cent),
+sig AS MATERIALIZED (SELECT doc_id AS vec_id{carry}, {", ".join(bit_exprs)} FROM {src}),
 bands AS ({" UNION ALL ".join(band_selects)})"""
 
 
@@ -1215,6 +1228,70 @@ cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN ue a ON a.vec_id = c.id_a JOIN ue b ON b.vec_id = c.id_b
+  WHERE {_cos_e6('a', 'b')} >= {TEXT_NEAR_DUP_THRESHOLD_E6}),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e2.d AS node, reach.r FROM reach JOIN sym e2 ON e2.s = reach.node),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+       (cc.node IS NULL OR cc.node = cc.cluster_id) AS keep
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _semantic_text_by_domain_sql() -> str:
+    """SQL twin of embedding.semantic_dedup_text_by_domain: the same
+    integer embed CTE, PER-DOMAIN centering (csum GROUP BY the
+    documents table's source column), banding through the shared
+    adaptive-family CTE carrying the domain column (family sized by
+    the LARGEST domain's population), within-domain candidates, exact
+    raw-cosine verify, recursive components, per-document keep/drop."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
+        EMBED_DIM,
+        TEXT_NEAR_DUP_THRESHOLD_E6,
+    )
+
+    tsums = ", ".join(
+        f"coalesce(sum(s{d}), 0) AS t{d}" for d in range(EMBED_DIM)
+    )
+    carr = ", ".join(
+        f"(CAST(greatest(n, 1) AS DOUBLE) * CAST(s{d} AS DOUBLE) "
+        f"- CAST(t{d} AS DOUBLE))"
+        for d in range(EMBED_DIM)
+    )
+    rarr = ", ".join(f"CAST(s{d} AS DOUBLE)" for d in range(EMBED_DIM))
+    lsh = _text_lsh_auto_cte_general(
+        nb_sql=(
+            "SELECT coalesce(max(c), 0) AS n FROM "
+            "(SELECT count(*) AS c FROM dsum GROUP BY domain)"
+        ),
+        carry=", domain",
+    )
+    return f"""
+WITH RECURSIVE {_embed_sums_cte()},
+dsum AS (SELECT e.*, d.source AS domain
+         FROM esum e JOIN documents d USING (doc_id)),
+csum AS (SELECT domain, CAST(count(*) AS BIGINT) AS n, {tsums}
+         FROM dsum GROUP BY domain),
+cent AS (SELECT s.doc_id, s.domain, [{carr}] AS embedding
+         FROM dsum s JOIN csum USING (domain)),
+ue0 AS (SELECT doc_id AS vec_id, [{rarr}] AS embedding FROM esum),
+ue AS (SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM ue0),
+{lsh},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.domain = b.domain AND a.band = b.band AND a.key = b.key
+   AND a.vec_id < b.vec_id),
 pairs AS (
   SELECT c.id_a, c.id_b
   FROM cand c JOIN ue a ON a.vec_id = c.id_a JOIN ue b ON b.vec_id = c.id_b
@@ -1329,23 +1406,21 @@ def _wrap(mod_fn):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order IS the driver's check order and the driver records at
-    # most 50 rows per round. Round-5 hygiene (round-4 verdict #6):
-    # the six NEW entries lead (embed_documents,
-    # semantic_dedup_text_corpus, incremental_text_semantic_dedup,
-    # knn_text, knn_text_ivf, exact_stats — zero driver signal),
-    # then the three knn entries whose final stage changed this round
-    # (bounded-heap default) for their first post-change row, then the
-    # five entries whose ONLY green is r04 (they rotate to the tail
-    # after a second green next round), then the r03+r04 double-green
-    # and multi-green body. Rotated INTO the tail this round:
-    # approx_stats (shape proven recordable in r04; it can NEVER be
-    # green — no oracle exists for a sketch; its driver signal now
-    # flows through the exact_stats order-statistic twin at the head)
-    # and pivot_lang_by_source + symbol_ratios + cosine_lsh_pairs +
-    # near_dup_cosine + dedup_clusters (multi-green, unchanged).
-    # Window = 50 of 79; every tail entry has
-    # >= 2 green driver rows except the by-design pytest-only
-    # extract_synthetic and the by-design oracle-less approx_stats.
+    # most 50 rows per round. Round-6 hygiene (house rule):
+    # HEAD = semantic_dedup_text_by_domain (NEW this round — zero
+    # driver signal), then the two flagship text queries whose PLAN
+    # changed this round (auto-sized family + pure-JVM verify:
+    # semantic_dedup_text_corpus, incremental_text_semantic_dedup —
+    # first post-change row), then the four remaining round-5 head
+    # entries holding their single green (embed_documents, knn_text,
+    # knn_text_ivf, exact_stats — second green earns the tail), then
+    # the r04+r05 double-green block and the multi-green body.
+    # Rotated INTO the tail this round (>= 2 greens each, unchanged
+    # plans): knn_bruteforce, knn_ivf, knn_ivf_multiprobe (r03/r04 +
+    # r05 post-heap-change green). Window = first 50 of 80; every tail
+    # entry has >= 2 green driver rows except the by-design
+    # pytest-only extract_synthetic and the by-design oracle-less
+    # approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
         chunking,
         curation,
@@ -1358,20 +1433,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # --- NEW this round: zero driver signal
-        "embed_documents": _wrap(embedding.embed_documents),
+        "semantic_dedup_text_by_domain": _wrap(
+            embedding.semantic_dedup_text_by_domain
+        ),
+        # --- plan changed this round (auto family + JVM verify):
+        # first post-change driver row
         "semantic_dedup_text_corpus": _wrap(embedding.semantic_dedup_text_corpus),
         "incremental_text_semantic_dedup": _wrap(
             embedding.incremental_text_semantic_dedup
         ),
+        # --- single green row (r05) — second green earns the tail
+        "embed_documents": _wrap(embedding.embed_documents),
         "knn_text": _wrap(embedding.knn_text),
         "knn_text_ivf": _wrap(embedding.knn_text_ivf),
         "exact_stats": _wrap(curation.exact_length_stats),
-        # --- final top-k stage changed this round (bounded heap):
-        # first post-change driver row
-        "knn_bruteforce": _wrap(similarity.brute_force_knn),
-        "knn_ivf": _wrap(similarity.ivf_knn),
-        "knn_ivf_multiprobe": _q_knn_ivf_multiprobe,
-        # --- single green row (r04 only) — second green earns the tail
+        # --- double green (r04+r05)
         "extract_synthetic_fp": _q_extract_synthetic_fp,
         "quality_threshold_filter": _wrap(curation.quality_threshold_filter),
         "semantic_dedup_corpus": _wrap(similarity.semantic_dedup_corpus),
@@ -1418,6 +1494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _wrap(dedup.simhash_near_dup_pairs),
         # --- tail (index >= 50): >= 2 green driver rounds each, except
         # the two by-design entries noted above
+        "knn_bruteforce": _wrap(similarity.brute_force_knn),
+        "knn_ivf": _wrap(similarity.ivf_knn),
+        "knn_ivf_multiprobe": _q_knn_ivf_multiprobe,
         "dedup_clusters": _wrap(dedup.dedup_clusters),
         "near_dup_cosine": _wrap(similarity.near_dup_pairs_cosine),
         "cosine_lsh_pairs": _wrap(similarity.cosine_lsh_pairs),
@@ -1978,6 +2057,7 @@ FROM t ORDER BY doc_id
         "semantic_dedup_corpus": _semantic_dedup_sql(),
         "incremental_cosine_dedup": _incremental_cosine_sql(),
         "embed_documents": _embed_documents_sql(),
+        "semantic_dedup_text_by_domain": _semantic_text_by_domain_sql(),
         "semantic_dedup_text_corpus": _semantic_text_sql(),
         "incremental_text_semantic_dedup": _incremental_text_semantic_sql(),
         "knn_text": _knn_text_sql(),

@@ -812,6 +812,123 @@ def incremental_text_semantic_dedup(
     )
 
 
+def domain_centered_band_buckets(
+    sums_dom: DataFrame,
+    planes_list=None,
+    bands: int = TEXT_LSH_BANDS,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """(vec_id, domain, band, key) — centered banding with a PER-DOMAIN
+    center: ``sums_dom`` carries a ``domain`` column and each document
+    is centered on ITS domain's mean before signing. This is the
+    mitigation the multi-domain rung measured (BENCH/BASELINE.md round
+    6): a single global center removes one shared-vocabulary direction,
+    but K disjoint domains (crawl sources, languages) keep K per-domain
+    clusters and their buckets skew — centering per domain restores
+    balance inside every domain. Domain totals are a broadcast-size
+    frame (one row per domain); keys live in (domain, band, key) space,
+    so candidates pair WITHIN domains only."""
+    totals = sums_dom.groupBy("domain").agg(
+        F.count("*").alias("n"),
+        *[
+            F.expr(
+                f"coalesce(sum(CAST(s{d} AS DECIMAL(38,0))), "
+                f"CAST(0 AS DECIMAL(38,0)))"
+            ).alias(f"t{d}")
+            for d in range(dim)
+        ],
+    )
+    terms = ", ".join(
+        f"CAST(greatest(n, 1) AS DOUBLE) * CAST(s{d} AS DOUBLE) "
+        f"- CAST(t{d} AS DOUBLE)"
+        for d in range(dim)
+    )
+    centered = sums_dom.join(F.broadcast(totals), "domain").select(
+        F.col("doc_id").alias("vec_id"),
+        "domain",
+        F.expr(f"array({terms})").alias("embedding"),
+    )
+    return centered.select(
+        "vec_id",
+        "domain",
+        F.posexplode(
+            _text_band_keys_udf(planes_list, bands)(F.col("embedding"))
+        ),
+    ).select(
+        "vec_id", "domain", F.col("pos").alias("band"), F.col("col").alias("key")
+    )
+
+
+def semantic_dedup_text_by_domain(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_e6: int = TEXT_NEAR_DUP_THRESHOLD_E6,
+    domain_col: str = "source",
+    planes_list=None,
+    bands: int | None = None,
+) -> DataFrame:
+    """Per-domain semantic text dedup — the multi-domain variant of
+    ``semantic_dedup_text_corpus`` (round-6; closes the rung finding
+    that GLOBAL centering cannot balance disjoint-vocabulary mixtures).
+    Each document is centered on its ``domain_col`` group's mean,
+    banded in (domain, band, key) space (family AUTO-sized from the
+    LARGEST domain's population — the bucket-width constraint is
+    per-domain), candidates pair within domains, and the exact
+    raw-cosine verify + star-contraction verdict are unchanged.
+    Cross-domain near-duplicates are OUT OF SCOPE by construction
+    (crawl pipelines dedup within source first; run the global
+    ``semantic_dedup_text_corpus`` for a cross-source pass). Output
+    shape: (doc_id, cluster_id, keep) over every document."""
+    from .dedup import connected_components
+
+    docs = _docs(spark, sf_dir)
+    sums = embed_sums(docs).localCheckpoint(eager=True)
+    sums_dom = sums.join(
+        docs.select("doc_id", F.col(domain_col).alias("domain")), "doc_id"
+    )
+    n_max = (
+        sums_dom.groupBy("domain").count().agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    planes_list, bands = _resolve_text_family(
+        planes_list, bands, 0 if n_max is None else int(n_max)
+    )
+    buckets = domain_centered_band_buckets(
+        sums_dom, planes_list=planes_list, bands=bands
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.domain") == F.col("b.domain"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    wn = _sums_with_norm(sums)
+    sa = wn.alias("sa")
+    sb = wn.alias("sb")
+    pairs = (
+        cands.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select("id_a", "id_b", _sums_cosine_e6("sa", "sb").alias("score_e6"))
+        .filter(F.col("score_e6") >= threshold_e6)
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    joined = docs.select("doc_id").join(cc, docs["doc_id"] == cc["node"], "left")
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        (F.col("node").isNull() | (F.col("node") == F.col("cluster_id"))).alias(
+            "keep"
+        ),
+    ).orderBy("doc_id")
+
+
 def text_semantic_verdicts_for_batch(
     spark: SparkSession,
     batch_docs: DataFrame,

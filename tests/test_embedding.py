@@ -233,6 +233,63 @@ def test_centered_banding_balances_buckets(spark):
     assert raw_w > 4 * ideal, (raw_w, ideal)
 
 
+def test_semantic_dedup_by_domain_planted_dups_and_balance(spark, tmp_path):
+    """Round-6 multi-domain operator: per-domain centering finds planted
+    near-dups WITHIN each disjoint-vocabulary domain (where the global
+    path's single center leaves per-domain clusters); cross-domain
+    near-identity is out of scope by construction; and per-domain
+    centered buckets are near-balanced on a 2-domain mixture while
+    globally-centered buckets skew (the rung's measured failure mode)."""
+    from pyspark.sql import functions as F
+
+    def text(i, tag):
+        return " ".join(f"{tag}w{i}t{j}" for j in range(15))
+
+    rows = []
+    for d, tag in enumerate(["alpha", "beta"]):
+        for i in range(40):
+            rows.append((d * 1000 + i, text(i, tag), f"src{d}"))
+        # planted near-dup of doc 0 of this domain
+        rows.append((d * 1000 + 500, text(0, tag) + " x", f"src{d}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = (
+        embedding.semantic_dedup_text_by_domain(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == 82 and out.index.is_unique
+    for d in range(2):
+        assert out.loc[d * 1000 + 500, "cluster_id"] == d * 1000
+        assert not out.loc[d * 1000 + 500, "keep"]
+        assert out.loc[d * 1000, "keep"]
+
+    # balance: per-domain centering vs one global center on the mixture
+    sums = embedding.embed_sums(docs)
+    sums_dom = sums.join(
+        docs.select("doc_id", F.col("source").alias("domain")), "doc_id"
+    )
+    n_dom = (
+        embedding.domain_centered_band_buckets(sums_dom)
+        .groupBy("domain", "band", "key")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    n_glob = (
+        embedding.centered_band_buckets(sums, embedding.embed_totals(sums))
+        .groupBy("band", "key")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    # 82 docs over 256 keys: balanced ⇒ widest bucket stays small;
+    # a domain cluster the global center cannot remove concentrates
+    # one domain's docs into few buckets
+    assert n_dom < n_glob, (n_dom, n_glob)
+    assert n_dom <= 8, n_dom
+
+
 def test_text_verify_is_pure_jvm_and_matches_arrow_cosine(spark):
     """Round-5 verdict #4: the exact-verify stage of the text dedup path
     is a pure-JVM integer-sum cosine — the ONLY Python node in the whole
