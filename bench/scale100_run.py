@@ -175,8 +175,8 @@ def main() -> None:
             prune_index_scan,
         )
 
-        def probe(pruned: bool):
-            sig = minhash_signatures(probe_docs, hash_fn="affine")
+        def probe(pruned: bool, pdocs):
+            sig = minhash_signatures(pdocs, hash_fn="affine")
             pb = minhash_band_buckets(sig)
             idx = spark.table(name)
             if pruned:
@@ -185,18 +185,23 @@ def main() -> None:
             idx = idx.select("band", "bucket").distinct()
             return pb.join(idx, ["band", "bucket"], "left_semi").count()
 
-        for pruned in (False, True):
-            tag = "" if pruned else "_unpruned"
-            probe(pruned)
-            runs = []
-            for _ in range(3):
-                t0 = time.time()
-                probe(pruned)
-                runs.append(time.time() - t0)
-            med = round(sorted(runs)[1], 3)
-            if pruned:
-                probe_times[copies] = med
-            timings[f"probe_vs_{copies}x_index{tag}"] = med
+        # bulk probe (500 docs → the hashed non-pushed restriction) and
+        # trickle probe (10 docs → the pushed per-band In, row-group
+        # skipping on the sorted layout), each pruned vs unpruned
+        trickle = probe_docs.limit(10)
+        for label, pdocs in (("", probe_docs), ("_trickle", trickle)):
+            for pruned in (False, True):
+                tag = ("" if pruned else "_unpruned") + label
+                probe(pruned, pdocs)
+                runs = []
+                for _ in range(3):
+                    t0 = time.time()
+                    probe(pruned, pdocs)
+                    runs.append(time.time() - t0)
+                med = round(sorted(runs)[1], 3)
+                if pruned and not label:
+                    probe_times[copies] = med
+                timings[f"probe_vs_{copies}x_index{tag}"] = med
     out["probe_growth_10x_to_100x"] = round(
         probe_times[100] / probe_times[10], 2
     )

@@ -90,6 +90,9 @@ def write_bucketed_table(
     return name
 
 
+PRUNE_PUSHDOWN_MAX_KEYS = 1024
+
+
 def prune_index_scan(
     index_df: DataFrame,
     probe_buckets: DataFrame,
@@ -100,26 +103,35 @@ def prune_index_scan(
     """Narrow a persisted-index scan to the probe batch's touched
     (band, key) set (round-5 verdict #2): collect the batch's DISTINCT
     band/key pairs (control-plane — bounded by ``max_pairs``, beyond
-    which the full co-located scan is kept) and push a per-band
-    ``key IN (…)`` disjunction into the index read. Everything past the
-    scan — the distinct, the sort for the merge join, the join build —
-    then processes only rows that can possibly match, so probe COMPUTE
-    is O(touched buckets) instead of O(index). Storage-level skipping
-    rides the same filter where granularity allows (sorted small row
-    groups, ``INDEX_ROWGROUP_BYTES``); the honest bound stays in
-    BENCH/BASELINE.md: with uniformly-hashed keys, a batch touching
-    more (band,key) pairs than the index has row groups still reads
-    every block — block-granular pruning flattens the probe for
-    trickle-size batches, while large batches amortize the scan
-    (per-doc probe cost → 0 as the batch grows).
+    which the full co-located scan is kept) and restrict the index read
+    to them. Everything past the scan — the distinct, the sort for the
+    merge join, the join build — then processes only rows that can
+    possibly match, so probe COMPUTE is O(touched buckets) instead of
+    O(index).
 
-    The filter is a pure restriction on the join keys: every surviving
-    index row is exactly one that could join, so pruned and unpruned
-    probes are byte-identical (asserted in tests), and a scan filter
-    never disturbs the bucketed co-location (no new Exchange)."""
-    from functools import reduce
-    from operator import or_
+    Two predicate forms, chosen by probe size (both measured on the
+    100× rung index — BENCH/BASELINE.md round-6):
 
+    * **trickle probes** (≤ ``PRUNE_PUSHDOWN_MAX_KEYS`` pairs): a
+      per-band ``key IN (…)`` disjunction PUSHED to parquet — on the
+      sorted small-row-group index layout (``INDEX_ROWGROUP_BYTES``)
+      row-group stats skip every group containing none of the probed
+      keys, i.e. genuine storage-level pruning for the incremental
+      steady state;
+    * **bulk probes**: parquet's evaluation of a multi-thousand-value
+      pushed In costs MORE than the scan it prunes (measured 3.0 s vs
+      a 1.0 s full scan at 4 M rows) — so the restriction is applied as
+      a non-pushable single ``xxhash64(band, key) IN (…)`` set test,
+      evaluated vectorized after the scan: compute-pruning at scan
+      throughput. (Hash collisions can only KEEP extra rows — the
+      exact join follows; never drop a matching one.)
+
+    Both forms are pure restrictions on the join keys: every surviving
+    index row is one that could join, so pruned and unpruned probes
+    are byte-identical (asserted in tests), and a scan filter never
+    disturbs the bucketed co-location (no new Exchange). Built as ONE
+    parsed SQL string — Column.isin() creates a py4j literal per
+    element (~3 s for a 4,000-key set)."""
     from pyspark.sql import functions as F
 
     rows = probe_buckets.select(band_col, key_col).distinct().collect()
@@ -127,17 +139,35 @@ def prune_index_scan(
         return index_df
     if not rows:  # empty batch probes nothing — read nothing
         return index_df.filter(F.lit(False))
-    by_band: dict = {}
-    for r in rows:
-        by_band.setdefault(r[band_col], []).append(r[key_col])
-    cond = reduce(
-        or_,
-        (
-            (F.col(band_col) == F.lit(b)) & F.col(key_col).isin(ks)
+
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(int(v))
+
+    if len(rows) <= PRUNE_PUSHDOWN_MAX_KEYS:
+        by_band: dict = {}
+        for r in rows:
+            by_band.setdefault(r[band_col], []).append(r[key_col])
+        cond = " OR ".join(
+            f"(`{band_col}` = {lit(b)} AND `{key_col}` IN "
+            f"({', '.join(lit(k) for k in sorted(ks))}))"
             for b, ks in sorted(by_band.items())
-        ),
+        )
+        return index_df.filter(F.expr(cond))
+    hashes = sorted(
+        r["k"]
+        for r in probe_buckets.select(
+            F.xxhash64(band_col, key_col).alias("k")
+        )
+        .distinct()
+        .collect()
     )
-    return index_df.filter(cond)
+    cond = (
+        f"xxhash64(`{band_col}`, `{key_col}`) IN "
+        f"({', '.join(str(h) for h in hashes)})"
+    )
+    return index_df.filter(F.expr(cond))
 
 
 def append_to_bucketed_index(

@@ -666,6 +666,22 @@ def test_prune_index_scan_semantics_and_plan(spark, tmp_path):
             prune_index_scan(idx, probe, key_col="bucket", max_pairs=1).count()
             == idx.count()
         )
+        # bulk form (hashed non-pushed restriction) keeps the same rows
+        # as the pushed per-band form (xxhash64 collisions can only KEEP
+        # extra rows — none here)
+        import ocr_pipeline_fastapi_latency_optimization_spark.sources.catalog as cat
+
+        old_max = cat.PRUNE_PUSHDOWN_MAX_KEYS
+        cat.PRUNE_PUSHDOWN_MAX_KEYS = 0
+        try:
+            bulk = prune_index_scan(idx, probe, key_col="bucket")
+            bulk_rows = bulk.toPandas()[cols].sort_values(cols)
+            pd.testing.assert_frame_equal(
+                bulk_rows.reset_index(drop=True),
+                want_rows.reset_index(drop=True),
+            )
+        finally:
+            cat.PRUNE_PUSHDOWN_MAX_KEYS = old_max
 
         # plan: filter lives in/above the scan, no Exchange on the index
         # branch of the probe semi-join
