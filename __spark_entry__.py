@@ -1312,6 +1312,69 @@ ORDER BY d.doc_id
 """
 
 
+def _incremental_text_domain_sql() -> str:
+    """SQL twin of embedding.incremental_text_domain_dedup: per-domain
+    centers computed from the PRE-boundary split (csum GROUP BY domain
+    WHERE doc_id < boundary), family sized by the largest pre-boundary
+    domain, within-domain band collisions of post-boundary docs against
+    the pre-boundary corpus, exact raw-cosine verify. Docs in domains
+    with no pre-boundary population drop out of the totals inner join
+    (no bands) and report ``new`` — same as the Spark side."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        INGEST_BOUNDARY,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
+        EMBED_DIM,
+        TEXT_NEAR_DUP_THRESHOLD_E6,
+    )
+
+    B = INGEST_BOUNDARY
+    tsums = ", ".join(
+        f"coalesce(sum(s{d}), 0) AS t{d}" for d in range(EMBED_DIM)
+    )
+    carr = ", ".join(
+        f"(CAST(greatest(n, 1) AS DOUBLE) * CAST(s{d} AS DOUBLE) "
+        f"- CAST(t{d} AS DOUBLE))"
+        for d in range(EMBED_DIM)
+    )
+    rarr = ", ".join(f"CAST(s{d} AS DOUBLE)" for d in range(EMBED_DIM))
+    lsh = _text_lsh_auto_cte_general(
+        nb_sql=(
+            "SELECT coalesce(max(c), 0) AS n FROM "
+            f"(SELECT count(*) AS c FROM dsum WHERE doc_id < {B} "
+            "GROUP BY domain)"
+        ),
+        carry=", domain",
+    )
+    return f"""
+WITH {_embed_sums_cte()},
+dsum AS (SELECT e.*, d.source AS domain
+         FROM esum e JOIN documents d USING (doc_id)),
+csum AS (SELECT domain, CAST(count(*) AS BIGINT) AS n, {tsums}
+         FROM dsum WHERE doc_id < {B} GROUP BY domain),
+cent AS (SELECT s.doc_id, s.domain, [{carr}] AS embedding
+         FROM dsum s JOIN csum USING (domain)),
+ue0 AS (SELECT doc_id AS vec_id, [{rarr}] AS embedding FROM esum),
+ue AS (SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM ue0),
+{lsh},
+existing AS (SELECT DISTINCT vec_id AS evec, domain, band, key
+             FROM bands WHERE vec_id < {B}),
+newb AS (SELECT DISTINCT vec_id, domain, band, key
+         FROM bands WHERE vec_id >= {B}),
+pairs AS (SELECT DISTINCT n.vec_id, x.evec
+          FROM newb n JOIN existing x USING (domain, band, key)),
+sc AS (
+  SELECT p.vec_id, {_cos_e6('a', 'b')} AS s
+  FROM pairs p JOIN ue a ON a.vec_id = p.vec_id JOIN ue b ON b.vec_id = p.evec),
+dup AS (SELECT DISTINCT vec_id FROM sc WHERE s >= {TEXT_NEAR_DUP_THRESHOLD_E6}),
+alln AS (SELECT doc_id FROM documents WHERE doc_id >= {B})
+SELECT doc_id,
+       CASE WHEN doc_id IN (SELECT vec_id FROM dup)
+            THEN 'near_dup' ELSE 'new' END AS verdict
+FROM alln ORDER BY doc_id
+"""
+
+
 def _incremental_text_semantic_sql() -> str:
     """SQL twin of embedding.incremental_text_semantic_dedup: new docs
     (doc_id ≥ the shared boundary) embedded through the SAME integer
@@ -1435,6 +1498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW this round: zero driver signal
         "semantic_dedup_text_by_domain": _wrap(
             embedding.semantic_dedup_text_by_domain
+        ),
+        "incremental_text_domain_dedup": _wrap(
+            embedding.incremental_text_domain_dedup
         ),
         # --- plan changed this round (auto family + JVM verify):
         # first post-change driver row
@@ -2058,6 +2124,7 @@ FROM t ORDER BY doc_id
         "incremental_cosine_dedup": _incremental_cosine_sql(),
         "embed_documents": _embed_documents_sql(),
         "semantic_dedup_text_by_domain": _semantic_text_by_domain_sql(),
+        "incremental_text_domain_dedup": _incremental_text_domain_sql(),
         "semantic_dedup_text_corpus": _semantic_text_sql(),
         "incremental_text_semantic_dedup": _incremental_text_semantic_sql(),
         "knn_text": _knn_text_sql(),

@@ -688,6 +688,303 @@ def append_to_text_cosine_index(
     )
 
 
+def require_domain_centers(props: dict, table: str) -> dict:
+    """Fail fast when a table lacks per-domain centering statistics —
+    it was not written by ``persist_text_domain_index`` (the domain
+    analog of ``require_text_center``; a GLOBAL text index fails here,
+    and vice versa — the two center kinds are different hash families)."""
+    if "text.domain_centers" not in props:
+        raise ValueError(
+            f"index table {table} records no per-domain centering "
+            "statistics — it was not written by persist_text_domain_index; "
+            "rebuild it (or probe through the global-center path) before "
+            "probing/appending domain batches."
+        )
+    return props
+
+
+def _domain_center_frame(spark: SparkSession, props: dict) -> DataFrame:
+    """Rebuild the per-domain totals frame from a persisted domain
+    index's recorded centers (text.domain_centers JSON)."""
+    import json
+    from decimal import Decimal
+
+    data = json.loads(props["text.domain_centers"])
+    dim = len(next(iter(data.values()))) - 1 if data else EMBED_DIM
+    rows = [
+        tuple([dom, int(vals[0])] + [Decimal(x) for x in vals[1:]])
+        for dom, vals in sorted(data.items())
+    ]
+    schema = "domain string, n long, " + ", ".join(
+        f"t{d} decimal(38,0)" for d in range(dim)
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def persist_text_domain_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    name: str,
+    path: str,
+    domain_col: str = "source",
+    n_storage_buckets: int = 32,
+) -> str:
+    """Persist the PER-DOMAIN-centered LSH index of a text corpus —
+    the fourth index family (exact fp / MinHash / global text-cosine /
+    domain text-cosine), for corpora the multi-domain rung showed a
+    single global center cannot balance. Rows are (vec_id, domain,
+    band, key) bucketed by (domain, band, key); the frozen hash family
+    records the auto-sized planes/bands (sized by the LARGEST domain)
+    AND every domain's centering statistic (JSON in
+    ``text.domain_centers``), so probes/appends re-band batches
+    identically and fail fast on family mismatch or unseen domains."""
+    import json
+
+    from ..sources.catalog import (
+        INDEX_ROWGROUP_BYTES,
+        set_table_properties,
+        write_bucketed_table,
+    )
+
+    sums = embed_sums(docs).localCheckpoint(eager=True)
+    sums_dom = sums.join(
+        docs.select("doc_id", F.col(domain_col).alias("domain")), "doc_id"
+    )
+    totals_rows = domain_totals(sums_dom).collect()  # K rows — control plane
+    n_max = max((int(r["n"]) for r in totals_rows), default=0)
+    n_planes, bands = auto_text_family(n_max)
+    centers_json = json.dumps(
+        {
+            r["domain"]: [int(r["n"])]
+            + [str(int(r[f"t{d}"])) for d in range(EMBED_DIM)]
+            for r in totals_rows
+        },
+        sort_keys=True,
+    )
+    totals = _domain_center_frame(
+        spark, {"text.domain_centers": centers_json}
+    )
+    buckets = domain_centered_band_buckets(
+        sums_dom,
+        totals_dom=totals,
+        planes_list=_text_planes(n_planes),
+        bands=bands,
+    )
+    write_bucketed_table(
+        buckets,
+        name,
+        path,
+        ["domain", "band", "key"],
+        n_storage_buckets,
+        sort_cols=["domain", "band", "key"],
+        rowgroup_bytes=INDEX_ROWGROUP_BYTES,
+    )
+    max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    set_table_properties(
+        spark,
+        name,
+        {
+            "cosine.n_planes": n_planes,
+            "cosine.bands": bands,
+            "cosine.seed": TEXT_LSH_SEED,
+            "cosine.max_vec_id": -1 if max_id is None else int(max_id),
+            "cosine.path": path,
+            "cosine.n_storage_buckets": int(n_storage_buckets),
+            "cosine.bucket_cols": "domain,band,key",
+            "cosine.sort_cols": "domain,band,key",
+            "text.domain_centers": centers_json,
+            "text.domain_col": domain_col,
+        },
+    )
+    return name
+
+
+def append_to_text_domain_index(
+    spark: SparkSession, docs_batch: DataFrame, index_table: str
+) -> dict:
+    """Domain twin of ``append_to_text_cosine_index``: bands the batch
+    with the index's FROZEN family and per-domain centers and delegates
+    to the idempotent bucketed append. A batch containing a domain the
+    index has no recorded center for FAILS FAST — silently dropping its
+    rows would leave those documents unindexed forever (append is
+    state-changing, unlike the probe, which degrades unseen domains to
+    ``new``); rebuild the index or route new domains elsewhere."""
+    import json
+
+    from ..sources.catalog import append_to_bucketed_index, check_index_params
+
+    props = check_index_params(
+        spark, index_table, {"cosine.seed": TEXT_LSH_SEED}, kind="cosine"
+    )
+    planes_list, bands = _index_family(props)
+    require_domain_centers(props, index_table)
+    domain_col = props.get("text.domain_col", "source")
+    stat = docs_batch.agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.sum(F.xxhash64("doc_id", "text").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    if stat["n"] == 0:
+        return {"status": "noop", "batch_fp": "empty", "table": index_table}
+    known = set(json.loads(props["text.domain_centers"]))
+    batch_domains = {
+        r["domain"]
+        for r in docs_batch.select(
+            F.col(domain_col).alias("domain")
+        ).distinct().collect()
+    }
+    unseen = sorted(batch_domains - known)
+    if unseen:
+        raise ValueError(
+            f"append to {index_table}: batch contains domains with no "
+            f"recorded center {unseen} — their rows cannot be banded "
+            "under the frozen per-domain family and would be silently "
+            "unindexed. Rebuild the index over the grown domain set or "
+            "route new domains to a separate index."
+        )
+    sums_dom = embed_sums(docs_batch).join(
+        docs_batch.select("doc_id", F.col(domain_col).alias("domain")),
+        "doc_id",
+    )
+    buckets = domain_centered_band_buckets(
+        sums_dom,
+        totals_dom=_domain_center_frame(spark, props),
+        planes_list=planes_list,
+        bands=bands,
+    )
+    return append_to_bucketed_index(
+        spark,
+        buckets,
+        index_table,
+        "cosine",
+        batch_fp=f"{stat['n']}:{stat['h']}",
+        batch_min_id=int(stat["lo"]),
+        batch_max_id=int(stat["hi"]),
+        watermark_key="cosine.max_vec_id",
+    )
+
+
+def incremental_text_domain_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    boundary: int | None = None,
+    threshold_e6: int = TEXT_NEAR_DUP_THRESHOLD_E6,
+    domain_col: str = "source",
+    index_table: str | None = None,
+) -> DataFrame:
+    """Ingest-time semantic dedup with PER-DOMAIN centering — the
+    incremental member of the domain family: every NEW document
+    (doc_id ≥ ``boundary``) is embedded, centered on its domain's
+    PRE-BOUNDARY mean, and collects band collisions against the
+    existing corpus WITHIN its domain; candidates are verified with
+    the exact raw cosine. Documents in domains with no pre-boundary
+    population produce no bands and report ``new`` (both engines — the
+    inner totals join). With ``index_table`` (written by
+    ``persist_text_domain_index``) only the batch is embedded, the
+    centers/family are the index's FROZEN build state, and the pruned
+    shuffle-free probe reads only touched buckets; default computes
+    both sides from the boundary split — the driver-oracle path,
+    byte-identical in the index-equals-pre-boundary scenario."""
+    from .dedup import INGEST_BOUNDARY
+
+    boundary = INGEST_BOUNDARY if boundary is None else boundary
+    docs = _docs(spark, sf_dir)
+    if index_table is not None:
+        from ..sources.catalog import check_index_params, prune_index_scan
+
+        props = check_index_params(
+            spark, index_table, {"cosine.seed": TEXT_LSH_SEED}, kind="cosine"
+        )
+        planes_list, bands = _index_family(props)
+        require_domain_centers(props, index_table)
+        totals = _domain_center_frame(spark, props)
+        new_docs = docs.filter(F.col("doc_id") >= boundary)
+        new_sums = embed_sums(new_docs)
+        new_sums_dom = new_sums.join(
+            new_docs.select("doc_id", F.col(domain_col).alias("domain")),
+            "doc_id",
+        )
+        new = domain_centered_band_buckets(
+            new_sums_dom, totals_dom=totals, planes_list=planes_list,
+            bands=bands,
+        ).localCheckpoint(eager=True)
+        existing = prune_index_scan(spark.table(index_table), new).filter(
+            F.col("vec_id") < boundary
+        )
+        sums_all = None
+    else:
+        sums = embed_sums(docs).localCheckpoint(eager=True)
+        sums_dom = sums.join(
+            docs.select("doc_id", F.col(domain_col).alias("domain")), "doc_id"
+        )
+        existing_dom = sums_dom.filter(F.col("doc_id") < boundary)
+        totals_rows = domain_totals(existing_dom).collect()
+        n_max = max((int(r["n"]) for r in totals_rows), default=0)
+        import json as _json
+
+        totals = _domain_center_frame(
+            spark,
+            {
+                "text.domain_centers": _json.dumps(
+                    {
+                        r["domain"]: [int(r["n"])]
+                        + [str(int(r[f"t{d}"])) for d in range(EMBED_DIM)]
+                        for r in totals_rows
+                    },
+                    sort_keys=True,
+                )
+            },
+        )
+        planes_list, bands = _resolve_text_family(None, None, n_max)
+        buckets = domain_centered_band_buckets(
+            sums_dom, totals_dom=totals, planes_list=planes_list, bands=bands
+        )
+        existing = buckets.filter(F.col("vec_id") < boundary)
+        new = buckets.filter(F.col("vec_id") >= boundary)
+        sums_all = sums
+    pairs = (
+        new.join(
+            existing.select(
+                F.col("vec_id").alias("evec"), "domain", "band", "key"
+            ),
+            ["domain", "band", "key"],
+        )
+        .select("vec_id", "evec")
+        .distinct()
+    )
+    if sums_all is None:
+        cand_ids = pairs.select(F.col("evec").alias("doc_id")).distinct()
+        na_sums = new_sums
+        ne_sums = embed_sums(docs.join(cand_ids, "doc_id", "left_semi"))
+    else:
+        na_sums = ne_sums = sums_all
+    na = _sums_with_norm(na_sums).alias("na")
+    ne = _sums_with_norm(ne_sums).alias("ne")
+    scored = (
+        pairs.join(na, F.col("vec_id") == F.col("na.doc_id"))
+        .join(ne, F.col("evec") == F.col("ne.doc_id"))
+        .select("vec_id", _sums_cosine_e6("na", "ne").alias("score_e6"))
+    )
+    dups = (
+        scored.filter(F.col("score_e6") >= threshold_e6)
+        .select("vec_id")
+        .distinct()
+        .select("vec_id", F.lit("near_dup").alias("verdict"))
+    )
+    all_new = docs.filter(F.col("doc_id") >= boundary).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    fresh = all_new.join(dups.select("vec_id"), "vec_id", "left_anti").select(
+        "vec_id", F.lit("new").alias("verdict")
+    )
+    return (
+        dups.unionByName(fresh)
+        .select(F.col("vec_id").alias("doc_id"), "verdict")
+        .orderBy("doc_id")
+    )
+
+
 def incremental_text_semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -812,8 +1109,25 @@ def incremental_text_semantic_dedup(
     )
 
 
+def domain_totals(sums_dom: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """(domain, n, t0..t{dim-1}) per-domain centering statistics — one
+    row per domain (broadcast-size; the multi-domain analog of
+    ``embed_totals``)."""
+    return sums_dom.groupBy("domain").agg(
+        F.count("*").alias("n"),
+        *[
+            F.expr(
+                f"coalesce(sum(CAST(s{d} AS DECIMAL(38,0))), "
+                f"CAST(0 AS DECIMAL(38,0)))"
+            ).alias(f"t{d}")
+            for d in range(dim)
+        ],
+    )
+
+
 def domain_centered_band_buckets(
     sums_dom: DataFrame,
+    totals_dom: DataFrame | None = None,
     planes_list=None,
     bands: int = TEXT_LSH_BANDS,
     dim: int = EMBED_DIM,
@@ -827,17 +1141,12 @@ def domain_centered_band_buckets(
     clusters and their buckets skew — centering per domain restores
     balance inside every domain. Domain totals are a broadcast-size
     frame (one row per domain); keys live in (domain, band, key) space,
-    so candidates pair WITHIN domains only."""
-    totals = sums_dom.groupBy("domain").agg(
-        F.count("*").alias("n"),
-        *[
-            F.expr(
-                f"coalesce(sum(CAST(s{d} AS DECIMAL(38,0))), "
-                f"CAST(0 AS DECIMAL(38,0)))"
-            ).alias(f"t{d}")
-            for d in range(dim)
-        ],
-    )
+    so candidates pair WITHIN domains only. ``totals_dom`` overrides
+    the centering statistics (a boundary-filtered split, or a persisted
+    index's FROZEN per-domain centers); documents whose domain has no
+    totals row produce NO band rows (inner join — the unseen-domain
+    probe case degrades to verdict ``new``, never a wrong band)."""
+    totals = domain_totals(sums_dom, dim) if totals_dom is None else totals_dom
     terms = ", ".join(
         f"CAST(greatest(n, 1) AS DOUBLE) * CAST(s{d} AS DOUBLE) "
         f"- CAST(t{d} AS DOUBLE)"
