@@ -1375,6 +1375,43 @@ FROM alln ORDER BY doc_id
 """
 
 
+def _vocab_top_tokens_sql(k: int = 200) -> str:
+    """SQL twin of curation.vocab_top_tokens: same empty-token filter
+    as the embedding tokenizer, exact document frequency, total order
+    (occurrences desc, token asc) making the top-k cut deterministic."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+      FROM tok GROUP BY token)
+SELECT token, occurrences, docs FROM c
+ORDER BY occurrences DESC, token ASC LIMIT {k}
+"""
+
+
+def _token_bigram_counts_sql(k: int = 200) -> str:
+    """SQL twin of curation.token_bigram_counts: adjacent-pair zip of
+    the token list with its own shift (1-based inclusive DuckDB slices;
+    numeric struct indexing in the zip lambda per the DuckDB gotcha)."""
+    return f"""
+WITH t AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+bi AS (
+  SELECT unnest(list_transform(
+           list_zip(w[1:len(w) - 1], w[2:len(w)]),
+           p -> concat(p[1], ' ', p[2]))) AS bigram
+  FROM t WHERE len(w) >= 2),
+c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS occurrences
+      FROM bi GROUP BY bigram)
+SELECT bigram, occurrences FROM c
+ORDER BY occurrences DESC, bigram ASC LIMIT {k}
+"""
+
+
 def _incremental_text_semantic_sql() -> str:
     """SQL twin of embedding.incremental_text_semantic_dedup: new docs
     (doc_id ≥ the shared boundary) embedded through the SAME integer
@@ -1502,6 +1539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_text_domain_dedup": _wrap(
             embedding.incremental_text_domain_dedup
         ),
+        "vocab_top_tokens": _wrap(curation.vocab_top_tokens),
+        "token_bigram_counts": _wrap(curation.token_bigram_counts),
         # --- plan changed this round (auto family + JVM verify):
         # first post-change driver row
         "semantic_dedup_text_corpus": _wrap(embedding.semantic_dedup_text_corpus),
@@ -2125,6 +2164,8 @@ FROM t ORDER BY doc_id
         "embed_documents": _embed_documents_sql(),
         "semantic_dedup_text_by_domain": _semantic_text_by_domain_sql(),
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
+        "vocab_top_tokens": _vocab_top_tokens_sql(),
+        "token_bigram_counts": _token_bigram_counts_sql(),
         "semantic_dedup_text_corpus": _semantic_text_sql(),
         "incremental_text_semantic_dedup": _incremental_text_semantic_sql(),
         "knn_text": _knn_text_sql(),

@@ -587,3 +587,55 @@ def exact_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n").alias("n_docs"), *qcols)
         .orderBy("source")
     )
+
+
+def vocab_top_tokens(
+    spark: SparkSession, sf_dir: str, k: int = 200
+) -> DataFrame:
+    """Top-``k`` whitespace tokens by corpus occurrence — the
+    vocabulary statistic a tokenizer/BPE training pipeline computes
+    first over a curated corpus. One map-side-combined aggregate on the
+    token (occurrences + exact document frequency), then a DISTRIBUTED
+    top-k: ``orderBy().limit(k)`` plans as TakeOrderedAndProject —
+    per-partition bounded heaps merged on the driver, never a global
+    sort (the same bounded-top-k discipline as the knn heap). Total
+    order (occurrences desc, token asc) makes the cut deterministic."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("occurrences"),
+        F.countDistinct("doc_id").alias("docs"),
+    )
+    return counts.orderBy(
+        F.col("occurrences").desc(), F.col("token").asc()
+    ).limit(k)
+
+
+def token_bigram_counts(
+    spark: SparkSession, sf_dir: str, k: int = 200
+) -> DataFrame:
+    """Top-``k`` ADJACENT token bigrams by corpus occurrence — the
+    first-order merge statistic (what a BPE/WordPiece trainer evaluates
+    per iteration, lifted to token granularity; also the head of an
+    n-gram LM count table). Bigrams are built narrowly per document
+    (zip of the token array with its own shift — no join, no explode
+    before the pair is formed), then the same bounded
+    TakeOrderedAndProject top-k as ``vocab_top_tokens``."""
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    pairs = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+    exploded = docs.select(F.explode(pairs).alias("bigram"))
+    counts = exploded.groupBy("bigram").agg(F.count("*").alias("occurrences"))
+    return counts.orderBy(
+        F.col("occurrences").desc(), F.col("bigram").asc()
+    ).limit(k)

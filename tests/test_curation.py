@@ -231,3 +231,54 @@ def test_quality_threshold_filter_semantics_and_skewed_stratum(spark):
         assert (grp["kept"] == (grp["q"] > t)).all()
         # everything at-or-below the boundary value drops (>= k docs)
         assert (~grp["kept"]).sum() >= k
+
+
+def test_vocab_and_bigram_counts(spark, tmp_path):
+    """Vocabulary statistics: exact occurrence + document-frequency
+    counts, deterministic top-k cut under ties (total order), bigrams
+    from adjacent tokens only (no cross-document pairs, no pairs from
+    single-token docs), and the plan uses the bounded TakeOrdered
+    top-k — never a global sort."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        token_bigram_counts,
+        vocab_top_tokens,
+    )
+
+    rows = [
+        (0, "a b a", "s"),      # a×2, b×1; bigrams: "a b", "b a"
+        (1, "b a", "s"),        # bigram "b a"
+        (2, "c", "s"),          # single token — no bigrams
+        (3, "", "s"),           # token-less
+        (4, "d d d d", "s"),    # d×4; "d d"×3
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    vocab = vocab_top_tokens(spark, sf, k=3).toPandas()
+    assert vocab[["token", "occurrences", "docs"]].values.tolist() == [
+        ["d", 4, 1],
+        ["a", 3, 2],
+        ["b", 2, 2],  # ties with... none; c(1) cut by k=3
+    ]
+    bi = token_bigram_counts(spark, sf, k=10).toPandas()
+    assert bi[["bigram", "occurrences"]].values.tolist() == [
+        ["d d", 3],
+        ["b a", 2],
+        ["a b", 1],
+    ]
+    # tie at the cut: k=2 keeps ("b a", 2) over ("a b", 1); among equal
+    # counts the lexicographically smaller bigram wins deterministically
+    bi2 = token_bigram_counts(spark, sf, k=2).toPandas()
+    assert bi2["bigram"].tolist() == ["d d", "b a"]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        vocab_top_tokens(spark, sf, k=3).explain(mode="simple")
+    assert "TakeOrderedAndProject" in buf.getvalue(), buf.getvalue()
