@@ -1507,20 +1507,22 @@ def _wrap(mod_fn):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order IS the driver's check order and the driver records at
     # most 50 rows per round. Round-6 hygiene (house rule):
-    # HEAD = semantic_dedup_text_by_domain (NEW this round — zero
-    # driver signal), then the two flagship text queries whose PLAN
-    # changed this round (auto-sized family + pure-JVM verify:
-    # semantic_dedup_text_corpus, incremental_text_semantic_dedup —
-    # first post-change row), then the four remaining round-5 head
-    # entries holding their single green (embed_documents, knn_text,
-    # knn_text_ivf, exact_stats — second green earns the tail), then
-    # the r04+r05 double-green block and the multi-green body.
-    # Rotated INTO the tail this round (>= 2 greens each, unchanged
-    # plans): knn_bruteforce, knn_ivf, knn_ivf_multiprobe (r03/r04 +
-    # r05 post-heap-change green). Window = first 50 of 80; every tail
-    # entry has >= 2 green driver rows except the by-design
-    # pytest-only extract_synthetic and the by-design oracle-less
-    # approx_stats.
+    # HEAD = the four NEW entries (semantic_dedup_text_by_domain,
+    # incremental_text_domain_dedup, vocab_top_tokens,
+    # token_bigram_counts — zero driver signal), then the two flagship
+    # text queries whose PLAN changed this round (auto-sized family +
+    # pure-JVM verify: semantic_dedup_text_corpus,
+    # incremental_text_semantic_dedup — first post-change row), then
+    # the four remaining round-5 head entries holding their single
+    # green (embed_documents, knn_text, knn_text_ivf, exact_stats —
+    # second green earns the tail), then the r04+r05 double-green block
+    # and the multi-green body. Rotated INTO the tail this round (>= 2
+    # greens each, unchanged plans): knn_bruteforce, knn_ivf,
+    # knn_ivf_multiprobe (r03/r04 + r05 post-heap-change green) and,
+    # displaced by the head growth, simhash_near_dups (multi-green).
+    # Window = first 50 of 83; every tail entry has >= 2 green driver
+    # rows except the by-design pytest-only extract_synthetic and the
+    # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
         chunking,
         curation,

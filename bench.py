@@ -178,6 +178,11 @@ def main() -> None:
         "semantic_text_dedup",
         lambda: _force(embedding.semantic_dedup_text_corpus(spark, SF_DIR)),
     )
+    # the round-6 multi-domain variant (per-source centers)
+    timed(
+        "semantic_text_dedup_domain",
+        lambda: _force(embedding.semantic_dedup_text_by_domain(spark, SF_DIR)),
+    )
 
     # 7. similarity scale path + block inspection
     timed(
