@@ -1598,9 +1598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs": _wrap(dedup.fuzzy_name_pairs),
         "ngram_jaccard_pairs": _wrap(dedup.ngram_jaccard_pairs),
         "minhash_lsh_pairs": _wrap(dedup.minhash_lsh_pairs),
-        "simhash_near_dups": _wrap(dedup.simhash_near_dup_pairs),
         # --- tail (index >= 50): >= 2 green driver rounds each, except
         # the two by-design entries noted above
+        "simhash_near_dups": _wrap(dedup.simhash_near_dup_pairs),
         "knn_bruteforce": _wrap(similarity.brute_force_knn),
         "knn_ivf": _wrap(similarity.ivf_knn),
         "knn_ivf_multiprobe": _q_knn_ivf_multiprobe,

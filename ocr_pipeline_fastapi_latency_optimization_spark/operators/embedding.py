@@ -234,6 +234,28 @@ def auto_text_family(n_docs: int) -> tuple:
     return bits * bands, bands
 
 
+def _resolve_persist_family(n_planes, bands, n_docs: int):
+    """(n_planes, bands) for a PERSISTED index: auto-sized by default,
+    overridable with explicit ints — the documented past-MAX_BITS /
+    production lever for the index path. Persisted families must be
+    reconstructible from recorded properties, so the override selects a
+    width of the SEEDED plane stream (n_planes planes, bands bands),
+    never arbitrary plane values; n_planes must divide into bands."""
+    if n_planes is None and bands is None:
+        return auto_text_family(n_docs)
+    if n_planes is None or bands is None:
+        raise ValueError(
+            "override the persisted family with BOTH n_planes and bands "
+            "(the pair is recorded as the frozen hash family)."
+        )
+    if bands <= 0 or n_planes % bands != 0:
+        raise ValueError(
+            f"n_planes={n_planes} is not a positive multiple of "
+            f"bands={bands}."
+        )
+    return int(n_planes), int(bands)
+
+
 def _text_planes(n_planes: int = TEXT_LSH_PLANES):
     """The text hyperplane family (seeded rng stream — a wider request
     extends the same stream, so plane i is identical at every width)."""
@@ -583,6 +605,8 @@ def persist_text_cosine_index(
     name: str,
     path: str,
     n_storage_buckets: int = 32,
+    n_planes: int | None = None,
+    bands: int | None = None,
 ) -> str:
     """Persist the CENTERED hyperplane LSH index of a text corpus's
     computed embeddings, bucketed by its probe key. Records the full
@@ -600,7 +624,9 @@ def persist_text_cosine_index(
     # per consumer (the module's materialize-once rule; round-5 review)
     sums = embed_sums(docs).localCheckpoint(eager=True)
     totals_row = embed_totals(sums).collect()[0]  # 1 row — control plane
-    n_planes, bands = auto_text_family(int(totals_row["n"]))
+    n_planes, bands = _resolve_persist_family(
+        n_planes, bands, int(totals_row["n"])
+    )
     totals = _center_literals_frame(
         spark,
         {
@@ -728,6 +754,8 @@ def persist_text_domain_index(
     path: str,
     domain_col: str = "source",
     n_storage_buckets: int = 32,
+    n_planes: int | None = None,
+    bands: int | None = None,
 ) -> str:
     """Persist the PER-DOMAIN-centered LSH index of a text corpus —
     the fourth index family (exact fp / MinHash / global text-cosine /
@@ -752,7 +780,7 @@ def persist_text_domain_index(
     )
     totals_rows = domain_totals(sums_dom).collect()  # K rows — control plane
     n_max = max((int(r["n"]) for r in totals_rows), default=0)
-    n_planes, bands = auto_text_family(n_max)
+    n_planes, bands = _resolve_persist_family(n_planes, bands, n_max)
     centers_json = json.dumps(
         {
             r["domain"]: [int(r["n"])]
@@ -898,6 +926,12 @@ def incremental_text_domain_dedup(
         )
         planes_list, bands = _index_family(props)
         require_domain_centers(props, index_table)
+        # the index's RECORDED domain column is the authority (the
+        # centers are keyed by ITS values — probing on a different
+        # column would silently match no center and report everything
+        # 'new'; round-6 review #1). The caller's domain_col applies
+        # only to the split path.
+        domain_col = props.get("text.domain_col", domain_col)
         totals = _domain_center_frame(spark, props)
         new_docs = docs.filter(F.col("doc_id") >= boundary)
         new_sums = embed_sums(new_docs)

@@ -134,7 +134,18 @@ def prune_index_scan(
     element (~3 s for a 4,000-key set)."""
     from pyspark.sql import functions as F
 
-    rows = probe_buckets.select(band_col, key_col).distinct().collect()
+    # bounded collect: limit(max_pairs+1) makes the cap actually cap
+    # driver cost (an over-cap probe returns before hauling the full
+    # key set over), and one job serves BOTH predicate forms (the
+    # hashed column rides along instead of a second distinct+collect)
+    rows = (
+        probe_buckets.select(
+            band_col, key_col, F.xxhash64(band_col, key_col).alias("_pk")
+        )
+        .distinct()
+        .limit(max_pairs + 1)
+        .collect()
+    )
     if len(rows) > max_pairs:
         return index_df
     if not rows:  # empty batch probes nothing — read nothing
@@ -155,14 +166,7 @@ def prune_index_scan(
             for b, ks in sorted(by_band.items())
         )
         return index_df.filter(F.expr(cond))
-    hashes = sorted(
-        r["k"]
-        for r in probe_buckets.select(
-            F.xxhash64(band_col, key_col).alias("k")
-        )
-        .distinct()
-        .collect()
-    )
+    hashes = sorted({r["_pk"] for r in rows})
     cond = (
         f"xxhash64(`{band_col}`, `{key_col}`) IN "
         f"({', '.join(str(h) for h in hashes)})"
@@ -297,7 +301,11 @@ def compact_bucketed_index(spark: SparkSession, name: str, prefix: str) -> dict:
     after = rows.count()
     gen = int(props.get(f"{prefix}.compaction_gen", "0")) + 1
     old_path = props[path_key]
-    new_path = f"{old_path.rsplit('_gen', 1)[0]}_gen{gen}"
+    # generations derive from the RECORDED base path, never substring
+    # surgery on the current one (a user path containing "_gen" must
+    # not be truncated — round-6 review)
+    base_path = props.get(f"{prefix}.base_path", old_path)
+    new_path = f"{base_path}__cgen{gen}"
     sort_cols = props.get(f"{prefix}.sort_cols")
     write_bucketed_table(
         rows,
@@ -312,6 +320,7 @@ def compact_bucketed_index(spark: SparkSession, name: str, prefix: str) -> dict:
     # re-assert the full manifest: saveAsTable(overwrite) drops
     # TBLPROPERTIES with the old table definition
     props[path_key] = new_path
+    props[f"{prefix}.base_path"] = base_path
     props[f"{prefix}.compaction_gen"] = gen
     set_table_properties(spark, name, props)
     return {

@@ -247,8 +247,6 @@ def streaming_semantic_verdicts(
 
     Returns a ``DataStreamWriter`` — caller picks trigger and
     ``.start()``s it."""
-    from pyspark.sql import functions as F
-
     from ..operators.embedding import (
         TEXT_NEAR_DUP_THRESHOLD_E6,
         text_semantic_verdicts_for_batch,
@@ -263,8 +261,14 @@ def streaming_semantic_verdicts(
         verdicts = text_semantic_verdicts_for_batch(
             spark, batch, index_table, corpus_docs, threshold_e6=thr
         )
-        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_path)
+        # foreachBatch is at-least-once: a retry re-invokes this handler
+        # with the SAME batch_id after a crash between write and
+        # checkpoint commit. Overwriting the batch's own partition
+        # directory makes the replay idempotent (a plain append would
+        # double-count verdicts downstream — round-6 review #2);
+        # readers get batch_id back as the partition column.
+        verdicts.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={int(batch_id)}"
+        )
 
     return docs_stream.writeStream.foreachBatch(handle)

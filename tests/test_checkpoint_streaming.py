@@ -1156,6 +1156,29 @@ def test_streaming_semantic_verdicts_equal_batch_incremental(spark, tmp_path):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want)
+
+        # at-least-once replay is idempotent (round-6 review #2): a
+        # fresh checkpoint reprocesses the same input as batch 0 again —
+        # the batch_id-partition overwrite must leave the output
+        # byte-identical, not doubled
+        q2 = (
+            streaming_semantic_verdicts(
+                spark, stream, "t_sv_idx",
+                existing.select("doc_id", "text"), out_dir,
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_replay"))
+            .start()
+        )
+        q2.awaitTermination(120)
+        got2 = (
+            spark.read.parquet(out_dir)
+            .select("doc_id", "verdict")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got2, want)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sv_idx")
 

@@ -184,6 +184,24 @@ def test_auto_text_family_rule():
             assert n_planes // bands == sql_bits(n), n
 
 
+def test_persist_family_override_rule():
+    """The documented past-MAX_BITS lever exists on the persist path
+    (round-6 review #5): default auto-sizes, an explicit (n_planes,
+    bands) pair passes through, partial or indivisible overrides
+    raise."""
+    import pytest
+
+    assert embedding._resolve_persist_family(None, None, 500) == (
+        embedding.TEXT_LSH_PLANES,
+        embedding.TEXT_LSH_BANDS,
+    )
+    assert embedding._resolve_persist_family(156, 12, 10**9) == (156, 12)
+    with pytest.raises(ValueError, match="BOTH"):
+        embedding._resolve_persist_family(156, None, 500)
+    with pytest.raises(ValueError, match="multiple"):
+        embedding._resolve_persist_family(100, 8, 500)
+
+
 def test_band_keys_udf_rejects_indivisible_family(spark):
     """planes_list whose length is not a multiple of bands must raise
     (silently dropped trailing hyperplanes weaken recall — round-5
@@ -497,6 +515,31 @@ def test_text_domain_index_full_cycle(spark, tmp_path):
             spark, sf, boundary=400, index_table="t_dom_idx"
         ).toPandas()
         assert (p2["verdict"] == "near_dup").all() and len(p2) == 6
+
+        # the probe adopts the index's RECORDED domain column (round-6
+        # review #1): an index keyed on a DIFFERENT column than the
+        # probe's default must still center on the right values —
+        # byte-identical to probing with the column named explicitly
+        docs_lang = docs.withColumn("lang", F.col("source"))
+        docs_lang.write.mode("overwrite").parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        embedding.persist_text_domain_index(
+            spark,
+            docs_lang.filter(F.col("doc_id") < 250),
+            "t_dom_lang_idx",
+            str(tmp_path / "lidx"),
+            domain_col="lang",
+            n_storage_buckets=4,
+        )
+        by_default_col = embedding.incremental_text_domain_dedup(
+            spark, sf, boundary=250, index_table="t_dom_lang_idx"
+        ).toPandas()
+        pd.testing.assert_frame_equal(
+            by_default_col.sort_values("doc_id").reset_index(drop=True), want
+        )
+        spark.sql("DROP TABLE IF EXISTS t_dom_lang_idx")
+        docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
 
         # unseen domain: append fails fast, probe degrades to 'new'
         oddball = spark.createDataFrame(
