@@ -314,6 +314,26 @@ ambient, same conclusion as the r4 extract_transcripts and r2 stitch
 episodes: the plan is unchanged and correct; the VM's ±25-30% ambient
 envelope occasionally lands a single query outside it.
 
+## Round-6 full-size bench (best window: load ~0.5 at launch, local[32], 142,738 turns)
+
+`bench.py` on final round-6 code: the set is now 19 queries (+
+`semantic_text_dedup_domain`, the per-domain-centered flagship,
+5.5–5.8 s). Window of record: total **32.78 s**; the r5-comparable
+18-query subtotal is **27.1 s vs 30.97 s (r5 driver run)** — faster on
+the shared set despite the sf0.1 semantic dedup now running the wider
+auto-sized 9-bit family. A back-to-back same-code run read
+extraction at 2.195 s = **65,029 turns/sec** — the best driver-shape
+extract reading of ANY round (r5 best window 61.8 k, r5 driver 54.9 k)
+— with total 35.7 s on per-query variance (±25–30 % ambient envelope;
+three earlier same-day runs at load 3–5 read 36–44 s and were
+discarded per the contamination policy). Notables vs r5:
+`embed_documents` 1.18–1.44 s (was 1.95–1.98 — the F.expr plan-build
+savings are real wall time), `extract_join_mode` 1.65–1.73 s
+(confirming the idle re-measure), `semantic_text_dedup` 6.8–8.7 s on
+640 k candidates (was 998 k), `semantic_text_dedup_domain` within
+0.3 s across all four windows (its per-domain totals collect is
+control-plane noise).
+
 ## Round-6: pruned index probes on the 100× rung (r5 verdict #2)
 
 `bench/scale100_run.py` re-run on round-6 code (ambient load 2–8,
