@@ -314,6 +314,24 @@ ambient, same conclusion as the r4 extract_transcripts and r2 stitch
 episodes: the plan is unchanged and correct; the VM's ±25-30% ambient
 envelope occasionally lands a single query outside it.
 
+## Round-6 scaling re-measure attempt: discarded per the contamination policy
+
+A full `bench/scaling_run.py` regeneration was attempted on round-6
+code but the machine never offered a clean window (1-min load 2–7.5
+throughout the attempt hour; the full runner also exceeded its slot
+under that contention and was stopped before writing). Lightweight
+spot checks of the flagship extract at three widths during that window
+read: local[2] 6,266 t/s, local[8] 27,486 t/s, local[32] 50,810 t/s —
+i.e. 2→8 "efficiency" 1.10, which the policy itself disqualifies
+(>1.0 means the LOW-core baseline was contended, inflating the
+ratio), and 8→32 0.46 (ambient-crushed; the idle record reads
+0.72–0.74 against a no-framework ceiling that falls identically).
+The round-1 idle record below — 2→8 best 0.89 / median 0.85–0.93,
+8→32 pinned on the shared-host platform ceiling — remains the
+scaling evidence of record; round-6 changed no extract-path code
+(`extract_transcripts` 2.195 s in this round's bench window
+reproduces the recorded per-turn cost).
+
 ## Round-6 full-size bench (best window: load ~0.5 at launch, local[32], 142,738 turns)
 
 `bench.py` on final round-6 code: the set is now 19 queries (+
