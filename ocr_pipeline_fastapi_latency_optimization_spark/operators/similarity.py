@@ -845,6 +845,144 @@ def ivf_assignments(
     )
 
 
+def persist_ivf_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    name: str,
+    path: str,
+    n_centroids: int = IVF_CENTROIDS,
+    train: bool = True,
+    n_storage_buckets: int = 32,
+) -> str:
+    """Persist the trained IVF index — centroids AND coarse-quantizer
+    assignments — completing the index-persistence matrix (MinHash /
+    global text / domain text / now ANN): at corpus scale the k-means
+    training + full-corpus assignment is a build-once cost, and probes
+    must not re-run it per query batch. Assignments (vec_id, embedding,
+    bucket) are bucketed+sorted by the probe key; the FROZEN centroids
+    (exact float round-trip via JSON shortest-repr) and the append
+    metadata live in table properties, so ``ivf_knn(index_table=…)``
+    probes byte-identically to the in-memory pipeline and
+    ``append_to_ivf_index`` assigns new vectors under the same frozen
+    quantizer (centroids never drift on append — re-training would
+    re-bucket the corpus)."""
+    import json
+
+    from ..sources.catalog import (
+        INDEX_ROWGROUP_BYTES,
+        set_table_properties,
+        write_bucketed_table,
+    )
+
+    if train:
+        cents = kmeans_centroids(emb, n_centroids=n_centroids)
+    else:
+        cents = emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+        )
+    cent_rows = cents.collect()  # K rows — control plane
+    cents_lit = _ivf_cents_frame_from_rows(spark, cent_rows)
+    assigned = _assign(emb, cents_lit).select(
+        "vec_id", "embedding", F.col("centroid_id").alias("bucket")
+    )
+    write_bucketed_table(
+        assigned,
+        name,
+        path,
+        ["bucket"],
+        n_storage_buckets,
+        sort_cols=["bucket", "vec_id"],
+        rowgroup_bytes=INDEX_ROWGROUP_BYTES,
+    )
+    max_id = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    set_table_properties(
+        spark,
+        name,
+        {
+            "ivf.n_centroids": int(n_centroids),
+            "ivf.trained": str(bool(train)),
+            "ivf.centroids": json.dumps(
+                {
+                    str(int(r["centroid_id"])): [repr(float(x)) for x in r["c_emb"]]
+                    for r in cent_rows
+                },
+                sort_keys=True,
+            ),
+            "ivf.max_vec_id": -1 if max_id is None else int(max_id),
+            "ivf.path": path,
+            "ivf.n_storage_buckets": int(n_storage_buckets),
+            "ivf.bucket_cols": "bucket",
+            "ivf.sort_cols": "bucket,vec_id",
+        },
+    )
+    return name
+
+
+def _ivf_cents_frame_from_rows(spark: SparkSession, rows) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(r["centroid_id"]), [float(x) for x in r["c_emb"]]) for r in rows],
+        "centroid_id long, c_emb array<double>",
+    )
+
+
+def _ivf_cents_frame(spark: SparkSession, props: dict) -> DataFrame:
+    """Rebuild the frozen centroid frame from recorded properties.
+    repr()-serialized doubles round-trip exactly, so the rebuilt
+    quantizer is bit-identical to the build-time one."""
+    import json
+
+    data = json.loads(props["ivf.centroids"])
+    return spark.createDataFrame(
+        [
+            (int(cid), [float(x) for x in vec])
+            for cid, vec in sorted(data.items(), key=lambda kv: int(kv[0]))
+        ],
+        "centroid_id long, c_emb array<double>",
+    )
+
+
+def append_to_ivf_index(
+    spark: SparkSession, emb_batch: DataFrame, index_table: str
+) -> dict:
+    """Fold a vector batch into a persisted IVF index idempotently:
+    assign under the FROZEN centroids from the table properties, append
+    through the recorded bucket spec (content-fp no-op on replay,
+    monotone vec_id watermark). The quantizer never re-trains on
+    append — recall for new vectors depends on the build-time centroids
+    still fitting the distribution; rebuild when drift accumulates
+    (the recall-vs-rebuild trade every frozen ANN index makes)."""
+    from ..sources.catalog import append_to_bucketed_index, check_index_params
+
+    props = check_index_params(spark, index_table, {}, kind="ivf")
+    if "ivf.centroids" not in props:
+        raise ValueError(
+            f"index table {index_table} records no centroids — it was "
+            "not written by persist_ivf_index; rebuild it before "
+            "appending."
+        )
+    stat = emb_batch.agg(
+        F.count("*").alias("n"),
+        F.min("vec_id").alias("lo"),
+        F.max("vec_id").alias("hi"),
+        F.sum(F.xxhash64("vec_id", "embedding").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    if stat["n"] == 0:
+        return {"status": "noop", "batch_fp": "empty", "table": index_table}
+    assigned = _assign(emb_batch, _ivf_cents_frame(spark, props)).select(
+        "vec_id", "embedding", F.col("centroid_id").alias("bucket")
+    )
+    return append_to_bucketed_index(
+        spark,
+        assigned,
+        index_table,
+        "ivf",
+        batch_fp=f"{stat['n']}:{stat['h']}",
+        batch_min_id=int(stat["lo"]),
+        batch_max_id=int(stat["hi"]),
+        watermark_key="ivf.max_vec_id",
+    )
+
+
 def ivf_knn(
     spark: SparkSession,
     sf_dir: str,
@@ -855,6 +993,7 @@ def ivf_knn(
     nprobe: int = 1,
     topk: str = "heap",
     emb: DataFrame | None = None,
+    index_table: str | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the query's ``nprobe`` nearest buckets — the
     candidate join is bucket-co-located (equi-join on bucket), so work
@@ -869,17 +1008,45 @@ def ivf_knn(
     the fixture embeddings with any (vec_id, embedding array<double>)
     frame — e.g. the computed text embeddings (embedding.knn_text_ivf);
     the whole trained pipeline (sampled k-means, bucket assignment,
-    probe) is source-agnostic."""
-    emb = _emb(spark, sf_dir) if emb is None else emb
-    if train:
-        cents = kmeans_centroids(emb, n_centroids=n_centroids)
-    else:
-        cents = emb.filter(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    probe) is source-agnostic. ``index_table`` (written by
+    ``persist_ivf_index``) skips training AND corpus assignment — the
+    probe reads the persisted assignments with the FROZEN centroids
+    from the table properties, and the candidate scan is restricted to
+    the queries' probed buckets (a ≤ n_queries·nprobe int set — pushed
+    to parquet, row-group-skippable on the sorted bucket layout);
+    byte-identical to the in-memory pipeline on the same corpus
+    (asserted in tests)."""
+    probed_buckets = None
+    if index_table is not None:
+        from ..sources.catalog import check_index_params
+
+        props = check_index_params(
+            spark, index_table, {"ivf.n_centroids": n_centroids}, kind="ivf"
         )
-    assigned = _assign(emb, cents).select(
-        "vec_id", "embedding", F.col("centroid_id").alias("bucket")
-    )
+        if "ivf.centroids" not in props:
+            raise ValueError(
+                f"index table {index_table} records no centroids — "
+                "rebuild it with persist_ivf_index."
+            )
+        cents = _ivf_cents_frame(spark, props)
+        assigned = spark.table(index_table)
+    else:
+        emb = _emb(spark, sf_dir) if emb is None else emb
+        if train:
+            cents = kmeans_centroids(emb, n_centroids=n_centroids)
+        else:
+            cents = emb.filter(F.col("vec_id") < n_centroids).select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("c_emb"),
+            )
+        assigned = _assign(emb, cents).select(
+            "vec_id", "embedding", F.col("centroid_id").alias("bucket")
+        )
+    if index_table is not None:
+        # queries come from the index at sandbox scale; at production
+        # scale they are an external frame — either way the query side
+        # is tiny, so its probed-bucket set is a control-plane scalar
+        emb = assigned.select("vec_id", "embedding")
     if nprobe <= 1:
         q_src = assigned.filter(F.col("vec_id") < n_queries)
     else:
@@ -930,6 +1097,19 @@ def ivf_knn(
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
     )
+    if index_table is not None:
+        # restrict the persisted-assignments scan to the probed buckets
+        # (control-plane collect of ≤ n_queries·nprobe ints; a small
+        # pushed In skips row groups on the sorted bucket layout). Pure
+        # join-key restriction — byte-identical output.
+        qb = sorted({r["q_bucket"] for r in q.select("q_bucket").distinct().collect()})
+        assigned = (
+            assigned.filter(
+                F.expr(f"`bucket` IN ({', '.join(str(int(b)) for b in qb)})")
+            )
+            if qb
+            else assigned.filter(F.lit(False))
+        )
     cands = assigned.join(
         F.broadcast(q), F.col("bucket") == F.col("q_bucket")
     ).filter(F.col("vec_id") != F.col("query_id"))

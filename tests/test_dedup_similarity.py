@@ -700,6 +700,59 @@ def test_prune_index_scan_semantics_and_plan(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_prune_idx")
 
 
+def test_persisted_ivf_index_probe_matches_and_append_cycle(spark, tmp_path):
+    """ANN joins the index-persistence matrix: a probe against the
+    persisted IVF index (frozen centroids in properties, bucketed
+    assignments, probed-bucket scan restriction) is byte-identical to
+    the in-memory trained pipeline at nprobe=1 and 2; appending a
+    planted near-copy under the frozen quantizer makes it retrievable;
+    replay is a no-op; a centroid-count mismatch fails fast."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    sf = SF_DIR
+    emb = similarity._emb(spark, sf)
+    try:
+        similarity.persist_ivf_index(
+            spark, emb, "t_ivf_idx", str(tmp_path / "ivfidx"),
+            n_storage_buckets=4,
+        )
+        for nprobe in (1, 2):
+            got = similarity.ivf_knn(
+                spark, sf, nprobe=nprobe, index_table="t_ivf_idx"
+            ).toPandas()
+            want = similarity.ivf_knn(spark, sf, nprobe=nprobe).toPandas()
+            pd.testing.assert_frame_equal(got, want)
+
+        with pytest.raises(ValueError, match="different parameters"):
+            similarity.ivf_knn(
+                spark, sf, n_centroids=8, index_table="t_ivf_idx"
+            )
+
+        # append a near-copy of query 0's vector past the watermark —
+        # the frozen quantizer must route it to query 0's bucket and
+        # the probe must retrieve it at rank 1 with cosine ~1
+        max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+        copy0 = emb.filter(F.col("vec_id") == 0).select(
+            F.lit(int(max_id) + 1).cast("long").alias("vec_id"), "embedding"
+        )
+        r = similarity.append_to_ivf_index(spark, copy0, "t_ivf_idx")
+        assert r["status"] == "appended"
+        assert (
+            similarity.append_to_ivf_index(spark, copy0, "t_ivf_idx")["status"]
+            == "noop"
+        )
+        post = similarity.ivf_knn(
+            spark, sf, index_table="t_ivf_idx"
+        ).toPandas()
+        top1 = post[(post["query_id"] == 0) & (post["rnk"] == 1)].iloc[0]
+        assert top1["neighbor_id"] == int(max_id) + 1
+        assert top1["score_e6"] >= 999999
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivf_idx")
+
+
 def test_compact_bucketed_index_repairs_crash_window_duplicates(spark, tmp_path):
     """Round-5 ADVICE #2: a crash between the data append and the
     manifest update leaves duplicate rows a retry re-appends (probes
