@@ -160,7 +160,6 @@ def test_similarity_corpus_path_never_materializes_on_driver():
     corpus_paths = (
         similarity.brute_force_knn,
         similarity._topk_per_query,
-        similarity.ivf_knn,
         similarity.ivf_assignments,
         similarity.kmeans_centroids,
         similarity._assign,
@@ -176,16 +175,34 @@ def test_similarity_corpus_path_never_materializes_on_driver():
         src = inspect.getsource(fn)
         assert ".toPandas()" not in src, fn.__name__
         assert ".collect()" not in src, fn.__name__
+    # ivf_knn: the ONLY permitted collect is the indexed-probe's
+    # probed-bucket set — bounded by n_queries·nprobe (a parameter,
+    # never corpus cardinality) and structurally pinned to the
+    # q_bucket-distinct form
+    src = inspect.getsource(similarity.ivf_knn)
+    assert ".toPandas()" not in src
+    collects = __import__("re").findall(r"\S+\.collect\(\)", src)
+    assert collects == ['q.select("q_bucket").distinct().collect()'], collects
     # the exempt functions must keep their collects to scalar aggregates
-    # (a .agg(...).collect() chain), never a frame materialization
+    # (a .agg(...).collect() chain) or the K-row centroid frame, never
+    # a corpus materialization
     for fn in (
         similarity.persist_cosine_index,
         similarity.append_to_cosine_index,
+        similarity.append_to_ivf_index,
     ):
         src = inspect.getsource(fn)
         assert ".toPandas()" not in src, fn.__name__
         for m in __import__("re").finditer(r"\.collect\(\)", src):
             assert ".agg(" in src[: m.start()], fn.__name__
+    # persist_ivf_index collects exactly the K-row centroid frame plus
+    # the 1-row watermark aggregate — never assignments
+    src = inspect.getsource(similarity.persist_ivf_index)
+    assert ".toPandas()" not in src
+    assert __import__("re").findall(r"(\w+(?:\(.*?\))?)\.collect\(\)", src) == [
+        "cents",
+        'agg(F.max("vec_id").alias("m"))',
+    ], src
     # full-table broadcast hints are equally banned on corpus-sized sides
     for fn in (similarity.near_dup_pairs_cosine, similarity.cosine_lsh_pairs):
         assert "F.broadcast" not in inspect.getsource(fn)
