@@ -1412,6 +1412,40 @@ ORDER BY occurrences DESC, bigram ASC LIMIT {k}
 """
 
 
+def _encode_documents_sql() -> str:
+    """SQL twin of chunking.encode_documents: the same frequency
+    vocabulary (rank under (occurrences desc, token asc), bounded to
+    vocab_size), OOV → 0, per-document id sequence fingerprinted in
+    position order (string_agg ORDER BY pos == Spark's
+    array_sort(struct(pos,…)) restoration). Parallel
+    unnest + generate_subscripts give DuckDB the token positions."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.chunking import (
+        ENCODE_VOCAB_SIZE,
+    )
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token,
+         generate_subscripts(
+           list_filter(string_split(text, ' '), t -> t <> ''), 1) AS pos
+  FROM documents),
+c AS (SELECT token, count(*) AS occurrences FROM tok GROUP BY token),
+vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY occurrences DESC, token ASC)
+                AS BIGINT) AS tok_id
+  FROM (SELECT * FROM c ORDER BY occurrences DESC, token ASC
+        LIMIT {ENCODE_VOCAB_SIZE})),
+enc AS (
+  SELECT t.doc_id, t.pos, COALESCE(v.tok_id, 0) AS tok_id
+  FROM tok t LEFT JOIN vocab v USING (token))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos)) AS ids_fp
+FROM enc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _incremental_text_semantic_sql() -> str:
     """SQL twin of embedding.incremental_text_semantic_dedup: new docs
     (doc_id ≥ the shared boundary) embedded through the SAME integer
@@ -1520,7 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # greens each, unchanged plans): knn_bruteforce, knn_ivf,
     # knn_ivf_multiprobe (r03/r04 + r05 post-heap-change green) and,
     # displaced by the head growth, simhash_near_dups (multi-green).
-    # Window = first 50 of 83; every tail entry has >= 2 green driver
+    # Window = first 50 of 84; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -1543,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "vocab_top_tokens": _wrap(curation.vocab_top_tokens),
         "token_bigram_counts": _wrap(curation.token_bigram_counts),
+        "encode_documents": _wrap(chunking.encode_documents),
         # --- plan changed this round (auto family + JVM verify):
         # first post-change driver row
         "semantic_dedup_text_corpus": _wrap(embedding.semantic_dedup_text_corpus),
@@ -1597,9 +1632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _wrap(dedup.incremental_dedup),
         "fuzzy_name_pairs": _wrap(dedup.fuzzy_name_pairs),
         "ngram_jaccard_pairs": _wrap(dedup.ngram_jaccard_pairs),
-        "minhash_lsh_pairs": _wrap(dedup.minhash_lsh_pairs),
         # --- tail (index >= 50): >= 2 green driver rounds each, except
         # the two by-design entries noted above
+        "minhash_lsh_pairs": _wrap(dedup.minhash_lsh_pairs),
         "simhash_near_dups": _wrap(dedup.simhash_near_dup_pairs),
         "knn_bruteforce": _wrap(similarity.brute_force_knn),
         "knn_ivf": _wrap(similarity.ivf_knn),
@@ -2168,6 +2203,7 @@ FROM t ORDER BY doc_id
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
         "vocab_top_tokens": _vocab_top_tokens_sql(),
         "token_bigram_counts": _token_bigram_counts_sql(),
+        "encode_documents": _encode_documents_sql(),
         "semantic_dedup_text_corpus": _semantic_text_sql(),
         "incremental_text_semantic_dedup": _incremental_text_semantic_sql(),
         "knn_text": _knn_text_sql(),

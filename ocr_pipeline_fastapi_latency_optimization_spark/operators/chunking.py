@@ -148,3 +148,74 @@ def pack_sequences(
         )
         .orderBy("seq_id")
     )
+
+
+ENCODE_VOCAB_SIZE = 16  # sandbox-scale default: below the fixture
+# corpus's distinct-token count, so the OOV (id 0) path is exercised by
+# the driver contract; production passes the real vocabulary size
+
+
+def _vocab_with_ids(
+    spark: SparkSession, sf_dir: str, vocab_size: int
+) -> DataFrame:
+    """(token, tok_id) for the top-``vocab_size`` corpus tokens:
+    tok_id = 1-based rank under (occurrences desc, token asc) — the
+    deterministic frequency vocabulary ``vocab_top_tokens`` ranks.
+    The vocabulary is a BOUNDED artifact (≤ vocab_size rows — a
+    control-plane collect, never corpus cardinality), re-emitted as a
+    broadcastable literal frame so the encode join needs no window."""
+    from .curation import vocab_top_tokens
+
+    rows = vocab_top_tokens(spark, sf_dir, k=vocab_size).collect()
+    return spark.createDataFrame(
+        [(r["token"], i + 1) for i, r in enumerate(rows)],
+        "token string, tok_id long",
+    )
+
+
+def encode_documents_df(
+    spark: SparkSession, sf_dir: str, vocab_size: int = ENCODE_VOCAB_SIZE
+) -> DataFrame:
+    """(doc_id, ids array<long>) — every document's whitespace tokens
+    mapped to frequency-vocabulary ids (OOV → 0), in document order:
+    the tensor-export step after curation (compose with
+    ``chunk_documents`` / ``pack_sequences`` for fixed-context
+    training sequences). Narrow shape: posexplode → broadcast
+    vocabulary join → one per-doc aggregate; order is restored with
+    the array_sort(collect_list(struct(pos, id))) pattern
+    (collect_list alone is partition-order dependent). Token-less
+    documents have no encoding (consistent with the embed path)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("pos", "token"),
+    )
+    vocab = _vocab_with_ids(spark, sf_dir, vocab_size)
+    enc = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("tok_id"), F.lit(0)).alias("tok_id")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, tok_id))), "
+            "s -> s.tok_id)"
+        ).alias("ids")
+    )
+
+
+def encode_documents(
+    spark: SparkSession, sf_dir: str, vocab_size: int = ENCODE_VOCAB_SIZE
+) -> DataFrame:
+    """Driver-facing encode query: per document the token count and an
+    md5 fingerprint of the ordered id sequence — scalars, so the
+    cross-engine comparison is exact (the ids array itself is what
+    ``encode_documents_df`` serves downstream)."""
+    enc = encode_documents_df(spark, sf_dir, vocab_size=vocab_size)
+    return enc.select(
+        "doc_id",
+        F.size("ids").cast("long").alias("n_tokens"),
+        F.expr(
+            "md5(array_join(transform(ids, x -> CAST(x AS STRING)), ','))"
+        ).alias("ids_fp"),
+    ).orderBy("doc_id")

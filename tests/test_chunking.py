@@ -142,3 +142,43 @@ def test_chunk_tiling_invariants(n_words):
         assert covered == set(range(n_words))
     else:
         assert n_chunks == 1  # one empty chunk for an empty doc
+
+
+def test_encode_documents_vocab_ids_and_oov(spark, tmp_path):
+    """Frequency-vocab encoding: ids are (occurrences desc, token asc)
+    ranks, OOV maps to 0, position order survives the distributed
+    re-assembly, token-less docs are absent, and the driver fingerprint
+    matches the ids array."""
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.chunking import (
+        encode_documents,
+        encode_documents_df,
+    )
+
+    rows = [
+        (0, "b a b c b a", "s"),   # b×3, a×2, c×1
+        (1, "a rare b", "s"),      # 'rare' is OOV at vocab_size=3... 
+        (2, "", "s"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+    # vocab_size=3 → vocab: b=1, a=2, c=3; 'rare' (count 1, ties with c,
+    # lexicographic c < rare → c wins the cut) → OOV 0
+    enc = (
+        encode_documents_df(spark, sf, vocab_size=3)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert list(enc.loc[0, "ids"]) == [1, 2, 1, 3, 1, 2]
+    assert list(enc.loc[1, "ids"]) == [2, 0, 1]
+    assert 2 not in enc.index  # token-less doc absent
+    drv = encode_documents(spark, sf, vocab_size=3).toPandas().set_index("doc_id")
+    assert drv.loc[0, "n_tokens"] == 6 and drv.loc[1, "n_tokens"] == 3
+    import hashlib
+
+    assert (
+        drv.loc[1, "ids_fp"] == hashlib.md5(b"2,0,1").hexdigest()
+    )
