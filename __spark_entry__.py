@@ -1522,6 +1522,18 @@ FROM rnked WHERE rnk <= 5 ORDER BY query_id, rnk
 """
 
 
+def _mixture_values_sql() -> str:
+    """VALUES list of the default target mixture — interpolated from the
+    operator constant so the twins can never desynchronize."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        MIXTURE_SHARES_E4,
+    )
+
+    return ", ".join(
+        f"('{s}', {int(v)})" for s, v in sorted(MIXTURE_SHARES_E4.items())
+    )
+
+
 def _pin_session(spark: SparkSession) -> None:
     """The driver owns the session; pin the two confs our oracle
     comparisons assume (UTC epochs; Arrow for the pandas stages).
@@ -1554,7 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # greens each, unchanged plans): knn_bruteforce, knn_ivf,
     # knn_ivf_multiprobe (r03/r04 + r05 post-heap-change green) and,
     # displaced by the head growth, simhash_near_dups (multi-green).
-    # Window = first 50 of 84; every tail entry has >= 2 green driver
+    # Window = first 50 of 85; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -1578,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": _wrap(curation.vocab_top_tokens),
         "token_bigram_counts": _wrap(curation.token_bigram_counts),
         "encode_documents": _wrap(chunking.encode_documents),
+        "dataset_mixture": _wrap(curation.dataset_mixture),
         # --- plan changed this round (auto family + JVM verify):
         # first post-change driver row
         "semantic_dedup_text_corpus": _wrap(embedding.semantic_dedup_text_corpus),
@@ -1631,9 +1644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _wrap(dedup.exact_dedup_survivors),
         "incremental_dedup": _wrap(dedup.incremental_dedup),
         "fuzzy_name_pairs": _wrap(dedup.fuzzy_name_pairs),
-        "ngram_jaccard_pairs": _wrap(dedup.ngram_jaccard_pairs),
         # --- tail (index >= 50): >= 2 green driver rounds each, except
         # the two by-design entries noted above
+        "ngram_jaccard_pairs": _wrap(dedup.ngram_jaccard_pairs),
         "minhash_lsh_pairs": _wrap(dedup.minhash_lsh_pairs),
         "simhash_near_dups": _wrap(dedup.simhash_near_dup_pairs),
         "knn_bruteforce": _wrap(similarity.brute_force_knn),
@@ -2290,6 +2303,18 @@ SELECT doc_id,
        CAST(CASE WHEN n_lines = 0 THEN 0 ELSE floor(ellipsis * 10000.0 / n_lines) END AS BIGINT) AS ellipsis_ratio_e4,
        CAST(CASE WHEN n_lines = 0 THEN 0 ELSE floor(total_line_chars * 100.0 / n_lines) END AS BIGINT) AS mean_line_len_e2
 FROM m ORDER BY doc_id
+""",
+        "dataset_mixture": f"""
+WITH sh AS (SELECT * FROM (VALUES {_mixture_values_sql()}) AS t(source, share_e4)),
+cnt AS (SELECT d.source, sh.share_e4, CAST(count(*) AS BIGINT) AS n
+        FROM documents d JOIN sh USING (source) GROUP BY d.source, sh.share_e4),
+t AS (SELECT min(n * 10000 // share_e4) AS tmax FROM cnt),
+rates AS (SELECT source, ((share_e4 * tmax // 10000) * 10000) // n AS rate_e4
+          FROM cnt, t)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE ({_hex60_sql("md5(CAST(doc_id AS VARCHAR))")}) % 10000 < r.rate_e4
+ORDER BY d.doc_id
 """,
         "stratified_sample": f"""
 WITH g AS (

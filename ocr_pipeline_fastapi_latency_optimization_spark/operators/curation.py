@@ -639,3 +639,67 @@ def token_bigram_counts(
     return counts.orderBy(
         F.col("occurrences").desc(), F.col("bigram").asc()
     ).limit(k)
+
+
+# default target mixture for the sandbox tables (sources src0..src19):
+# unequal targets over equal supplies, so the binding constraint (the
+# largest share) determines the achievable total and every source is
+# under-sampled proportionally — non-vacuous at every SF
+MIXTURE_SHARES_E4 = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
+
+
+def dataset_mixture(
+    spark: SparkSession,
+    sf_dir: str,
+    shares_e4: dict | None = None,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Training-mix composition: sample the corpus so the KEPT set
+    approaches target per-source SHARES (1/10000ths summing ≤ 10⁴) —
+    the data-mixture step between curation and packing. Unlike
+    ``stratified_hash_sample`` (caller-fixed per-stratum rates), the
+    per-source rates are DERIVED from the corpus: the achievable total
+    is pinned by the binding constraint T = min_s ⌊n_s·10⁴ / share_s⌋
+    (the scarcest source relative to its target), each source's want is
+    ⌊share_s·T / 10⁴⌋ ≤ n_s, and the keep rate is ⌊want_s·10⁴ / n_s⌋ —
+    all integer arithmetic, so both engines derive identical rates.
+    Selection is the same content-addressed hash grid as the sampler
+    (deterministic, shuffle-free keep decision; realized counts
+    approximate wants binomially, the standard trade at corpus scale).
+    Two passes: one bounded (source, share, n) aggregate joined back
+    broadcast, one narrow filter. Sources without a target share are
+    dropped; a targeted source ABSENT from the corpus simply cannot
+    contribute (it neither constrains T nor yields rows — the mixture
+    degrades; production checks the per-source report before
+    packing)."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    shares = shares_e4 or MIXTURE_SHARES_E4
+    bad = {s: v for s, v in shares.items() if int(v) <= 0}
+    if bad or sum(int(v) for v in shares.values()) > 10000:
+        raise ValueError(
+            f"shares_e4 must be positive and sum to <= 10000: {shares}"
+        )
+    shares_df = spark.createDataFrame(
+        sorted((s, int(v)) for s, v in shares.items()),
+        "source string, share_e4 long",
+    )
+    counts = (
+        docs.join(F.broadcast(shares_df), "source")
+        .groupBy("source", "share_e4")
+        .agg(F.count("*").alias("n"))
+    )
+    tmax = counts.agg(
+        F.expr("min(n * 10000 div share_e4)").alias("tmax")
+    )
+    rates = counts.crossJoin(F.broadcast(tmax)).select(
+        "source",
+        F.expr("((share_e4 * tmax div 10000) * 10000) div n").alias("rate_e4"),
+    )
+    cell = _hash_grid(F.col("doc_id"))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .select("doc_id", "source", cell.alias("cell"), "rate_e4")
+        .filter(F.col("cell") < F.col("rate_e4"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

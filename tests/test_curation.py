@@ -282,3 +282,47 @@ def test_vocab_and_bigram_counts(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         vocab_top_tokens(spark, sf, k=3).explain(mode="simple")
     assert "TakeOrderedAndProject" in buf.getvalue(), buf.getvalue()
+
+
+def test_dataset_mixture_binding_constraint_and_rates(spark, tmp_path):
+    """Mixture math: the scarcest source relative to its target pins the
+    achievable total (T = min n_s*1e4/share_s), the binding source is
+    kept in FULL (derived rate 10000), over-supplied sources are
+    under-sampled toward their wants, a targeted-but-absent source
+    neither constrains nor contributes, and invalid shares raise."""
+    import pytest
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        dataset_mixture,
+    )
+
+    rows = (
+        [(i, "x", "A") for i in range(100)]
+        + [(1000 + i, "x", "B") for i in range(30)]
+        + [(2000 + i, "x", "C") for i in range(50)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+    shares = {"A": 5000, "B": 3000, "C": 2000}
+    # T = min(100/0.5, 30/0.3, 50/0.2) = 100 -> binding source B:
+    # wants A=50, B=30, C=20; rates A=5000, B=10000, C=4000
+    out = dataset_mixture(spark, sf, shares_e4=shares).toPandas()
+    per = out.groupby("source")["doc_id"].count()
+    assert per["B"] == 30  # binding source kept in full (rate 10^4)
+    # hash-rate realization is binomial around the wants
+    assert 30 <= per["A"] <= 70 and 8 <= per["C"] <= 32, per.to_dict()
+
+    # a targeted source absent from the corpus changes nothing
+    base = {"A": 5000, "B": 3000, "C": 1500}
+    with_absent = dataset_mixture(
+        spark, sf, shares_e4={**base, "Z": 500}
+    ).toPandas()
+    without = dataset_mixture(spark, sf, shares_e4=base).toPandas()
+    assert with_absent.equals(without)
+
+    with pytest.raises(ValueError, match="positive"):
+        dataset_mixture(spark, sf, shares_e4={"A": 0})
+    with pytest.raises(ValueError, match="10000"):
+        dataset_mixture(spark, sf, shares_e4={"A": 9000, "B": 9000})
