@@ -217,9 +217,16 @@ def test_connected_components_chain_and_islands(spark):
             {"doc_a": [2, 3, 4, 10, 99], "doc_b": [1, 2, 3, 11, 98]}
         )
     )
-    cc = dedup.connected_components(edges).toPandas()
-    got = dict(zip(cc["node"], cc["cluster_id"]))
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 98: 98, 99: 98}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 98: 98, 99: 98}
+    # driver fast path (default at this size) and the forced-distributed
+    # star contraction must agree byte-for-byte
+    fast = dedup.connected_components(edges).toPandas()
+    dist = dedup.connected_components(edges, driver_max_edges=0).toPandas()
+    assert dict(zip(fast["node"], fast["cluster_id"])) == want
+    pd.testing.assert_frame_equal(
+        fast.sort_values("node").reset_index(drop=True),
+        dist.sort_values("node").reset_index(drop=True),
+    )
 
 
 def test_incremental_minhash_flags_cross_boundary_near_dups(spark):
@@ -249,7 +256,9 @@ def test_connected_components_deep_chain_converges(spark):
     edges = spark.createDataFrame(
         pd.DataFrame({"doc_a": list(range(1, n)), "doc_b": list(range(0, n - 1))})
     )
-    cc = dedup.connected_components(edges, max_iter=12).toPandas()
+    cc = dedup.connected_components(
+        edges, max_iter=12, driver_max_edges=0
+    ).toPandas()
     assert len(cc) == n
     assert set(cc["cluster_id"]) == {0}
 
@@ -262,7 +271,7 @@ def test_connected_components_raises_on_iteration_cap(spark):
         pd.DataFrame({"doc_a": [1, 2, 3, 4, 5, 6, 7], "doc_b": [0, 1, 2, 3, 4, 5, 6]})
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(edges, max_iter=1)
+        dedup.connected_components(edges, max_iter=1, driver_max_edges=0)
 
 
 def test_connected_components_empty_edges(spark):
@@ -1239,3 +1248,46 @@ def test_cosine_index_append_probe_cycle(spark, tmp_path):
         assert (p_after["verdict"] == "near_dup").all() and len(p_after) == 5
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cidx_app")
+
+
+def test_cc_driver_fast_path_equals_distributed_on_random_graphs(spark):
+    """Property check of the round-6 bounded fast path: on randomly
+    structured graphs (chains, stars, cliques, islands mixed) the
+    driver union-find and the distributed star contraction produce
+    byte-identical (node, cluster_id) labelings."""
+    import random
+
+    rng = random.Random(7)
+    edges = []
+    # three chains, one star, one clique, isolated pairs
+    base = 0
+    for length in (5, 17, 40):
+        edges += [(base + i + 1, base + i) for i in range(length)]
+        base += length + 10
+    star = base
+    edges += [(star, star + i) for i in range(1, 9)]
+    base += 20
+    clique = [base + i for i in range(6)]
+    edges += [(a, b) for a in clique for b in clique if a < b]
+    base += 20
+    edges += [(base + 2 * i, base + 2 * i + 1) for i in range(5)]
+    rng.shuffle(edges)
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+    )
+    fast = (
+        dedup.connected_components(df)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    dist = (
+        dedup.connected_components(df, driver_max_edges=0)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist)
+    # every cluster label is its component's minimum member
+    grp = fast.groupby("cluster_id")["node"].min()
+    assert (grp.index == grp.values).all()
