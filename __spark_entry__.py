@@ -1412,6 +1412,46 @@ ORDER BY occurrences DESC, bigram ASC LIMIT {k}
 """
 
 
+def _substring_span_dedup_sql() -> str:
+    """SQL twin of dedup.substring_span_dedup, parametrized by the SAME
+    module constants as the Spark plan (a literal width/stride here
+    would silently desynchronize if the default moves — the
+    INGEST_BOUNDARY precedent). Scalar ``generate_series`` is unnested
+    in the SELECT (lateral args to the table form are unsupported —
+    round-1 DuckDB gotcha); ``//`` keeps every division in BIGINT."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        SPAN_DROP_E6,
+        SPAN_STRIDE,
+        SPAN_WIDTH,
+    )
+
+    w, s, d = SPAN_WIDTH, SPAN_STRIDE, SPAN_DROP_E6
+    return f"""
+WITH base AS (SELECT doc_id, text, length(text) AS len FROM documents),
+sp AS (SELECT doc_id, text,
+              unnest(generate_series(0, (len - {w}) // {s})) AS i
+       FROM base WHERE len >= {w}),
+sh AS (SELECT doc_id, md5(substr(text, CAST(i * {s} + 1 AS BIGINT), {w})) AS h
+       FROM sp),
+duph AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+dpd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+        FROM sh WHERE h IN (SELECT h FROM duph) GROUP BY doc_id),
+pre AS (SELECT b.doc_id,
+               CAST(CASE WHEN b.len < {w} THEN 0
+                         ELSE (b.len - {w}) // {s} + 1 END AS BIGINT) AS n_spans,
+               CAST(coalesce(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+        FROM base b LEFT JOIN dpd d ON b.doc_id = d.doc_id),
+fr AS (SELECT doc_id, n_spans, n_dup_spans,
+              CAST(CASE WHEN n_spans = 0 THEN 0
+                        ELSE (n_dup_spans * 1000000) // n_spans
+                   END AS BIGINT) AS dup_frac_e6
+       FROM pre)
+SELECT doc_id, n_spans, n_dup_spans, dup_frac_e6,
+       CASE WHEN dup_frac_e6 >= {d} THEN 'flag' ELSE 'keep' END AS verdict
+FROM fr ORDER BY doc_id
+"""
+
+
 def _encode_documents_sql() -> str:
     """SQL twin of chunking.encode_documents: the same frequency
     vocabulary (rank under (occurrences desc, token asc), bounded to
@@ -1553,7 +1593,8 @@ def _wrap(mod_fn):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order IS the driver's check order and the driver records at
     # most 50 rows per round. Round-6 hygiene (house rule):
-    # HEAD = the four NEW entries (semantic_dedup_text_by_domain,
+    # HEAD = the round-6 NEW entries (substring_span_dedup,
+    # semantic_dedup_text_by_domain,
     # incremental_text_domain_dedup, vocab_top_tokens,
     # token_bigram_counts — zero driver signal), then the two flagship
     # text queries whose PLAN changed this round (auto-sized family +
@@ -1565,8 +1606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the multi-green body. Rotated INTO the tail this round (>= 2
     # greens each, unchanged plans): knn_bruteforce, knn_ivf,
     # knn_ivf_multiprobe (r03/r04 + r05 post-heap-change green) and,
-    # displaced by the head growth, simhash_near_dups (multi-green).
-    # Window = first 50 of 85; every tail entry has >= 2 green driver
+    # displaced by the head growth, simhash_near_dups and
+    # fuzzy_name_pairs (both multi-green).
+    # Window = first 50 of 86; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -1581,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # --- NEW this round: zero driver signal
+        "substring_span_dedup": _wrap(dedup.substring_span_dedup),
         "semantic_dedup_text_by_domain": _wrap(
             embedding.semantic_dedup_text_by_domain
         ),
@@ -1643,9 +1686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_survivors": _wrap(dedup.exact_dedup_survivors),
         "incremental_dedup": _wrap(dedup.incremental_dedup),
-        "fuzzy_name_pairs": _wrap(dedup.fuzzy_name_pairs),
         # --- tail (index >= 50): >= 2 green driver rounds each, except
         # the two by-design entries noted above
+        "fuzzy_name_pairs": _wrap(dedup.fuzzy_name_pairs),
         "ngram_jaccard_pairs": _wrap(dedup.ngram_jaccard_pairs),
         "minhash_lsh_pairs": _wrap(dedup.minhash_lsh_pairs),
         "simhash_near_dups": _wrap(dedup.simhash_near_dup_pairs),
@@ -2214,6 +2257,7 @@ FROM t ORDER BY doc_id
         "embed_documents": _embed_documents_sql(),
         "semantic_dedup_text_by_domain": _semantic_text_by_domain_sql(),
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
+        "substring_span_dedup": _substring_span_dedup_sql(),
         "vocab_top_tokens": _vocab_top_tokens_sql(),
         "token_bigram_counts": _token_bigram_counts_sql(),
         "encode_documents": _encode_documents_sql(),

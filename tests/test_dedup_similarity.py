@@ -1291,3 +1291,70 @@ def test_cc_driver_fast_path_equals_distributed_on_random_graphs(spark):
     # every cluster label is its component's minimum member
     grp = fast.groupby("cluster_id")["node"].min()
     assert (grp.index == grp.values).all()
+
+
+def test_substring_span_dedup_planted_boilerplate(spark):
+    """Span-level duplication that DOCUMENT-level dedup cannot see:
+    three documents share one 80-char boilerplate paragraph embedded in
+    otherwise-unique text, so no doc-level family (exact fp, MinHash,
+    SimHash) pairs them — but the span pass must flag the shared
+    windows in each, and an entirely-unique doc must stay clean."""
+    import random
+
+    rng = random.Random(7)
+    boiler = " ".join(f"lic{i}" for i in range(20))[:80].ljust(80, "x")
+    # stride-10 windows only collide when the shared region's offsets
+    # are congruent mod the stride (the documented stride/recall trade
+    # of span hashing) — plant it at stride-aligned offsets 100/150/0
+    uniq = lambda n: "".join(  # noqa: E731
+        rng.choice("abcdefgh") for _ in range(n)
+    )
+    rows = [
+        (0, uniq(99) + " " + boiler + " " + uniq(300)),
+        (1, uniq(149) + " " + boiler + " " + uniq(400)),
+        (2, boiler + " " + uniq(500)),
+        (3, uniq(600)),
+        (4, "short"),  # below the window width: 0 spans, keep
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    out = (
+        dedup.substring_span_dedup(spark, "", docs=docs)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[3, "n_dup_spans"] == 0 and out.loc[3, "verdict"] == "keep"
+    assert out.loc[4, "n_spans"] == 0 and out.loc[4, "dup_frac_e6"] == 0
+    # the 80-char region at aligned offsets yields windows at relative
+    # 0..40 — every planted doc must see some duplicated spans, and
+    # none is MOSTLY duplicated (unique bulk dominates)
+    assert (out.loc[[0, 1, 2], "n_dup_spans"] > 0).all(), (
+        "planted cross-doc boilerplate produced no duplicated span"
+    )
+    assert (out.loc[[0, 1, 2], "verdict"] == "keep").all()
+    # fraction arithmetic is integer and bounded
+    assert ((out["dup_frac_e6"] >= 0) & (out["dup_frac_e6"] <= 1000000)).all()
+
+
+def test_substring_span_dedup_within_doc_repetition(spark):
+    """A single document that repeats its own paragraph is flagged even
+    with no other document in the corpus — occ >= 2 counts within-doc
+    repetition (the Lee et al. suffix-array semantics), unlike every
+    doc-level family."""
+    para = ("repeat me " * 10).strip()  # 99 chars
+    docs = spark.createDataFrame(
+        [(0, para + " " + para + " " + para)], "doc_id long, text string"
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    out = dedup.substring_span_dedup(spark, "", docs=docs).toPandas()
+    assert out.loc[0, "n_dup_spans"] > 0
+    assert out.loc[0, "verdict"] == "flag"
+
+
+def test_substring_span_dedup_rejects_bad_params(spark):
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    with pytest.raises(ValueError):
+        dedup.substring_span_dedup(spark, "", width=0)
