@@ -1452,6 +1452,44 @@ FROM fr ORDER BY doc_id
 """
 
 
+def _bm25_search_sql() -> str:
+    """SQL twin of retrieval.bm25_search — the same rational-idf /
+    integer length-normalization derivation (see the module docstring),
+    query terms and k interpolated from the operator constants so the
+    twins can never desynchronize. ``//`` on BIGINTs everywhere; the
+    (score desc, doc_id asc) total order makes the top-k cut
+    deterministic in both engines."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.retrieval import (
+        BM25_K,
+        BM25_QUERY,
+    )
+
+    values = ", ".join(f"('{t}')" for t in BM25_QUERY)
+    return f"""
+WITH q(term) AS (VALUES {values}),
+tok AS (SELECT doc_id,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl,
+               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        FROM documents),
+tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok WHERE term IN (SELECT term FROM q)
+       GROUP BY doc_id, dl, term),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(list_filter(string_split(text, ' '),
+                                          t -> t <> ''))) AS BIGINT) AS total
+          FROM documents),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              (((n_docs - df + 1) * 10000) // (df + 1)) * 22 * tf * total
+              // (tf * 10 * total + 3 * total + 9 * dl * n_docs) AS s
+       FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+       CAST(sum(s) AS BIGINT) AS score_e4
+FROM sc GROUP BY doc_id
+ORDER BY score_e4 DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 def _encode_documents_sql() -> str:
     """SQL twin of chunking.encode_documents: the same frequency
     vocabulary (rank under (occurrences desc, token asc), bounded to
@@ -1606,9 +1644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the multi-green body. Rotated INTO the tail this round (>= 2
     # greens each, unchanged plans): knn_bruteforce, knn_ivf,
     # knn_ivf_multiprobe (r03/r04 + r05 post-heap-change green) and,
-    # displaced by the head growth, simhash_near_dups and
-    # fuzzy_name_pairs (both multi-green).
-    # Window = first 50 of 86; every tail entry has >= 2 green driver
+    # displaced by the head growth, simhash_near_dups,
+    # incremental_dedup and fuzzy_name_pairs (all multi-green).
+    # Window = first 50 of 87; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -1618,12 +1656,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         embedding,
         maintenance,
         olap,
+        retrieval,
         similarity,
     )
 
     return {
         # --- NEW this round: zero driver signal
         "substring_span_dedup": _wrap(dedup.substring_span_dedup),
+        "bm25_search": _wrap(retrieval.bm25_search),
         "semantic_dedup_text_by_domain": _wrap(
             embedding.semantic_dedup_text_by_domain
         ),
@@ -1685,9 +1725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stringops": _q_stringops,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_survivors": _wrap(dedup.exact_dedup_survivors),
-        "incremental_dedup": _wrap(dedup.incremental_dedup),
         # --- tail (index >= 50): >= 2 green driver rounds each, except
         # the two by-design entries noted above
+        "incremental_dedup": _wrap(dedup.incremental_dedup),
         "fuzzy_name_pairs": _wrap(dedup.fuzzy_name_pairs),
         "ngram_jaccard_pairs": _wrap(dedup.ngram_jaccard_pairs),
         "minhash_lsh_pairs": _wrap(dedup.minhash_lsh_pairs),
@@ -2258,6 +2298,7 @@ FROM t ORDER BY doc_id
         "semantic_dedup_text_by_domain": _semantic_text_by_domain_sql(),
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
         "substring_span_dedup": _substring_span_dedup_sql(),
+        "bm25_search": _bm25_search_sql(),
         "vocab_top_tokens": _vocab_top_tokens_sql(),
         "token_bigram_counts": _token_bigram_counts_sql(),
         "encode_documents": _encode_documents_sql(),
