@@ -1490,6 +1490,38 @@ ORDER BY score_e4 DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+def _lm_bigram_score_sql() -> str:
+    """SQL twin of curation.lm_bigram_score — same add-one-smoothed
+    integer bigram conditionals, same mean-probability score (see the
+    operator docstring for why ln() is excluded). Numeric struct
+    indexing in the zip lambda and 1-based inclusive slices per the
+    DuckDB gotchas; sums cast back to BIGINT before comparison."""
+    return """
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(list_zip(w[1:len(w) - 1], w[2:len(w)]),
+                                    p -> struct_pack(w1 := p[1], w2 := p[2]))) AS p
+       FROM t WHERE len(w) >= 2),
+b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+pdb AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY doc_id, w1, w2),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY w1, w2),
+uni AS (SELECT unnest(w) AS w1 FROM t),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w1),
+vc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+sc AS (SELECT doc_id, cnt, cnt * (((c2 + 1) * 1000000) // (c1 + v)) AS s
+       FROM pdb JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vc),
+per AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+               CAST(sum(s) // sum(cnt) AS BIGINT) AS lm_score_e6
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(per.lm_score_e6, 0) AS BIGINT) AS lm_score_e6
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _encode_documents_sql() -> str:
     """SQL twin of chunking.encode_documents: the same frequency
     vocabulary (rank under (occurrences desc, token asc), bounded to
@@ -1645,8 +1677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # greens each, unchanged plans): knn_bruteforce, knn_ivf,
     # knn_ivf_multiprobe (r03/r04 + r05 post-heap-change green) and,
     # displaced by the head growth, simhash_near_dups,
-    # incremental_dedup and fuzzy_name_pairs (all multi-green).
-    # Window = first 50 of 87; every tail entry has >= 2 green driver
+    # dedup_survivors, incremental_dedup and fuzzy_name_pairs (all
+    # multi-green).
+    # Window = first 50 of 88; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -1664,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW this round: zero driver signal
         "substring_span_dedup": _wrap(dedup.substring_span_dedup),
         "bm25_search": _wrap(retrieval.bm25_search),
+        "lm_bigram_score": _wrap(curation.lm_bigram_score),
         "semantic_dedup_text_by_domain": _wrap(
             embedding.semantic_dedup_text_by_domain
         ),
@@ -1724,9 +1758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_fingerprints,
         "stringops": _q_stringops,
         "dedup_exact_groups": _q_dedup_exact_groups,
-        "dedup_survivors": _wrap(dedup.exact_dedup_survivors),
         # --- tail (index >= 50): >= 2 green driver rounds each, except
         # the two by-design entries noted above
+        "dedup_survivors": _wrap(dedup.exact_dedup_survivors),
         "incremental_dedup": _wrap(dedup.incremental_dedup),
         "fuzzy_name_pairs": _wrap(dedup.fuzzy_name_pairs),
         "ngram_jaccard_pairs": _wrap(dedup.ngram_jaccard_pairs),
@@ -2299,6 +2333,7 @@ FROM t ORDER BY doc_id
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
         "substring_span_dedup": _substring_span_dedup_sql(),
         "bm25_search": _bm25_search_sql(),
+        "lm_bigram_score": _lm_bigram_score_sql(),
         "vocab_top_tokens": _vocab_top_tokens_sql(),
         "token_bigram_counts": _token_bigram_counts_sql(),
         "encode_documents": _encode_documents_sql(),

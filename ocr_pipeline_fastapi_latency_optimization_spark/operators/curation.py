@@ -703,3 +703,87 @@ def dataset_mixture(
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+def lm_bigram_score(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Statistical-LM quality scoring: rank documents by how well a
+    bigram language model trained on the corpus predicts them — the
+    integer-exact analog of the CCNet/KenLM perplexity filter (word
+    salad and glitch text score low; typical prose scores high).
+
+    Model: add-one-smoothed bigram conditionals over whitespace tokens,
+
+        p_e6(w1, w2) = ((c2(w1,w2) + 1) * 1e6) div (c1(w1) + V)
+
+    (c2 = corpus bigram count, c1 = corpus occurrences of the history
+    token, V = vocabulary size), and the document score is the MEAN
+    conditional probability,
+
+        lm_score_e6 = sum over bigrams of p_e6, div n_bigrams
+
+    — every step integer, so the DuckDB twin is bit-exact. A true
+    cross-entropy needs ln(); two libms can disagree in the last ulp
+    and flip a floor, so the mean probability (same ranking direction,
+    coarser dynamic range) is the oracle-exact choice; the documented
+    production variant swaps in log-probs when exactness vs an
+    external engine is not required.
+
+    Scale shape: bigrams are built narrowly per document (token-array
+    shift zip — no self-join), pre-aggregated per (doc, bigram) so the
+    model join probes carry one row per DISTINCT bigram per doc, then
+    two co-partitioned equi-joins against the (vocab-sized, not
+    corpus-sized) count tables and one per-doc hash aggregate.
+    Self-training on the scored corpus is one pass; scoring against a
+    reference corpus is the same plan with the count tables read from
+    its tables instead."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    pairs = F.when(
+        F.size(toks) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        )
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    per_doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").alias("cnt")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni = (
+        docs.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    scored = (
+        per_doc_bg.join(c2, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "s", F.expr("cnt * (((c2 + 1) * 1000000) div (c1 + v))")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.expr("sum(s) div sum(cnt)").alias("lm_score_e6"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("lm_score_e6", F.lit(0).cast("long")).alias(
+                "lm_score_e6"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -326,3 +326,51 @@ def test_dataset_mixture_binding_constraint_and_rates(spark, tmp_path):
         dataset_mixture(spark, sf, shares_e4={"A": 0})
     with pytest.raises(ValueError, match="10000"):
         dataset_mixture(spark, sf, shares_e4={"A": 9000, "B": 9000})
+
+
+def test_lm_bigram_score_salad_below_typical(spark):
+    """The LM-quality property: documents made of the corpus's common
+    bigrams score high; shuffled word salad over the same vocabulary
+    scores low; a doc of never-seen tokens scores lowest (smoothing
+    floor). Ten 'typical' docs establish the model; the salad doc uses
+    the same words in corpus-unseen orders."""
+    typical = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, typical) for i in range(10)]
+    rows.append((10, "mat the on cat rug sat dog the and on the sat"))
+    rows.append((11, "zq xw vv kj pp qq zz ww"))
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
+        curation,
+    )
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        curation.lm_bigram_score(spark, "", docs=docs)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # typical text beats BOTH degenerate docs; the ordering BETWEEN the
+    # two degenerates is not asserted — under self-training an
+    # unseen-token doc has rare histories (c1 ~ 1) and its smoothed
+    # conditionals approach 1/V, which can exceed the salad's common-
+    # history penalties (documented property of mean-probability
+    # scoring; a reference-trained model pushes both to the floor)
+    assert out.loc[0, "lm_score_e6"] > out.loc[10, "lm_score_e6"]
+    assert out.loc[0, "lm_score_e6"] > out.loc[11, "lm_score_e6"]
+    assert out.loc[10, "lm_score_e6"] > 0  # add-one smoothing floor
+    assert out.loc[11, "lm_score_e6"] > 0
+
+
+def test_lm_bigram_score_short_docs_zero(spark):
+    """Docs with fewer than two tokens have no bigrams: score 0, no
+    NULLs (the toPandas float64-NaN gotcha)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
+        curation,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, ""), (2, "a b")], "doc_id long, text string"
+    )
+    out = curation.lm_bigram_score(spark, "", docs=docs).toPandas()
+    assert out["n_bigrams"].tolist() == [0, 0, 1]
+    assert out["lm_score_e6"].dtype.kind == "i"
+    assert out.loc[0, "lm_score_e6"] == 0 and out.loc[1, "lm_score_e6"] == 0
