@@ -184,6 +184,18 @@ def main() -> None:
         lambda: _force(embedding.semantic_dedup_text_by_domain(spark, SF_DIR)),
     )
 
+    # 6e. round-6 additions: span-level substring dedup (corpus-wide
+    # window hashing — the scan-heavy new dedup granularity) and the
+    # bigram-LM quality scorer (vocab-sized model joins)
+    timed(
+        "substring_span_dedup",
+        lambda: _force(dedup.substring_span_dedup(spark, SF_DIR)),
+    )
+    timed(
+        "lm_bigram_score",
+        lambda: _force(curation.lm_bigram_score(spark, SF_DIR)),
+    )
+
     # 7. similarity scale path + block inspection
     timed(
         "cosine_lsh",
