@@ -1412,6 +1412,83 @@ ORDER BY occurrences DESC, bigram ASC LIMIT {k}
 """
 
 
+def _train_bpe_merges_sql() -> str:
+    """SQL twin of curation.train_bpe_merges: the SAME n_merges passes
+    unrolled (the k-means-twin precedent for iterative trainers), each
+    pass = pair count over the symbol table → 1-row argmax (identical
+    total order; the printable-ASCII word guard pins collation to
+    binary in both engines) → left-to-right non-overlapping ``replace``
+    (both engines' replace semantics = greedy BPE application). Every
+    CTE is MATERIALIZED — the w-chain is self-referencing and DuckDB
+    would otherwise inline each pass twice (the round-6 sign-CTE
+    lesson). Constants (n_merges, word regex, \\x1f separator) come
+    from the module so a default change cannot desynchronize the twin
+    (INGEST_BOUNDARY precedent)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        BPE_N_MERGES,
+        BPE_SEP,
+        BPE_WORD_RE,
+    )
+
+    sep = f"chr({ord(BPE_SEP)})"
+    ctes = [
+        f"""tok AS MATERIALIZED (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+  FROM documents),
+wc AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok
+  WHERE regexp_matches(w, '{BPE_WORD_RE}') GROUP BY w),
+w0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', {sep} || '\\1', 'g') AS s, cnt FROM wc)"""
+    ]
+    for k in range(1, BPE_N_MERGES + 1):
+        p = k - 1
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT q[1] AS l, q[2] AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT unnest(list_transform(
+             list_zip(sym[1:len(sym)-1], sym[2:len(sym)]),
+             z -> [z[1], z[2]])) AS q, cnt
+    FROM (SELECT string_split(s, {sep})[2:] AS sym, cnt FROM w{p})
+    WHERE len(sym) >= 2)
+  GROUP BY l, r),
+m{k} AS MATERIALIZED (
+  SELECT l, r, c FROM p{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+w{k} AS MATERIALIZED (
+  SELECT replace(s, {sep} || l || {sep} || r, {sep} || l || r) AS s, cnt
+  FROM w{p} CROSS JOIN m{k})"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS rank, l AS lhs, r AS rhs, "
+        f"l || r AS merged, c AS pair_count FROM m{k}"
+        for k in range(1, BPE_N_MERGES + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM (\n"
+        + sel
+        + ")\nORDER BY rank"
+    )
+
+
+def _global_shuffle_sql() -> str:
+    """SQL twin of chunking.global_shuffle: the 60-bit md5 order key
+    over (salt, doc_id), then ROW_NUMBER over the total order — the
+    single-engine oracle form of the distributed two-pass rank."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.chunking import (
+        SHUFFLE_SALT,
+    )
+
+    key = _hex60_sql(f"md5('{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH g AS (SELECT doc_id, ({key}) AS ord_key FROM documents)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY ord_key, doc_id) - 1 AS BIGINT) AS pos,
+       ord_key, doc_id
+FROM g ORDER BY pos
+"""
+
+
 def _substring_span_dedup_sql() -> str:
     """SQL twin of dedup.substring_span_dedup, parametrized by the SAME
     module constants as the Spark plan (a literal width/stride here
@@ -1663,7 +1740,8 @@ def _wrap(mod_fn):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order IS the driver's check order and the driver records at
     # most 50 rows per round. Round-6 hygiene (house rule):
-    # HEAD = the round-6 NEW entries (substring_span_dedup,
+    # HEAD = the round-6 NEW entries (train_bpe_merges, global_shuffle,
+    # substring_span_dedup,
     # semantic_dedup_text_by_domain,
     # incremental_text_domain_dedup, vocab_top_tokens,
     # token_bigram_counts — zero driver signal), then the two flagship
@@ -1678,8 +1756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # knn_ivf_multiprobe (r03/r04 + r05 post-heap-change green) and,
     # displaced by the head growth, simhash_near_dups,
     # dedup_survivors, incremental_dedup and fuzzy_name_pairs (all
-    # multi-green).
-    # Window = first 50 of 88; every tail entry has >= 2 green driver
+    # multi-green). The train_bpe_merges/global_shuffle head additions
+    # displace the multi-green stringops and dedup_exact_groups to the
+    # tail.
+    # Window = first 50 of 90; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -1695,6 +1775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # --- NEW this round: zero driver signal
+        "train_bpe_merges": _wrap(curation.train_bpe_merges),
+        "global_shuffle": _wrap(chunking.global_shuffle),
         "substring_span_dedup": _wrap(dedup.substring_span_dedup),
         "bm25_search": _wrap(retrieval.bm25_search),
         "lm_bigram_score": _wrap(curation.lm_bigram_score),
@@ -2331,6 +2413,8 @@ FROM t ORDER BY doc_id
         "embed_documents": _embed_documents_sql(),
         "semantic_dedup_text_by_domain": _semantic_text_by_domain_sql(),
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
+        "train_bpe_merges": _train_bpe_merges_sql(),
+        "global_shuffle": _global_shuffle_sql(),
         "substring_span_dedup": _substring_span_dedup_sql(),
         "bm25_search": _bm25_search_sql(),
         "lm_bigram_score": _lm_bigram_score_sql(),

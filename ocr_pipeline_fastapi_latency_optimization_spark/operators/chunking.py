@@ -219,3 +219,56 @@ def encode_documents(
             "md5(array_join(transform(ids, x -> CAST(x AS STRING)), ','))"
         ).alias("ids_fp"),
     ).orderBy("doc_id")
+
+
+SHUFFLE_SALT = "epoch0"
+
+
+def global_shuffle(
+    spark: SparkSession,
+    sf_dir: str,
+    salt: str = SHUFFLE_SALT,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order step
+    between packing and export: every epoch reads the corpus in a
+    pseudo-random but REPRODUCIBLE order (salt = epoch tag), so a
+    resumed run continues at the same permutation and two trainers
+    given the same salt see identical batches.
+
+    Order key = the 60-bit md5 grid over (salt, doc_id) — the same
+    content-addressed kernel as the sampler/splits, so the permutation
+    depends only on ids, never on partitioning — with doc_id as the
+    total-order tie-break. Positions come from
+    ``dedup.global_sorted_rank`` (range shuffle + narrow local rank +
+    broadcast offsets), NOT a single-partition ``row_number`` window:
+    one O(N) shuffle and a ≤ n_ranges-row control aggregate is the
+    whole cost at any corpus size. Output (pos, ord_key, doc_id) is the
+    manifest a sharded export writes; production follows with
+    ``write.partitionBy(pos div shard_size)``."""
+    from .dedup import global_sorted_rank
+
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    key = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("ord_key")
+    )
+    ranked = global_sorted_rank(
+        docs.select("doc_id", key), ["ord_key", "doc_id"]
+    )
+    return ranked.select(
+        F.col("rank").alias("pos"), "ord_key", "doc_id"
+    ).orderBy("pos")

@@ -787,3 +787,111 @@ def lm_bigram_score(
         )
         .orderBy("doc_id")
     )
+
+# --- BPE merge training ------------------------------------------------
+# Symbol universe pinned to printable ASCII (no space): Java regex '.'
+# matches a UTF-16 code unit while RE2's matches a codepoint, so astral
+# characters would char-split differently per engine; the ASCII guard
+# also pins string collation (binary in both) and excludes the \x1f
+# symbol separator by construction. Production widens the class after
+# NFC normalization; the algorithm is charset-agnostic.
+BPE_N_MERGES = 10
+BPE_SEP = "\x1f"
+BPE_WORD_RE = "^[!-~]+$"
+
+
+def train_bpe_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_N_MERGES,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Train byte-pair-encoding merges on the corpus — the step between
+    the merge *statistics* (``token_bigram_counts``) and the encoder
+    (``encode_documents``): iteratively merge the most frequent adjacent
+    symbol pair, exactly the Sennrich et al. BPE trainer, distributed.
+
+    The classical trick makes this scale: BPE trains on the WORD-
+    FREQUENCY table, not the corpus. One corpus-sized aggregate builds
+    (word, count) — everything after runs over that vocab-sized table
+    (millions of rows at 100 TB, not trillions). Each word becomes a
+    \\x1f-delimited symbol string ('␟a␟b␟c'); per pass, pair counts are
+    a narrow shift-zip + weighted hash aggregate over the cached vocab,
+    the argmax is a 1-row TakeOrdered collect (driver state = the merge
+    list, O(n_merges)), and applying a merge is one JVM ``replace`` —
+    left-to-right non-overlapping, which IS the greedy BPE application
+    order ('aaaa' + (a,a) → 'aa','aa'). Integer counts with a total
+    tie-break order (count desc, pair asc over ASCII = identical
+    collation both engines) make every chosen merge deterministic, so
+    the DuckDB twin unrolls the same n passes with MATERIALIZED CTEs
+    and agrees bit-for-bit. Plan depth grows by one ``replace`` per
+    pass over the persisted base — production materializes the symbol
+    table every ~64 merges; at n_merges this size the chain is cheap.
+
+    Output: one row per learned merge (rank, lhs, rhs, merged,
+    pair_count), the exact artifact a tokenizer exports."""
+    from pyspark.sql import types as T
+
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("w")
+    )
+    words = (
+        toks.filter(F.col("w").rlike(BPE_WORD_RE))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    base = words.select(
+        F.regexp_replace(F.col("w"), "(.)", BPE_SEP + "$1").alias("s"), "cnt"
+    ).persist()
+    state = base
+
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField("lhs", T.StringType(), False),
+            T.StructField("rhs", T.StringType(), False),
+            T.StructField("merged", T.StringType(), False),
+            T.StructField("pair_count", T.LongType(), False),
+        ]
+    )
+    merges: list = []
+    try:
+        for rank in range(1, n_merges + 1):
+            parts = F.split(F.col("s"), BPE_SEP)
+            sym = F.slice(parts, 2, F.size(parts) - 1)  # drop leading ''
+            pairs = F.zip_with(
+                F.slice(sym, 1, F.size(sym) - 1),
+                F.slice(sym, 2, F.size(sym) - 1),
+                lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+            )
+            pc = (
+                state.filter(F.size(sym) >= 2)
+                .select(F.explode(pairs).alias("p"), "cnt")
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("cnt").alias("c"))
+            )
+            best = (
+                pc.orderBy(
+                    F.col("c").desc(), F.col("l").asc(), F.col("r").asc()
+                )
+                .limit(1)
+                .collect()  # control plane: 1 row per pass
+            )
+            if not best:
+                break
+            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+            merges.append((rank, l, r, l + r, c))
+            state = state.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.lit(BPE_SEP + l + BPE_SEP + r),
+                    F.lit(BPE_SEP + l + r),
+                ),
+            )
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(merges, schema).orderBy("rank")

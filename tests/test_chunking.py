@@ -182,3 +182,18 @@ def test_encode_documents_vocab_ids_and_oov(spark, tmp_path):
     assert (
         drv.loc[1, "ids_fp"] == hashlib.md5(b"2,0,1").hexdigest()
     )
+
+
+def test_global_shuffle_is_reproducible_permutation(spark):
+    """The epoch shuffle must be a bijection onto 0..n-1, identical
+    across re-runs (resume-safe training order), and a different salt
+    must yield a different permutation (epochs decorrelate)."""
+    a = chunking.global_shuffle(spark, SF_DIR).toPandas()
+    n = len(a)
+    assert sorted(a["pos"]) == list(range(n))
+    assert len(set(a["doc_id"])) == n
+    b = chunking.global_shuffle(spark, SF_DIR).toPandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    c = chunking.global_shuffle(spark, SF_DIR, salt="epoch1").toPandas()
+    assert list(a["doc_id"]) != list(c["doc_id"])
+    assert sorted(c["doc_id"]) == sorted(a["doc_id"])

@@ -374,3 +374,50 @@ def test_lm_bigram_score_short_docs_zero(spark):
     assert out["n_bigrams"].tolist() == [0, 0, 1]
     assert out["lm_score_e6"].dtype.kind == "i"
     assert out.loc[0, "lm_score_e6"] == 0 and out.loc[1, "lm_score_e6"] == 0
+
+
+def test_train_bpe_merges_planted_fixture(spark):
+    """Hand-computable BPE trainer fixture exercising all the training
+    semantics at once: overlapping pair COUNTING ('aaa' contributes two
+    (a,a) pairs), non-overlapping greedy APPLICATION ('aaab' merges to
+    aa,a,b — not aa,aa-less), cross-word weight aggregation, chained
+    merges consuming earlier outputs ((aa,ab) at rank 3), and the
+    printable-ASCII word guard (the é-word would dominate every count
+    if it leaked in)."""
+    rows = (
+        [(i, "aaab") for i in range(10)]
+        + [(100 + i, "ab") for i in range(5)]
+        + [(200 + i, "xy") for i in range(3)]
+        + [(300 + i, "ééé") for i in range(100)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        tuple(r)
+        for r in curation.train_bpe_merges(
+            spark, "", n_merges=3, docs=docs
+        ).collect()
+    ]
+    # pass 1: (a,a) 2 per 'aaab' x10 = 20 beats (a,b) 15
+    # pass 2: 'aaab'→[aa,a,b] so (a,b) 10+5 beats (aa,a) 10
+    # pass 3: 'aaab'→[aa,ab]: the chained (aa,ab) merge
+    assert out == [
+        (1, "a", "a", "aa", 20),
+        (2, "a", "b", "ab", 15),
+        (3, "aa", "ab", "aaab", 10),
+    ]
+
+
+def test_train_bpe_merges_exhaustion_stops_early(spark):
+    """A corpus whose words all collapse before n_merges is reached
+    returns only the learnable merges (the twin's empty-m CTEs
+    contribute no rows — same shape both engines)."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "ab")], "doc_id long, text string"
+    )
+    out = [
+        tuple(r)
+        for r in curation.train_bpe_merges(
+            spark, "", n_merges=5, docs=docs
+        ).collect()
+    ]
+    assert out == [(1, "a", "b", "ab", 4)]
