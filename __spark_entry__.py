@@ -459,6 +459,7 @@ def _q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PII_SUFFIX = "@example.com from 10.20.30.40 call +555-123-4567"
 EVAL_SENTENCE = "the quick brown fox jumps over the lazy benchmark"
+SEM_EVAL_SUFFIX = "heldout benchmark answer"
 BOILER_SUFFIX = "\nSubscribe to our newsletter today\nCopyright 2026 Example Corp"
 SYMBOL_SUFFIX = "\n- first bullet\n* second bullet\nto be continued...\n# note #"
 
@@ -545,6 +546,40 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("e0", EVAL_SENTENCE)], "eval_id string, text string"
     )
     return curation.decontaminate(spark, sf_dir, eval_docs=ev, docs=aug)
+
+
+def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination vs a synthetic eval set built as
+    PARAPHRASE analogs: every 13th training doc's text with a short
+    suffix appended (the embedding moves by ~3 token vectors — cosine
+    ≈ √(T/(T+3)), above the 0.95 near-dup threshold for typical doc
+    lengths, below it for very short docs; both engines agree either
+    way since the integer-sum kernel and band keys are bit-equal),
+    plus one unrelated standalone sentence exercising the
+    no-candidates eval path. Exact 8-gram matching would ALSO catch
+    these suffix-planted docs — the semantic operator's value is the
+    threshold being on embedding cosine, which survives edits that
+    break every shared 8-gram; the planted construction just needs
+    deterministic positives at every SF (round-1 non-vacuous rule)."""
+    _pin_session(spark)
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" " + SEM_EVAL_SUFFIX)).alias(
+                "text"
+            ),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, EVAL_SENTENCE)], "doc_id long, text string"
+            )
+        )
+    )
+    return curation.semantic_decontaminate(spark, sf_dir, eval_docs=ev)
 
 
 def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1069,12 +1104,14 @@ ORDER BY v.vec_id
 """
 
 
-def _embed_sums_cte() -> str:
-    """CTE chain ending in ``esum(doc_id, n_tokens, s0..s63)`` — the
-    exact SQL twin of embedding.embed_sums: per whitespace token one
-    md5→31-bit base, per dimension an affine permutation of that base
-    centered at 0, summed as INTEGERS (order-independent, so the two
-    engines cannot disagree)."""
+def _embed_sums_cte(src: str = "documents", suffix: str = "") -> str:
+    """CTE chain ending in ``esum{suffix}(doc_id, n_tokens, s0..s63)``
+    — the exact SQL twin of embedding.embed_sums: per whitespace token
+    one md5→31-bit base, per dimension an affine permutation of that
+    base centered at 0, summed as INTEGERS (order-independent, so the
+    two engines cannot disagree). ``src``/``suffix`` let a twin embed a
+    second frame (the semantic-decontamination eval side) with the
+    identical kernel."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
         _MASK31,
     )
@@ -1090,13 +1127,15 @@ def _embed_sums_cte() -> str:
         f"sum(((b * {a} + {b_}) & {_MASK31}) - {_CENTER}) AS s{d}"
         for d, (a, b_) in enumerate(_embed_consts(EMBED_DIM))
     )
-    return f"""tok AS (
+    x = suffix
+    return f"""tok{x} AS (
   SELECT doc_id,
          unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
-  FROM documents),
-tbase AS (SELECT doc_id, ({_hex60_sql('md5(tok)')} & {_MASK31}) AS b FROM tok),
-esum AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, {sums}
-         FROM tbase GROUP BY doc_id)"""
+  FROM {src}),
+tbase{x} AS (SELECT doc_id, ({_hex60_sql('md5(tok)')} & {_MASK31}) AS b
+             FROM tok{x}),
+esum{x} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, {sums}
+            FROM tbase{x} GROUP BY doc_id)"""
 
 
 def _embed_documents_sql() -> str:
@@ -1110,6 +1149,33 @@ WITH {_embed_sums_cte()}
 SELECT doc_id, n_tokens, md5(concat_ws(',', {cols})) AS emb_fp
 FROM esum ORDER BY doc_id
 """
+
+
+def _cent_ue_ctes(suffix: str = "") -> str:
+    """``cent{suffix}`` / ``ue{suffix}`` over ``esum{suffix}``,
+    centered by the SHARED corpus ``csum`` — the second-frame half of
+    the centering machinery: a probe/eval frame adopts the CORPUS's
+    centering statistic (exactly as the Spark side passes the corpus
+    ``totals`` into ``centered_band_buckets`` for the probe frame — an
+    eval-derived center would desync sign bits between the two
+    sides)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
+        EMBED_DIM,
+    )
+
+    # DOUBLE product mirroring the Spark side exactly: the identical
+    # IEEE-754 sequence round(n·s) − t in both engines, so band keys
+    # are bit-equal; the overflow-prone corpus totals stay HUGEINT
+    # (DuckDB sum) / decimal (Spark sum)
+    carr = ", ".join(
+        f"(CAST(n AS DOUBLE) * CAST(s{d} AS DOUBLE) - CAST(t{d} AS DOUBLE))"
+        for d in range(EMBED_DIM)
+    )
+    rarr = ", ".join(f"CAST(s{d} AS DOUBLE)" for d in range(EMBED_DIM))
+    x = suffix
+    return f"""cent{x} AS (SELECT doc_id, [{carr}] AS embedding FROM esum{x}, csum),
+ue0{x} AS (SELECT doc_id AS vec_id, [{rarr}] AS embedding FROM esum{x}),
+ue{x} AS (SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM ue0{x})"""
 
 
 def _text_center_ctes(where: str = "") -> str:
@@ -1126,20 +1192,9 @@ def _text_center_ctes(where: str = "") -> str:
     tsums = ", ".join(
         f"coalesce(sum(s{d}), 0) AS t{d}" for d in range(EMBED_DIM)
     )
-    # DOUBLE product mirroring the Spark side exactly: the identical
-    # IEEE-754 sequence round(n·s) − t in both engines, so band keys
-    # are bit-equal; the overflow-prone corpus totals stay HUGEINT
-    # (DuckDB sum) / decimal (Spark sum)
-    carr = ", ".join(
-        f"(CAST(n AS DOUBLE) * CAST(s{d} AS DOUBLE) - CAST(t{d} AS DOUBLE))"
-        for d in range(EMBED_DIM)
-    )
-    rarr = ", ".join(f"CAST(s{d} AS DOUBLE)" for d in range(EMBED_DIM))
     return f"""csum AS (SELECT CAST(greatest(count(*), 1) AS BIGINT) AS n, {tsums}
          FROM esum {where}),
-cent AS (SELECT doc_id, [{carr}] AS embedding FROM esum, csum),
-ue0 AS (SELECT doc_id AS vec_id, [{rarr}] AS embedding FROM esum),
-ue AS (SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM ue0)"""
+{_cent_ue_ctes()}"""
 
 
 def _text_lsh_auto_cte(where_n: str = "") -> str:
@@ -1163,26 +1218,25 @@ def _text_lsh_auto_cte(where_n: str = "") -> str:
     )
 
 
-def _text_lsh_auto_cte_general(
-    nb_sql: str, src: str = "cent", carry: str = ""
+_TEXT_LSH_CFG_BITS = range(8, 13)
+
+
+def _text_lsh_sig_bands_cte(
+    src: str = "cent", carry: str = "", suffix: str = ""
 ) -> str:
-    """The adaptive-family machinery behind ``_text_lsh_auto_cte``:
-    ``nb_sql`` supplies the sizing population (full/boundary-filtered
-    count for the corpus twins; max per-domain count for the
-    domain-centered twin), ``src`` the centered-vector CTE, ``carry``
-    extra columns to thread through sig→bands (e.g. ``, domain``)."""
+    """``sig{suffix}``/``bands{suffix}`` over the centered-vector CTE
+    ``src``, keyed off the SHARED ``cfg`` family selection — the
+    second-frame half of the adaptive machinery (the decontamination
+    eval side bands under the CORPUS's config, exactly as the Spark
+    side adopts the corpus family for the probe frame)."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
-        TEXT_LSH_TARGET_BUCKET,
         _TEXT_BANDS_FOR_BITS,
         _text_planes,
     )
 
-    configs = [(bits, _TEXT_BANDS_FOR_BITS[bits]) for bits in range(8, 13)]
+    x = suffix
+    configs = [(bits, _TEXT_BANDS_FOR_BITS[bits]) for bits in _TEXT_LSH_CFG_BITS]
     planes = _text_planes(max(bits * nb for bits, nb in configs))
-    cases = " ".join(
-        f"WHEN n <= {(1 << bits) * TEXT_LSH_TARGET_BUCKET} THEN {bits}"
-        for bits, _ in configs[:-1]
-    )
     bit_exprs = []
     for i, plane in enumerate(planes):
         lit = "[" + ", ".join(repr(w) for w in plane) + "]"
@@ -1198,15 +1252,36 @@ def _text_lsh_auto_cte_general(
             )
             band_selects.append(
                 f"SELECT vec_id{carry}, {b} AS band, {key} AS key "
-                f"FROM sig, cfg WHERE cfg.bits = {bits}"
+                f"FROM sig{x}, cfg WHERE cfg.bits = {bits}"
             )
     # sig is referenced by every per-config band select (46 of them) —
     # MATERIALIZED stops DuckDB 1.0 from inlining the 132 list-dot
     # bit expressions into each reference (46× recompute = minutes)
+    return f"""sig{x} AS MATERIALIZED (SELECT doc_id AS vec_id{carry}, {", ".join(bit_exprs)} FROM {src}),
+bands{x} AS ({" UNION ALL ".join(band_selects)})"""
+
+
+def _text_lsh_auto_cte_general(
+    nb_sql: str, src: str = "cent", carry: str = ""
+) -> str:
+    """The adaptive-family machinery behind ``_text_lsh_auto_cte``:
+    ``nb_sql`` supplies the sizing population (full/boundary-filtered
+    count for the corpus twins; max per-domain count for the
+    domain-centered twin), ``src`` the centered-vector CTE, ``carry``
+    extra columns to thread through sig→bands (e.g. ``, domain``)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
+        TEXT_LSH_TARGET_BUCKET,
+        _TEXT_BANDS_FOR_BITS,
+    )
+
+    configs = [(bits, _TEXT_BANDS_FOR_BITS[bits]) for bits in _TEXT_LSH_CFG_BITS]
+    cases = " ".join(
+        f"WHEN n <= {(1 << bits) * TEXT_LSH_TARGET_BUCKET} THEN {bits}"
+        for bits, _ in configs[:-1]
+    )
     return f"""nb AS ({nb_sql}),
 cfg AS MATERIALIZED (SELECT CASE {cases} ELSE {configs[-1][0]} END AS bits FROM nb),
-sig AS MATERIALIZED (SELECT doc_id AS vec_id{carry}, {", ".join(bit_exprs)} FROM {src}),
-bands AS ({" UNION ALL ".join(band_selects)})"""
+{_text_lsh_sig_bands_cte(src, carry)}"""
 
 
 def _semantic_text_sql() -> str:
@@ -1308,6 +1383,53 @@ SELECT d.doc_id,
        COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
        (cc.node IS NULL OR cc.node = cc.cluster_id) AS keep
 FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _semantic_decontaminate_sql() -> str:
+    """SQL twin of curation.semantic_decontaminate over the wrapper's
+    planted eval frame: corpus embedded once (``esum``), the eval frame
+    embedded with the IDENTICAL kernel (``esum_e`` — the suffixed
+    ``_embed_sums_cte``), centering statistic and adaptive LSH family
+    both taken from the CORPUS (``csum`` / ``cfg`` — the eval side's
+    ``sig_e``/``bands_e`` reuse them via the shared-``cfg`` fragment,
+    mirroring the Spark side adopting corpus ``totals`` + family for
+    the probe frame), one (band, key) equi-join for candidates, exact
+    raw-cosine verify at the text near-dup threshold, per-training-doc
+    aggregate with 0-sentinels."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
+        TEXT_NEAR_DUP_THRESHOLD_E6,
+    )
+
+    return f"""
+WITH {_embed_sums_cte()},
+evald AS (
+  SELECT doc_id, text || ' {SEM_EVAL_SUFFIX}' AS text
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL SELECT CAST(-1 AS BIGINT), '{EVAL_SENTENCE}'),
+{_embed_sums_cte(src="evald", suffix="_e")},
+{_text_center_ctes()},
+{_cent_ue_ctes("_e")},
+{_text_lsh_auto_cte()},
+{_text_lsh_sig_bands_cte(src="cent_e", suffix="_e")},
+cand AS (
+  SELECT DISTINCT c.vec_id AS c_doc, e.vec_id AS eval_vec
+  FROM bands c JOIN bands_e e ON c.band = e.band AND c.key = e.key),
+scored AS (
+  SELECT c.c_doc, {_cos_e6('a', 'b')} AS score_e6
+  FROM cand c JOIN ue a ON a.vec_id = c.c_doc
+              JOIN ue_e b ON b.vec_id = c.eval_vec),
+hits AS (
+  SELECT c_doc, CAST(count(*) AS BIGINT) AS n_eval_near,
+         max(score_e6) AS max_score_e6
+  FROM scored WHERE score_e6 >= {TEXT_NEAR_DUP_THRESHOLD_E6}
+  GROUP BY c_doc)
+SELECT d.doc_id,
+       COALESCE(h.n_eval_near, 0) AS n_eval_near,
+       COALESCE(h.max_score_e6, 0) AS max_score_e6,
+       (h.c_doc IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h ON h.c_doc = d.doc_id
 ORDER BY d.doc_id
 """
 
@@ -1759,7 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multi-green). The train_bpe_merges/global_shuffle head additions
     # displace the multi-green stringops and dedup_exact_groups to the
     # tail.
-    # Window = first 50 of 90; every tail entry has >= 2 green driver
+    # Window = first 50 of 91; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -1790,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bigram_counts": _wrap(curation.token_bigram_counts),
         "encode_documents": _wrap(chunking.encode_documents),
         "dataset_mixture": _wrap(curation.dataset_mixture),
+        "semantic_decontaminate": _q_semantic_decontaminate,
         # --- plan changed this round (auto family + JVM verify):
         # first post-change driver row
         "semantic_dedup_text_corpus": _wrap(embedding.semantic_dedup_text_corpus),
@@ -2422,6 +2545,7 @@ FROM t ORDER BY doc_id
         "token_bigram_counts": _token_bigram_counts_sql(),
         "encode_documents": _encode_documents_sql(),
         "semantic_dedup_text_corpus": _semantic_text_sql(),
+        "semantic_decontaminate": _semantic_decontaminate_sql(),
         "incremental_text_semantic_dedup": _incremental_text_semantic_sql(),
         "knn_text": _knn_text_sql(),
         "knn_text_ivf": _knn_text_ivf_sql(),

@@ -183,6 +183,22 @@ def main() -> None:
         "semantic_text_dedup_domain",
         lambda: _force(embedding.semantic_dedup_text_by_domain(spark, SF_DIR)),
     )
+    # semantic eval-set decontamination: every 13th doc suffix-planted
+    # as a paraphrase-analog eval doc (same construction as the driver
+    # wrapper) probed against the full corpus
+    from pyspark.sql import functions as F
+
+    def _sem_decon():
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ev = docs.filter(F.col("doc_id") % 13 == 0).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" heldout benchmark answer")).alias(
+                "text"
+            ),
+        )
+        return _force(curation.semantic_decontaminate(spark, SF_DIR, eval_docs=ev))
+
+    timed("semantic_decontaminate", _sem_decon)
 
     # 6e. round-6 additions: span-level substring dedup (corpus-wide
     # window hashing — the scan-heavy new dedup granularity) and the

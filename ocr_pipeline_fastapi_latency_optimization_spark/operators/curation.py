@@ -895,3 +895,99 @@ def train_bpe_merges(
     finally:
         base.unpersist()
     return spark.createDataFrame(merges, schema).orderBy("rank")
+
+
+def semantic_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_docs: DataFrame,
+    threshold_e6: int | None = None,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-level
+    complement of the 8-gram ``decontaminate``: flag every training
+    document whose text embedding is near-cosine to ANY eval document.
+    Paraphrased or lightly-edited benchmark leakage defeats exact
+    n-gram matching; this is the published fix (e.g. the GPT-3/Llama
+    appendix decontamination escalation), run with the same corpus-own
+    embedding kernel as ``semantic_dedup_text_corpus``.
+
+    Plan: corpus sums once (checkpointed — three consumers), centering
+    statistic and LSH family sized from the CORPUS (the eval side
+    adopts both — the probe-adopts-the-index's-family rule from the
+    persisted-index paths; an eval-sized family would desync hash
+    buckets), eval side embedded+banded with the identical kernel, one
+    (band, key) equi-join where the EVAL side is benchmark-sized (AQE
+    broadcasts it — never corpus × corpus), pure-JVM integer-sum
+    cosine verify on surviving candidates only, per-doc aggregate.
+    Output per training doc: (doc_id, n_eval_near, max_score_e6,
+    contaminated) with 0-sentinels (the toPandas NULL gotcha).
+
+    Recall is the band family's (≥ 0.997 at the near-dup threshold —
+    the frozen-recall table ``auto_text_family`` sizes against);
+    production escalates to nprobe-style multi-band on miss-sensitive
+    evals. The DuckDB twin replicates banding bit-for-bit, so the
+    oracle pins candidates AND verify."""
+    from .embedding import (
+        TEXT_NEAR_DUP_THRESHOLD_E6,
+        _resolve_text_family,
+        _sums_cosine_e6,
+        _sums_with_norm,
+        centered_band_buckets,
+        embed_sums,
+        embed_totals,
+    )
+
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    if threshold_e6 is None:
+        threshold_e6 = TEXT_NEAR_DUP_THRESHOLD_E6
+    ev = eval_docs.select(
+        F.col(eval_docs.columns[0]).alias("doc_id"), F.col("text")
+    )
+
+    sums = embed_sums(docs).localCheckpoint(eager=True)
+    planes_list, bands = _resolve_text_family(None, None, sums.count())
+    totals = embed_totals(sums)
+    corpus_bands = centered_band_buckets(
+        sums, totals, planes_list=planes_list, bands=bands
+    )
+    ev_sums = embed_sums(ev)
+    ev_bands = centered_band_buckets(
+        ev_sums, totals, planes_list=planes_list, bands=bands
+    ).select(
+        F.col("vec_id").alias("eval_vec"), "band", "key"
+    )
+
+    cands = (
+        corpus_bands.join(ev_bands, ["band", "key"])
+        .select(F.col("vec_id").alias("c_doc"), F.col("eval_vec"))
+        .distinct()
+    )
+    wc = _sums_with_norm(sums).alias("sa")
+    we = _sums_with_norm(ev_sums).alias("sb")
+    hits = (
+        cands.join(wc, F.col("c_doc") == F.col("sa.doc_id"))
+        .join(we, F.col("eval_vec") == F.col("sb.doc_id"))
+        .select("c_doc", _sums_cosine_e6("sa", "sb").alias("score_e6"))
+        .filter(F.col("score_e6") >= F.lit(int(threshold_e6)))
+        .groupBy("c_doc")
+        .agg(
+            F.count("*").alias("n_eval_near"),
+            F.max("score_e6").alias("max_score_e6"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("c_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_eval_near", F.lit(0).cast("long")).alias(
+                "n_eval_near"
+            ),
+            F.coalesce("max_score_e6", F.lit(0).cast("long")).alias(
+                "max_score_e6"
+            ),
+            F.col("c_doc").isNotNull().alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

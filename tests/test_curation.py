@@ -421,3 +421,76 @@ def test_train_bpe_merges_exhaustion_stops_early(spark):
         ).collect()
     ]
     assert out == [(1, "a", "b", "ab", 4)]
+
+
+def test_semantic_decontaminate_flags_paraphrase_not_unrelated(spark):
+    """The semantic complement of the 8-gram decontaminate: an eval doc
+    that is a lightly-edited copy of a training doc (shares almost no
+    8-grams after the edit spread) must flag that doc; an unrelated
+    eval doc must flag nothing; clean docs carry 0-sentinels."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (0, base, "en", "s", 1),
+            (1, " ".join(f"other{i}" for i in range(60)), "en", "s", 1),
+            (2, " ".join(f"third{i}" for i in range(60)), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # paraphrase analog: two tokens swapped for fresh ones (norm moves
+    # by ~2 of 60 token vectors — cosine far above 0.95)
+    edited = base.replace("tok7", "EDIT7").replace("tok31", "EDIT31")
+    ev = spark.createDataFrame(
+        [(100, edited), (101, "completely unrelated benchmark phrase")],
+        "eval_id long, text string",
+    )
+    out = (
+        curation.semantic_decontaminate(spark, "", eval_docs=ev, docs=docs)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[0, "contaminated"])
+    assert out.loc[0, "n_eval_near"] == 1
+    assert out.loc[0, "max_score_e6"] >= 950000
+    for d in (1, 2):
+        assert not bool(out.loc[d, "contaminated"])
+        assert out.loc[d, "n_eval_near"] == 0
+        assert out.loc[d, "max_score_e6"] == 0
+
+
+def test_semantic_decontaminate_defeats_ngram_matching(spark):
+    """The case that MOTIVATES the semantic pass: a WORD-ORDER
+    paraphrase (even-indexed tokens then odd-indexed — no adjacent
+    pair of the source survives, so not even a shared 2-gram, let
+    alone an 8-gram) scores zero overlap under the exact n-gram
+    decontaminate — while the bag-of-features embedding is IDENTICAL
+    (cosine 10⁶ exactly). Token-replacement edits dense enough to
+    break all 8-grams (≥ every 7th token) necessarily move ≥12% of
+    the bag and drop cosine to ~0.87 — correctly below the 0.95
+    near-dup bar; reordering is the evasion class this operator
+    uniquely catches."""
+    toks = [f"w{i}" for i in range(60)]
+    base = " ".join(toks)
+    permuted = " ".join(toks[0::2] + toks[1::2])
+    docs = spark.createDataFrame(
+        [(0, base, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ev = spark.createDataFrame(
+        [(100, permuted)], "eval_id long, text string"
+    )
+    ng = (
+        curation.decontaminate(spark, "", eval_docs=ev, docs=docs)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert ng.loc[0, "n_shared_grams"] == 0 and not bool(
+        ng.loc[0, "contaminated"]
+    )
+    sem = (
+        curation.semantic_decontaminate(spark, "", eval_docs=ev, docs=docs)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(sem.loc[0, "contaminated"])
+    assert sem.loc[0, "max_score_e6"] == 1000000
