@@ -903,6 +903,7 @@ def semantic_decontaminate(
     eval_docs: DataFrame,
     threshold_e6: int | None = None,
     docs: DataFrame | None = None,
+    index_table: str | None = None,
 ) -> DataFrame:
     """SEMANTIC benchmark decontamination — the embedding-level
     complement of the 8-gram ``decontaminate``: flag every training
@@ -927,15 +928,35 @@ def semantic_decontaminate(
     the frozen-recall table ``auto_text_family`` sizes against);
     production escalates to nprobe-style multi-band on miss-sensitive
     evals. The DuckDB twin replicates banding bit-for-bit, so the
-    oracle pins candidates AND verify."""
+    oracle pins candidates AND verify.
+
+    With ``index_table`` (written by
+    ``embedding.persist_text_cosine_index`` over the training corpus)
+    the corpus is NEVER re-embedded or rescanned: only the eval set is
+    embedded and banded — under the index's RECORDED family + frozen
+    center — and ``prune_index_scan`` restricts the index read to the
+    eval set's touched (band, key) pairs (a benchmark-sized eval is
+    the trickle case: a per-band pushed ``IN`` skips row groups on the
+    sorted index layout). Corpus sums are recomputed only for
+    candidate ids. Total cost is O(eval + candidates) — the shape a
+    frozen 10^9-doc corpus needs when a NEW benchmark ships.
+    Byte-identical to the in-memory path when the index's build corpus
+    equals ``docs`` (asserted in tests); after appends the index keeps
+    its frozen hash family while the in-memory path would re-derive —
+    the same documented divergence class as
+    ``incremental_text_semantic_dedup``."""
     from .embedding import (
+        TEXT_LSH_SEED,
         TEXT_NEAR_DUP_THRESHOLD_E6,
+        _center_literals_frame,
+        _index_family,
         _resolve_text_family,
         _sums_cosine_e6,
         _sums_with_norm,
         centered_band_buckets,
         embed_sums,
         embed_totals,
+        require_text_center,
     )
 
     docs = docs if docs is not None else _docs(spark, sf_dir)
@@ -945,25 +966,59 @@ def semantic_decontaminate(
         F.col(eval_docs.columns[0]).alias("doc_id"), F.col("text")
     )
 
-    sums = embed_sums(docs).localCheckpoint(eager=True)
-    planes_list, bands = _resolve_text_family(None, None, sums.count())
-    totals = embed_totals(sums)
-    corpus_bands = centered_band_buckets(
-        sums, totals, planes_list=planes_list, bands=bands
-    )
-    ev_sums = embed_sums(ev)
-    ev_bands = centered_band_buckets(
-        ev_sums, totals, planes_list=planes_list, bands=bands
-    ).select(
-        F.col("vec_id").alias("eval_vec"), "band", "key"
-    )
+    if index_table is not None:
+        from ..sources.catalog import check_index_params, prune_index_scan
 
-    cands = (
-        corpus_bands.join(ev_bands, ["band", "key"])
-        .select(F.col("vec_id").alias("c_doc"), F.col("eval_vec"))
-        .distinct()
-    )
-    wc = _sums_with_norm(sums).alias("sa")
+        props = check_index_params(
+            spark, index_table, {"cosine.seed": TEXT_LSH_SEED}, kind="cosine"
+        )
+        planes_list, bands = _index_family(props)
+        require_text_center(props, index_table)
+        totals = _center_literals_frame(spark, props)
+        ev_sums = embed_sums(ev)
+        # materialized once: the eval buckets feed the prune-key
+        # collect AND the probe join (O(eval) rows)
+        ev_bands = (
+            centered_band_buckets(
+                ev_sums, totals, planes_list=planes_list, bands=bands
+            )
+            .select(F.col("vec_id").alias("eval_vec"), "band", "key")
+            .localCheckpoint(eager=True)
+        )
+        corpus_bands = prune_index_scan(
+            spark.table(index_table),
+            ev_bands.select(F.col("eval_vec").alias("vec_id"), "band", "key"),
+        )
+        cands = (
+            corpus_bands.join(ev_bands, ["band", "key"])
+            .select(F.col("vec_id").alias("c_doc"), F.col("eval_vec"))
+            .distinct()
+        )
+        # corpus sums only for candidate ids — O(candidates), never a
+        # corpus re-embed
+        cand_ids = cands.select(F.col("c_doc").alias("doc_id")).distinct()
+        c_sums = embed_sums(docs.join(cand_ids, "doc_id", "left_semi"))
+    else:
+        sums = embed_sums(docs).localCheckpoint(eager=True)
+        planes_list, bands = _resolve_text_family(None, None, sums.count())
+        totals = embed_totals(sums)
+        corpus_bands = centered_band_buckets(
+            sums, totals, planes_list=planes_list, bands=bands
+        )
+        ev_sums = embed_sums(ev)
+        ev_bands = centered_band_buckets(
+            ev_sums, totals, planes_list=planes_list, bands=bands
+        ).select(
+            F.col("vec_id").alias("eval_vec"), "band", "key"
+        )
+
+        cands = (
+            corpus_bands.join(ev_bands, ["band", "key"])
+            .select(F.col("vec_id").alias("c_doc"), F.col("eval_vec"))
+            .distinct()
+        )
+        c_sums = sums
+    wc = _sums_with_norm(c_sums).alias("sa")
     we = _sums_with_norm(ev_sums).alias("sb")
     hits = (
         cands.join(wc, F.col("c_doc") == F.col("sa.doc_id"))

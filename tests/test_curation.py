@@ -494,3 +494,67 @@ def test_semantic_decontaminate_defeats_ngram_matching(spark):
     )
     assert bool(sem.loc[0, "contaminated"])
     assert sem.loc[0, "max_score_e6"] == 1000000
+
+
+def test_semantic_decontaminate_index_probe_agrees(spark, tmp_path):
+    """The O(eval) production path: probing the PERSISTED text cosine
+    index (frozen family + center, prune-restricted scan, corpus sums
+    recomputed for candidate ids only) must return byte-identical
+    verdicts to the in-memory path over the index's build corpus."""
+    import pandas as pd
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
+        embedding,
+    )
+    from pyspark.sql import functions as F
+
+    def text(i, tag):
+        return " ".join(f"{tag}{i}w{j}" for j in range(20))
+
+    docs = spark.createDataFrame(
+        [(i, text(i, "c"), "en", "s", 1) for i in range(50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # eval set: paraphrase analogs of docs 3 and 17 + one unrelated
+    ev = spark.createDataFrame(
+        [
+            (100, text(3, "c") + " tail"),
+            (101, text(17, "c") + " tail"),
+            (102, "nothing in common with the corpus at all"),
+        ],
+        "eval_id long, text string",
+    )
+    try:
+        embedding.persist_text_cosine_index(
+            spark, docs, "t_decon_idx", str(tmp_path / "didx"),
+            n_storage_buckets=4,
+        )
+        got = (
+            curation.semantic_decontaminate(
+                spark, "", eval_docs=ev, docs=docs, index_table="t_decon_idx"
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            curation.semantic_decontaminate(spark, "", eval_docs=ev, docs=docs)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert set(got[got["contaminated"]]["doc_id"]) == {3, 17}
+        # index side of the probe plans no Exchange: the pruned scan +
+        # broadcast-able eval side never shuffle the index
+        plan = (
+            curation.semantic_decontaminate(
+                spark, "", eval_docs=ev, docs=docs, index_table="t_decon_idx"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "t_decon_idx" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_decon_idx")
