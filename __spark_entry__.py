@@ -1534,17 +1534,17 @@ ORDER BY occurrences DESC, bigram ASC LIMIT {k}
 """
 
 
-def _train_bpe_merges_sql() -> str:
-    """SQL twin of curation.train_bpe_merges: the SAME n_merges passes
-    unrolled (the k-means-twin precedent for iterative trainers), each
-    pass = pair count over the symbol table → 1-row argmax (identical
-    total order; the printable-ASCII word guard pins collation to
-    binary in both engines) → left-to-right non-overlapping ``replace``
-    (both engines' replace semantics = greedy BPE application). Every
-    CTE is MATERIALIZED — the w-chain is self-referencing and DuckDB
-    would otherwise inline each pass twice (the round-6 sign-CTE
-    lesson). Constants (n_merges, word regex, \\x1f separator) come
-    from the module so a default change cannot desynchronize the twin
+def _bpe_train_ctes() -> tuple:
+    """(ctes, sep) — the unrolled BPE training chain shared by the
+    trainer twin and the encoder twin: n_merges passes, each = pair
+    count over the symbol table → 1-row argmax (identical total order;
+    the printable-ASCII word guard pins collation to binary in both
+    engines) → left-to-right non-overlapping ``replace`` (both
+    engines' replace semantics = greedy BPE application). Every CTE is
+    MATERIALIZED — the w-chain is self-referencing and DuckDB would
+    otherwise inline each pass twice (the round-6 sign-CTE lesson).
+    Constants (n_merges, word regex, \\x1f separator) come from the
+    module so a default change cannot desynchronize the twins
     (INGEST_BOUNDARY precedent)."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
         BPE_N_MERGES,
@@ -1580,6 +1580,18 @@ w{k} AS MATERIALIZED (
   SELECT replace(s, {sep} || l || {sep} || r, {sep} || l || r) AS s, cnt
   FROM w{p} CROSS JOIN m{k})"""
         )
+    return ctes, sep
+
+
+def _train_bpe_merges_sql() -> str:
+    """SQL twin of curation.train_bpe_merges: the shared unrolled
+    training chain (``_bpe_train_ctes``), selecting the per-pass
+    argmax rows as the merge table."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        BPE_N_MERGES,
+    )
+
+    ctes, _ = _bpe_train_ctes()
     sel = "\nUNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS rank, l AS lhs, r AS rhs, "
         f"l || r AS merged, c AS pair_count FROM m{k}"
@@ -1591,6 +1603,63 @@ w{k} AS MATERIALIZED (
         + "\nSELECT * FROM (\n"
         + sel
         + ")\nORDER BY rank"
+    )
+
+
+def _bpe_encode_sql() -> str:
+    """SQL twin of curation.bpe_encode (trained on the same corpus,
+    default n_merges): the shared training chain supplies the per-pass
+    argmax rows ``m1..mn``; a parallel ``e``-chain carries the WORD
+    alongside its symbol string through the same rank-ordered replaces
+    (the encoder replays the trainer's state updates, so e_n(w) is
+    exactly the trained vocabulary's encoding); documents unnest to
+    ordered encodable words, join the encoded vocab, and aggregate to
+    (n_words, n_bpe_tokens, order-exact md5 fingerprint) with the
+    empty-doc sentinel row."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        BPE_N_MERGES,
+        BPE_WORD_RE,
+    )
+
+    ctes, sep = _bpe_train_ctes()
+    ctes.append(
+        f"""e0 AS MATERIALIZED (
+  SELECT w, regexp_replace(w, '(.)', {sep} || '\\1', 'g') AS s FROM wc)"""
+    )
+    for k in range(1, BPE_N_MERGES + 1):
+        ctes.append(
+            f"""e{k} AS MATERIALIZED (
+  SELECT w, replace(s, {sep} || l || {sep} || r, {sep} || l || r) AS s
+  FROM e{k - 1} CROSS JOIN m{k})"""
+        )
+    ctes.append(
+        f"""dwl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS wl
+  FROM documents),
+dwo AS (
+  SELECT doc_id, ord, wl[ord] AS w
+  FROM (SELECT doc_id, unnest(generate_series(1, len(wl))) AS ord, wl
+        FROM dwl WHERE len(wl) > 0)
+  WHERE regexp_matches(wl[ord], '{BPE_WORD_RE}')),
+enc AS (SELECT doc_id, ord, s FROM dwo JOIN e{BPE_N_MERGES} USING (w)),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(string_split(s, {sep})) - 1) AS BIGINT)
+           AS n_bpe_tokens,
+         md5(string_agg(s, '' ORDER BY ord)) AS tokens_fp
+  FROM enc GROUP BY doc_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT d.doc_id,
+       COALESCE(a.n_words, 0) AS n_words,
+       COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       COALESCE(a.tokens_fp, md5('')) AS tokens_fp
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
     )
 
 
@@ -1862,8 +1931,8 @@ def _wrap(mod_fn):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order IS the driver's check order and the driver records at
     # most 50 rows per round. Round-6 hygiene (house rule):
-    # HEAD = the round-6 NEW entries (train_bpe_merges, global_shuffle,
-    # substring_span_dedup,
+    # HEAD = the round-6 NEW entries (train_bpe_merges, bpe_encode,
+    # global_shuffle, substring_span_dedup, semantic_decontaminate,
     # semantic_dedup_text_by_domain,
     # incremental_text_domain_dedup, vocab_top_tokens,
     # token_bigram_counts — zero driver signal), then the two flagship
@@ -1881,7 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multi-green). The train_bpe_merges/global_shuffle head additions
     # displace the multi-green stringops and dedup_exact_groups to the
     # tail.
-    # Window = first 50 of 91; every tail entry has >= 2 green driver
+    # Window = first 50 of 92; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -1898,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW this round: zero driver signal
         "train_bpe_merges": _wrap(curation.train_bpe_merges),
+        "bpe_encode": _wrap(curation.bpe_encode),
         "global_shuffle": _wrap(chunking.global_shuffle),
         "substring_span_dedup": _wrap(dedup.substring_span_dedup),
         "bm25_search": _wrap(retrieval.bm25_search),
@@ -2537,6 +2607,7 @@ FROM t ORDER BY doc_id
         "semantic_dedup_text_by_domain": _semantic_text_by_domain_sql(),
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
         "train_bpe_merges": _train_bpe_merges_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         "global_shuffle": _global_shuffle_sql(),
         "substring_span_dedup": _substring_span_dedup_sql(),
         "bm25_search": _bm25_search_sql(),

@@ -897,6 +897,134 @@ def train_bpe_merges(
     return spark.createDataFrame(merges, schema).orderBy("rank")
 
 
+def _sql_str(s: str) -> str:
+    """Escape a string for embedding in a Spark SQL single-quoted
+    literal (the merge symbols are printable ASCII by the BPE word
+    guard, plus the \\x1f separator — only quote and backslash need
+    care)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _bpe_apply_sql(var: str, merge_rows) -> str:
+    """The learned merge list applied IN RANK ORDER as one nested
+    ``replace`` chain over a symbol string — identical semantics to
+    the trainer's per-pass state update (left-to-right non-overlapping
+    replace = greedy BPE application), so encoding a word replays
+    exactly the transformation its vocabulary entry underwent during
+    training. Built as a single SQL string: 1 + n_merges nested calls
+    parse JVM-side in one py4j round trip (the round-6 expression-tree
+    lesson)."""
+    expr = f"regexp_replace({var}, '(.)', '{BPE_SEP}$1')"
+    for m in merge_rows:
+        find = _sql_str(BPE_SEP + m["lhs"] + BPE_SEP + m["rhs"])
+        rep = _sql_str(BPE_SEP + m["merged"])
+        expr = f"replace({expr}, '{find}', '{rep}')"
+    return expr
+
+
+def bpe_encode(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_N_MERGES,
+    docs: DataFrame | None = None,
+    merges: DataFrame | None = None,
+    via_vocab: bool = False,
+) -> DataFrame:
+    """Encode documents with trained BPE merges — the apply side of
+    ``train_bpe_merges``, closing the tokenizer loop (bigram stats →
+    merge training → ENCODE → pack/shuffle/export). Each encodable
+    word (the trainer's printable-ASCII guard; others are OOV and
+    skipped, identically in both engines) is split to characters and
+    the merge list is applied in rank order — the standard
+    apply-merges-in-learning-order BPE encoder, and literally the
+    trainer's own state-update replay, so a trained word encodes to
+    its final training-state symbol string.
+
+    Default plan is FULLY NARROW: the whole encoder is one nested
+    ``replace`` chain inside an array ``transform`` over the doc's
+    word list — pure JVM whole-stage codegen, ZERO shuffles, no join
+    (the merge list is a driver-side constant folded into the
+    expression, exactly like the trainer's control-plane merge state).
+    Per-token cost is O(n_merges) replaces — right for the
+    expression-sized merge tables this trains. ``via_vocab=True`` is
+    the large-merge-table scale path: encode each DISTINCT word once
+    (vocabulary-sized work — 10⁶ words, not 10¹² tokens), then one
+    equi-join re-attaches symbol strings to word occurrences;
+    byte-identical output (pytest), costs a corpus shuffle on the
+    word key. Production with 32k+ merges pairs via_vocab with a
+    trie/Arrow encoder for the per-word step; the plumbing is the
+    same.
+
+    Output per doc: (doc_id, n_words, n_bpe_tokens, tokens_fp) where
+    tokens_fp = md5 of the ␟-delimited symbol strings concatenated in
+    word order — an order-exact fingerprint of the full token
+    sequence (hashable by the driver without shipping token arrays).
+    Docs with no encodable words carry (0, 0, md5(''))."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    if merges is None:
+        merges = train_bpe_merges(spark, sf_dir, n_merges=n_merges, docs=docs)
+    merge_rows = merges.orderBy("rank").collect()  # control plane: O(n)
+
+    if via_vocab:
+        words = docs.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+            ).alias("pos", "w"),
+        ).filter(F.col("w").rlike(BPE_WORD_RE))
+        vocab = words.select("w").distinct()
+        enc = vocab.withColumn("s", F.expr(_bpe_apply_sql("w", merge_rows)))
+        per_word = words.join(enc, "w").select(
+            "doc_id",
+            "pos",
+            "s",
+            (F.size(F.split(F.col("s"), BPE_SEP)) - 1).alias("nt"),
+        )
+        agg = per_word.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("nt").cast("long").alias("n_bpe_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                        lambda x: x["s"],
+                    ),
+                )
+            ).alias("tokens_fp"),
+        )
+    else:
+        enc_arr = (
+            f"transform(filter(split(text, ' '), "
+            f"w -> w != '' AND w rlike '{BPE_WORD_RE}'), "
+            f"w -> {_bpe_apply_sql('w', merge_rows)})"
+        )
+        agg = docs.select(
+            "doc_id", F.expr(enc_arr).alias("encs")
+        ).select(
+            "doc_id",
+            F.size("encs").cast("long").alias("n_words"),
+            F.expr(
+                f"CAST(aggregate(encs, 0, (a, x) -> "
+                f"a + size(split(x, '{BPE_SEP}')) - 1) AS BIGINT)"
+            ).alias("n_bpe_tokens"),
+            F.md5(F.concat_ws("", F.col("encs"))).alias("tokens_fp"),
+        ).filter(F.col("n_words") > 0)
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0).cast("long")).alias(
+                "n_bpe_tokens"
+            ),
+            F.coalesce("tokens_fp", F.md5(F.lit(""))).alias("tokens_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def semantic_decontaminate(
     spark: SparkSession,
     sf_dir: str,

@@ -558,3 +558,67 @@ def test_semantic_decontaminate_index_probe_agrees(spark, tmp_path):
         assert "t_decon_idx" in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_decon_idx")
+
+
+def test_bpe_encode_replays_trainer_state(spark):
+    """Encoding applies merges in rank order = the trainer's own state
+    updates: 'abab' collapses via a+b -> ab, ab+ab -> abab into ONE
+    token; 'xyz' (no trained merges apply) stays 3 character tokens;
+    non-ASCII words are OOV and skipped; empty docs carry the
+    (0, 0, md5('')) sentinel. via_vocab (distinct-word encode + join)
+    is byte-identical to the narrow expression path."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [
+            (0, "abab abab abc", "en", "s", 1),
+            (1, "abc xyz", "en", "s", 1),
+            (2, "éé café", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = (
+        curation.bpe_encode(spark, "", n_merges=3, docs=docs)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # merges learned: (a,b)->ab, (ab,ab)->abab, (ab,c)->abc
+    assert out.loc[0, "n_words"] == 3 and out.loc[0, "n_bpe_tokens"] == 3
+    assert out.loc[1, "n_words"] == 2 and out.loc[1, "n_bpe_tokens"] == 4
+    assert out.loc[2, "n_words"] == 0 and out.loc[2, "n_bpe_tokens"] == 0
+    assert out.loc[2, "tokens_fp"] == hashlib.md5(b"").hexdigest()
+    sep = curation.BPE_SEP
+    assert out.loc[0, "tokens_fp"] == hashlib.md5(
+        (sep + "abab" + sep + "abab" + sep + "abc").encode()
+    ).hexdigest()
+    import pandas as pd
+
+    ov = (
+        curation.bpe_encode(spark, "", n_merges=3, docs=docs, via_vocab=True)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    pd.testing.assert_frame_equal(out, ov)
+
+
+def test_bpe_encode_accepts_external_merges(spark):
+    """The production shape: merges trained ONCE on one corpus, applied
+    to another — the encode must not retrain (a different corpus's
+    statistics would silently change the vocabulary)."""
+    train_docs = spark.createDataFrame(
+        [(0, "abab abab", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    merges = curation.train_bpe_merges(spark, "", n_merges=2, docs=train_docs)
+    apply_docs = spark.createDataFrame(
+        [(7, "ab ba", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = (
+        curation.bpe_encode(spark, "", docs=apply_docs, merges=merges)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # 'ab' -> 1 token under the (a,b) merge; 'ba' -> 2 tokens ('b','a'
+    # — replace is positional, never commutative)
+    assert out.loc[7, "n_bpe_tokens"] == 3
