@@ -1663,6 +1663,49 @@ ORDER BY d.doc_id
     )
 
 
+def _export_shards_sql() -> str:
+    """SQL twin of chunking.export_shards: the pack_sequences twin's
+    prefix-sum/grouping verbatim (module constants, not literals — the
+    INGEST_BOUNDARY precedent), then the contiguous shard grouping and
+    the order-independent content checksum (HUGEINT sum of the 60-bit
+    md5 prefix per sequence stat row — canonically equal to Spark's
+    decimal(38,0) sum)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.chunking import (
+        PACK_CONTEXT,
+        SHARD_SEQS,
+    )
+
+    fp = _hex60_sql(
+        "md5(CAST(seq_id AS VARCHAR) || ':' || CAST(n_docs AS VARCHAR) "
+        "|| ':' || CAST(n_tokens AS VARCHAR))"
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM t),
+seqs AS (
+  SELECT CAST(floor(prefix / {float(PACK_CONTEXT)}) AS BIGINT) AS seq_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+  FROM p GROUP BY seq_id)
+SELECT seq_id // {SHARD_SEQS} AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(first_doc) AS first_doc, max(last_doc) AS last_doc,
+       sum({fp}) AS content_fp
+FROM seqs GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 def _global_shuffle_sql() -> str:
     """SQL twin of chunking.global_shuffle: the 60-bit md5 order key
     over (salt, doc_id), then ROW_NUMBER over the total order — the
@@ -1950,7 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multi-green). The train_bpe_merges/global_shuffle head additions
     # displace the multi-green stringops and dedup_exact_groups to the
     # tail.
-    # Window = first 50 of 92; every tail entry has >= 2 green driver
+    # Window = first 50 of 93; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -1968,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW this round: zero driver signal
         "train_bpe_merges": _wrap(curation.train_bpe_merges),
         "bpe_encode": _wrap(curation.bpe_encode),
+        "export_shards": _wrap(chunking.export_shards),
         "global_shuffle": _wrap(chunking.global_shuffle),
         "substring_span_dedup": _wrap(dedup.substring_span_dedup),
         "bm25_search": _wrap(retrieval.bm25_search),
@@ -2608,6 +2652,7 @@ FROM t ORDER BY doc_id
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
         "train_bpe_merges": _train_bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "export_shards": _export_shards_sql(),
         "global_shuffle": _global_shuffle_sql(),
         "substring_span_dedup": _substring_span_dedup_sql(),
         "bm25_search": _bm25_search_sql(),

@@ -272,3 +272,78 @@ def global_shuffle(
     return ranked.select(
         F.col("rank").alias("pos"), "ord_key", "doc_id"
     ).orderBy("pos")
+
+
+SHARD_SEQS = 8  # sandbox-scale default: several shards at every SF so
+# the driver contract exercises real shard boundaries; production sets
+# this from target shard bytes (e.g. 2^14 sequences ≈ 1 GB at 4-byte
+# tokens and 16k context)
+
+
+def export_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    context: int = PACK_CONTEXT,
+    seqs_per_shard: int = SHARD_SEQS,
+    docs: DataFrame | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """Shard manifest for the packed training stream — the EXPORT step
+    after ``pack_sequences``: consecutive packed sequences are grouped
+    into fixed-count shards (``shard_id = seq_id div seqs_per_shard``
+    — deterministic, contiguous, so a consumer can stream shard k
+    without reading shard k−1, and epoch shuffling can permute at
+    shard granularity). Per shard the manifest carries row counts,
+    token totals, the covered doc-id range, and ``content_fp`` — an
+    ORDER-INDEPENDENT integer checksum (decimal sum of the 60-bit
+    md5 prefix of each sequence's stat row, the checkpoint-manifest
+    convention) that pins the shard's exact content: a re-export from
+    changed input cannot collide silently, and a resumed export can
+    verify staged shards before trusting them.
+
+    With ``path`` the sequence rows are also written as parquet
+    partitioned by ``shard_id`` (directory-prunable — a consumer
+    reads exactly its shard) with the manifest alongside under
+    ``_manifest``; the returned manifest is identical either way.
+    Scale shape: everything up to the manifest is the proven
+    pack_sequences plan (two-pass distributed prefix sum) plus one
+    bounded groupBy on the ~N/context-row sequence table — no new
+    corpus-sized shuffle."""
+    seqs = pack_sequences(spark, sf_dir, context=context, docs=docs)
+    sh = seqs.withColumn(
+        "shard_id", F.expr(f"CAST(seq_id DIV {int(seqs_per_shard)} AS BIGINT)")
+    )
+    row_fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("seq_id").cast("string"),
+                    F.col("n_docs").cast("string"),
+                    F.col("n_tokens").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    manifest = (
+        sh.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_seqs"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("first_doc").alias("first_doc"),
+            F.max("last_doc").alias("last_doc"),
+            F.sum(row_fp).cast("decimal(38,0)").alias("content_fp"),
+        )
+        .orderBy("shard_id")
+    )
+    if path is not None:
+        sh.write.mode("overwrite").partitionBy("shard_id").parquet(
+            f"{path}/shards"
+        )
+        manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+    return manifest
