@@ -1706,6 +1706,52 @@ FROM seqs GROUP BY shard_id ORDER BY shard_id
 """
 
 
+def _dsir_importance_sql() -> str:
+    """SQL twin of curation.dsir_importance: hashed-bigram buckets
+    (60-bit md5 mod n_buckets), the rational per-bucket target/raw
+    weight ``(ct+1)*10000 // (cr+1)``, occurrence-weighted per-doc sum
+    — integer arithmetic end-to-end, so the floor divisions are
+    order-independent (the bm25 rational-scoring precedent).
+    Constants come from the module (INGEST_BOUNDARY precedent)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+    )
+
+    h = _hex60_sql("md5(bigram)")
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_target,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+bi AS (
+  SELECT doc_id, is_target,
+         unnest(list_transform(list_zip(w[1:len(w) - 1], w[2:len(w)]),
+                p -> concat(p[1], ' ', p[2]))) AS bigram
+  FROM t WHERE len(w) >= 2),
+db AS (
+  SELECT doc_id, is_target, ({h}) % {DSIR_BUCKETS} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM bi GROUP BY doc_id, is_target, bucket),
+wt AS (
+  SELECT bucket,
+         (sum(CASE WHEN is_target THEN cnt ELSE 0 END) + 1) * 10000
+           // (sum(cnt) + 1) AS w_e4
+  FROM db GROUP BY bucket),
+sc AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feat,
+         CAST(sum(cnt * w_e4) AS BIGINT) AS score_e4
+  FROM db JOIN wt USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(n_feat, 0) AS n_feat,
+       COALESCE(score_e4, 0) AS score_e4,
+       COALESCE(score_e4 // n_feat, 0) AS avg_e4
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN sc ON d.doc_id = sc.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _global_shuffle_sql() -> str:
     """SQL twin of chunking.global_shuffle: the 60-bit md5 order key
     over (salt, doc_id), then ROW_NUMBER over the total order — the
@@ -1993,7 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multi-green). The train_bpe_merges/global_shuffle head additions
     # displace the multi-green stringops and dedup_exact_groups to the
     # tail.
-    # Window = first 50 of 93; every tail entry has >= 2 green driver
+    # Window = first 50 of 94; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -2012,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_bpe_merges": _wrap(curation.train_bpe_merges),
         "bpe_encode": _wrap(curation.bpe_encode),
         "export_shards": _wrap(chunking.export_shards),
+        "dsir_importance": _wrap(curation.dsir_importance),
         "global_shuffle": _wrap(chunking.global_shuffle),
         "substring_span_dedup": _wrap(dedup.substring_span_dedup),
         "bm25_search": _wrap(retrieval.bm25_search),
@@ -2653,6 +2700,7 @@ FROM t ORDER BY doc_id
         "train_bpe_merges": _train_bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "export_shards": _export_shards_sql(),
+        "dsir_importance": _dsir_importance_sql(),
         "global_shuffle": _global_shuffle_sql(),
         "substring_span_dedup": _substring_span_dedup_sql(),
         "bm25_search": _bm25_search_sql(),

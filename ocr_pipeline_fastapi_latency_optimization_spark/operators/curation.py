@@ -1174,3 +1174,106 @@ def semantic_decontaminate(
         )
         .orderBy("doc_id")
     )
+
+
+# --- DSIR-style hashed n-gram importance weighting -------------------
+#
+# Data Selection with Importance Resampling (Xie et al., 2023,
+# arXiv:2302.03169) scores each raw document by how much its hashed
+# n-gram feature distribution looks like a TARGET corpus versus the raw
+# corpus, then resamples by that weight. The published estimator sums
+# log(p_target[b]/p_raw[b]) over the document's hashed-bigram buckets;
+# logs are transcendental and engine-dependent at the ULP, so — the
+# bm25_search precedent — this implementation scores with the RATIONAL
+# per-bucket surrogate
+#
+#   w_e4[b] = ((ct[b] + 1) * 10000) div (cr[b] + 1)
+#
+# (Laplace-smoothed target/raw occurrence ratio in 1/10000ths, integer
+# floor division; the constant normalizer (T_raw + B)/(T_target + B)
+# is bucket-independent and therefore dropped — scores scale, ranks
+# don't move). Integer arithmetic end-to-end keeps the score
+# bit-identical across Spark / pandas / DuckDB on any partitioning,
+# and (ct + 1) * 10⁴ stays inside an ANSI long until a single bucket
+# holds ~9·10¹⁴ occurrences — far past 100 TB at 2²⁰ buckets.
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = DSIR_BUCKETS,
+    target_lang: str = DSIR_TARGET_LANG,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance score against the ``target_lang``
+    slice of the corpus itself (the sandbox stand-in for "Wikipedia as
+    the target"): hashed-bigram bucket = 60-bit md5 mod ``n_buckets``,
+    per-bucket rational weight as above, per-doc ``score_e4`` = the
+    occurrence-weighted sum and ``avg_e4`` = score div n_feat (the
+    length-normalized rank key a resampler actually sorts by; 0
+    sentinel for bigram-less docs — no NULLs in oracle-checked output).
+
+    Scale shape: ONE corpus-sized shuffle (the map-side-combined
+    (doc_id, bucket) count straight off the bigram explode); the
+    bucket weight table is exactly ``n_buckets`` rows → broadcast
+    join back; the final per-doc sum re-aggregates the already-shrunk
+    doc-bucket table. Nothing all-pairs, nothing driver-side."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    pairs = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("bigram")), 1, 15), 16, 10).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+    doc_buckets = (
+        docs.select(
+            "doc_id",
+            (F.col("lang") == target_lang).alias("is_target"),
+            F.explode(pairs).alias("bigram"),
+        )
+        .select("doc_id", "is_target", bucket.alias("bucket"))
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    weights = doc_buckets.groupBy("bucket").agg(
+        (
+            (
+                F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(F.lit(0)))
+                + F.lit(1)
+            )
+            * F.lit(10000)
+        ).alias("num"),
+        (F.sum("cnt") + F.lit(1)).alias("den"),
+    ).select("bucket", F.expr("num div den").alias("w_e4"))
+    scored = (
+        doc_buckets.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_feat"),
+            F.sum(F.col("cnt") * F.col("w_e4")).alias("score_e4"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feat", F.lit(0).cast("long")).alias("n_feat"),
+            F.coalesce("score_e4", F.lit(0).cast("long")).alias("score_e4"),
+            F.coalesce(
+                F.expr("score_e4 div n_feat"), F.lit(0).cast("long")
+            ).alias("avg_e4"),
+        )
+        .orderBy("doc_id")
+    )

@@ -622,3 +622,61 @@ def test_bpe_encode_accepts_external_merges(spark):
     # 'ab' -> 1 token under the (a,b) merge; 'ba' -> 2 tokens ('b','a'
     # — replace is positional, never commutative)
     assert out.loc[7, "n_bpe_tokens"] == 3
+
+
+@pytest.fixture()
+def dsir_corpus(spark, tmp_path):
+    """Two vocabularies: target-lang docs speak 'alpha beta', non-target
+    docs speak 'zeta omega', plus one non-target doc written in the
+    TARGET vocabulary (the doc DSIR exists to find) and one bigram-less
+    doc (sentinel path)."""
+    rows = [
+        (0, "alpha beta alpha beta gamma alpha beta", "en", "s", 1),
+        (1, "beta alpha beta gamma alpha beta alpha", "en", "s", 1),
+        (2, "zeta omega zeta omega psi zeta omega", "de", "s", 1),
+        (3, "omega zeta omega psi zeta omega zeta", "de", "s", 1),
+        (4, "alpha beta gamma alpha beta alpha", "de", "s", 1),  # target-like
+        (5, "single", "de", "s", 1),  # no bigrams
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    path = str(tmp_path / "d")
+    spark.createDataFrame(pdf).write.parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_dsir_importance_ranks_target_like_text(spark, dsir_corpus):
+    out = (
+        curation.dsir_importance(spark, dsir_corpus)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # the non-target doc written in the target vocabulary outranks the
+    # non-target docs written in their own vocabulary
+    assert out.loc[4, "avg_e4"] > out.loc[2, "avg_e4"]
+    assert out.loc[4, "avg_e4"] > out.loc[3, "avg_e4"]
+    # target-language docs score far above the non-target vocabulary
+    assert out.loc[0, "avg_e4"] > 2 * out.loc[2, "avg_e4"]
+    assert out.loc[1, "avg_e4"] > 2 * out.loc[3, "avg_e4"]
+    # bigram-less doc takes the 0 sentinels, not NULL
+    assert out.loc[5, "n_feat"] == 0
+    assert out.loc[5, "score_e4"] == 0 and out.loc[5, "avg_e4"] == 0
+    # occurrence-weighted: score_e4 = sum over features, so n_feat
+    # equals the doc's bigram count (6 for a 7-token doc)
+    assert out.loc[0, "n_feat"] == 6
+
+
+def test_dsir_importance_partitioning_invariant(spark, dsir_corpus):
+    a = curation.dsir_importance(spark, dsir_corpus).toPandas()
+    docs = (
+        spark.read.parquet(f"{dsir_corpus}/documents.parquet").repartition(7)
+    )
+    b = curation.dsir_importance(spark, dsir_corpus, docs=docs).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_dsir_importance_rejects_bad_buckets(spark, dsir_corpus):
+    with pytest.raises(ValueError):
+        curation.dsir_importance(spark, dsir_corpus, n_buckets=0)
