@@ -746,6 +746,30 @@ ORDER BY d.doc_id
     )
 
 
+def _cluster_safe_split_sql() -> str:
+    """SQL twin of curation.cluster_safe_split: the recursive-CC chain
+    (shared ``_cc_cte``), then the dataset_split hash grid keyed on the
+    CLUSTER id instead of the doc id. Bounds come from the module."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        SPLIT_BOUNDS,
+    )
+
+    cell = _hex60_sql("md5(CAST(cluster_id AS VARCHAR))")
+    return (
+        _cc_cte()
+        + f""",
+lab AS (
+  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+g AS (SELECT doc_id, cluster_id, ({cell}) % 10000 AS cell FROM lab)
+SELECT doc_id, cluster_id,
+       CASE WHEN cell < {SPLIT_BOUNDS[0]} THEN 'train'
+            WHEN cell < {SPLIT_BOUNDS[1]} THEN 'val' ELSE 'test' END AS split
+FROM g ORDER BY doc_id
+"""
+    )
+
+
 def _funnel_full_sql() -> str:
     """DuckDB twin of curation.curation_funnel_full. The extraction
     stage over the documents source is passthrough (the proven
@@ -2039,7 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multi-green). The train_bpe_merges/global_shuffle head additions
     # displace the multi-green stringops and dedup_exact_groups to the
     # tail.
-    # Window = first 50 of 94; every tail entry has >= 2 green driver
+    # Window = first 50 of 95; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -2059,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _wrap(curation.bpe_encode),
         "export_shards": _wrap(chunking.export_shards),
         "dsir_importance": _wrap(curation.dsir_importance),
+        "cluster_safe_split": _wrap(curation.cluster_safe_split),
         "global_shuffle": _wrap(chunking.global_shuffle),
         "substring_span_dedup": _wrap(dedup.substring_span_dedup),
         "bm25_search": _wrap(retrieval.bm25_search),
@@ -2701,6 +2726,7 @@ FROM t ORDER BY doc_id
         "bpe_encode": _bpe_encode_sql(),
         "export_shards": _export_shards_sql(),
         "dsir_importance": _dsir_importance_sql(),
+        "cluster_safe_split": _cluster_safe_split_sql(),
         "global_shuffle": _global_shuffle_sql(),
         "substring_span_dedup": _substring_span_dedup_sql(),
         "bm25_search": _bm25_search_sql(),

@@ -1277,3 +1277,50 @@ def dsir_importance(
         )
         .orderBy("doc_id")
     )
+
+
+def cluster_safe_split(
+    spark: SparkSession,
+    sf_dir: str,
+    bounds: tuple = SPLIT_BOUNDS,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup-cluster-aware train/val/test assignment — the split
+    ``dataset_split`` cannot give you: hashing each document's id keeps
+    membership stable, but two NEAR-DUPLICATE documents hash
+    independently, so one lands in train and its twin in test —
+    eval-set leakage measured by every dedup paper. Here the hash-grid
+    cell is computed from the document's near-dup CLUSTER id (MinHash-
+    LSH candidate pairs → star-contraction components; unclustered
+    docs are their own cluster), so an entire duplicate cluster moves
+    between splits as one atom and near-dups can never straddle the
+    train/eval boundary.
+
+    Stable under growth in the same sense as ``dataset_split`` AS LONG
+    AS clusters don't merge: a new document joining an existing cluster
+    inherits the cluster's split; a new pair MERGING two clusters
+    re-keys the merged cluster (min-label contraction) — documented,
+    unavoidable under any cluster-atomic scheme. Scale shape: the
+    cluster labels are the tiny side of one left equi-join onto the
+    corpus (AQE broadcasts); everything upstream is the proven
+    LSH + O(log² n) contraction stack."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    cc = connected_components(minhash_lsh_pairs(spark, sf_dir))
+    joined = docs.select("doc_id").join(
+        cc, docs["doc_id"] == cc["node"], "left"
+    )
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    cell = _hash_grid(cluster)
+    split = (
+        F.when(cell < bounds[0], F.lit("train"))
+        .when(cell < bounds[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return joined.select(
+        "doc_id", cluster.alias("cluster_id"), split.alias("split")
+    ).orderBy("doc_id")

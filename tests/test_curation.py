@@ -680,3 +680,85 @@ def test_dsir_importance_partitioning_invariant(spark, dsir_corpus):
 def test_dsir_importance_rejects_bad_buckets(spark, dsir_corpus):
     with pytest.raises(ValueError):
         curation.dsir_importance(spark, dsir_corpus, n_buckets=0)
+
+
+@pytest.fixture()
+def neardup_corpus(spark, tmp_path):
+    """Many near-duplicate pairs (one-word edits of a long template) so
+    MinHash-LSH clusters them, plus unrelated singletons."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "jugglers rehearse beside the quiet harbor under pale morning light"
+    )
+    rows = []
+    for i in range(12):
+        rows.append((2 * i, f"{base} variant {i}", "en", "s", 1))
+        rows.append((2 * i + 1, f"{base} variant {i} extra", "en", "s", 1))
+    for j in range(6):
+        rows.append(
+            (
+                100 + j,
+                f"only{j} words{j} carrying{j} suffix{j} number{j} appear{j} "
+                f"here{j} item{j} token{j} word{j} flora{j} "
+                f"fauna{j} stone{j} river{j} cloud{j}",
+                "en",
+                "s",
+                1,
+            )
+        )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    path = str(tmp_path / "nd")
+    spark.createDataFrame(pdf).write.parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_cluster_safe_split_never_straddles_pairs(spark, neardup_corpus):
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    out = curation.cluster_safe_split(spark, neardup_corpus).toPandas()
+    split_of = dict(zip(out["doc_id"], out["split"]))
+    cluster_of = dict(zip(out["doc_id"], out["cluster_id"]))
+    pairs = dedup.minhash_lsh_pairs(spark, neardup_corpus).toPandas()
+    assert len(pairs) >= 6  # the fixture really clusters
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert split_of[a] == split_of[b]
+        assert cluster_of[a] == cluster_of[b]
+    # non-vacuous: the plain doc-id hash WOULD have straddled at least
+    # one of these pairs (the leakage cluster_safe_split exists to stop)
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        SPLIT_BOUNDS,
+        _hash_grid,
+    )
+    import pyspark.sql.functions as F
+
+    cells = (
+        spark.read.parquet(f"{neardup_corpus}/documents.parquet")
+        .select("doc_id", _hash_grid(F.col("doc_id")).alias("cell"))
+        .toPandas()
+    )
+    id_split = {
+        r.doc_id: (
+            "train" if r.cell < SPLIT_BOUNDS[0] else "val" if r.cell < SPLIT_BOUNDS[1] else "test"
+        )
+        for r in cells.itertuples()
+    }
+    straddled = [
+        (a, b)
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+        if id_split[a] != id_split[b]
+    ]
+    assert straddled, "fixture must demonstrate doc-id-hash leakage"
+
+
+def test_cluster_safe_split_singletons_match_plain_split(spark, neardup_corpus):
+    """Docs in no candidate cluster get exactly the dataset_split
+    assignment (cluster_id = doc_id), so adopting the cluster-safe
+    split does not move the un-clustered 99% of the corpus."""
+    out = (
+        curation.cluster_safe_split(spark, neardup_corpus)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    singles = out[out.index == out["cluster_id"]]
+    clustered = out[out.index != out["cluster_id"]]
+    assert len(singles) >= 6 and len(clustered) >= 12
