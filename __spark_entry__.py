@@ -2044,7 +2044,8 @@ def _wrap(mod_fn):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order IS the driver's check order and the driver records at
     # most 50 rows per round. Round-6 hygiene (house rule):
-    # HEAD = the round-6 NEW entries (train_bpe_merges, bpe_encode,
+    # HEAD = the round-6 NEW entries (winnowing_overlap,
+    # train_bpe_merges, bpe_encode,
     # global_shuffle, substring_span_dedup, semantic_decontaminate,
     # semantic_dedup_text_by_domain,
     # incremental_text_domain_dedup, vocab_top_tokens,
@@ -2079,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # --- NEW this round: zero driver signal
+        "winnowing_overlap": _wrap(dedup.winnowing_overlap),
         "train_bpe_merges": _wrap(curation.train_bpe_merges),
         "bpe_encode": _wrap(curation.bpe_encode),
         "export_shards": _wrap(chunking.export_shards),
@@ -2208,6 +2210,56 @@ def _cos_e6(a: str, b: str) -> str:
         f"x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
     )
     return f"CAST(floor({dot} / ({a}.nrm * {b}.nrm) * 1000000.0) AS BIGINT)"
+
+
+def _winnowing_sql() -> str:
+    """SQL twin of dedup.winnowing_overlap: the same k-gram 60-bit md5
+    hashes (via ``_hex60_sql`` — its internal lambda binds ``i``, so the
+    outer gram/window lambdas bind ``p``/``j``), window minima selected
+    by VALUE (no position tie-break needed for the fingerprint SET),
+    the same boilerplate DF cap and integer containment score."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_MAX_DF,
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+    )
+
+    gram_hash = _hex60_sql(
+        f"md5(array_to_string(ts[p:p+{WINNOW_K}-1], ' '))"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(ts) - {WINNOW_K} + 1),
+                        p -> {gram_hash}) AS gs
+  FROM tok WHERE len(ts) >= {WINNOW_K}),
+fp AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(gs) - {WINNOW_W} + 1, 1)),
+           j -> list_min(gs[j:j+{WINNOW_W}-1])))) AS fp
+  FROM g),
+kept AS (
+  SELECT f.doc_id, f.fp FROM fp f
+  JOIN (SELECT fp FROM fp GROUP BY fp
+        HAVING count(*) <= {WINNOW_MAX_DF}) h USING (fp)),
+nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared_fps
+  FROM kept a JOIN kept b USING (fp) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED})
+SELECT doc_a, doc_b, shared_fps,
+       (shared_fps * 10000) // least(na.nf, nb.nf) AS overlap_e4
+FROM pairs
+JOIN nf na ON na.doc_id = doc_a
+JOIN nf nb ON nb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2722,6 +2774,7 @@ FROM t ORDER BY doc_id
         "embed_documents": _embed_documents_sql(),
         "semantic_dedup_text_by_domain": _semantic_text_by_domain_sql(),
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
+        "winnowing_overlap": _winnowing_sql(),
         "train_bpe_merges": _train_bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "export_shards": _export_shards_sql(),

@@ -1068,3 +1068,132 @@ def substring_span_dedup(
         )
     )
     return out.orderBy("doc_id")
+
+
+# --- winnowing fingerprint overlap -------------------------------------------
+#
+# substring_span_dedup answers "how much of THIS doc is duplicated
+# anywhere"; the remaining span-granularity question is "WHICH PAIRS of
+# documents share local content" — plagiarism-style overlap that
+# survives insertions and reorderings that break whole-document
+# near-dup signatures. The standard algorithm is winnowing (Schleimer,
+# Wilkerson & Aiken, SIGMOD 2003 — the MOSS fingerprinter): hash every
+# k-gram, slide a w-window over the hash sequence, and keep the MINIMUM
+# hash of each window. The guarantee: any shared run of w+k-1 tokens
+# contributes at least one IDENTICAL selected fingerprint to both
+# documents, while only ~2/(w+1) of all grams are kept — a principled
+# 1/w sampling that, unlike stride hashing, needs no offset alignment
+# (winnowing selects by VALUE, so the same shared run selects the same
+# minima in both docs regardless of where it starts).
+
+WINNOW_K = 4  # tokens per gram (shared run of K+W-1 = 7 tokens guaranteed)
+WINNOW_W = 4  # window of consecutive gram hashes per fingerprint
+WINNOW_MAX_DF = 32  # fingerprints in more docs than this are boilerplate
+WINNOW_MIN_SHARED = 2  # pair verdict needs >= 2 shared fingerprints
+
+
+def winnowing_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_df: int = WINNOW_MAX_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Document pairs sharing winnowed fingerprints, with an integer
+    containment score.
+
+    Plan shape, stage by stage:
+
+    * fingerprint selection is ONE narrow JVM expression per document
+      (token split → gram md5 via ``transform(sequence(...))`` → window
+      minima → ``array_distinct``) — whole-stage codegen, zero Python,
+      zero shuffle; a doc with fewer than ``k`` tokens has no grams and
+      short docs (fewer than ``w`` grams) collapse to one whole-doc
+      window, so coverage never silently drops;
+    * the DF cap is the skew guard: a fingerprint present in more than
+      ``max_df`` documents is boilerplate by definition (its gram text
+      is ubiquitous, hence non-discriminative) and generating its
+      C(df,2) pairs would be the quadratic hot bucket every bucket-join
+      family here avoids; the cap bounds any bucket's fan-out at
+      C(max_df,2) exactly like the LSH band-bucket discipline;
+    * pair generation is a self-equi-join on the 60-bit fingerprint
+      (fixed-width uniform key), one hash aggregate per pair, then two
+      doc-cardinality equi-joins to attach post-cap fingerprint counts.
+
+    ``overlap_e4 = shared·10⁴ div min(nf_a, nf_b)`` — integer
+    containment of the smaller fingerprint set, so the DuckDB twin is
+    bit-exact. Deterministic total order (doc_a, doc_b).
+
+    Winnowing selects minima by VALUE (no position tie-break needed for
+    the fingerprint SET: whichever position wins a tie, the selected
+    minimum hash is the same), so both engines agree without replaying
+    selection order. 60-bit md5-prefix hashes make cross-gram collisions
+    negligible but not load-bearing: a collision only ever ADDS a
+    candidate fingerprint match, never drops one.
+    """
+    if k <= 0 or w <= 0 or max_df < 2 or min_shared <= 0:
+        raise ValueError(
+            f"invalid winnowing params k={k} w={w} "
+            f"max_df={max_df} min_shared={min_shared}"
+        )
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    # grams: 60-bit md5 prefix of each k-token window, one JVM expr
+    grams = (
+        "transform(sequence(1, size(toks) - {k} + 1), "
+        "p -> CAST(conv(substring(md5(array_join(slice(toks, p, {k}), ' ')), "
+        "1, 15), 16, 10) AS BIGINT))"
+    ).format(k=k)
+    fps = (
+        "array_distinct(transform("
+        "sequence(1, greatest(size(gs) - {w} + 1, 1)), "
+        "j -> array_min(slice(gs, j, {w}))))"
+    ).format(w=w)
+    fp = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), t -> t != '')").alias("toks"),
+        )
+        .filter(F.size("toks") >= k)
+        .select("doc_id", F.expr(grams).alias("gs"))
+        .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
+    )
+    kept = fp.join(
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp"),
+        "fp",
+        "left_semi",
+    )
+    nf = kept.groupBy("doc_id").agg(F.count("*").alias("nf"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return (
+        pairs.join(nf.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("nf", "nf_a")
+        .join(
+            nf.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "nf", "nf_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.expr("(shared_fps * 10000) div least(nf_a, nf_b)").alias(
+                "overlap_e4"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1358,3 +1358,119 @@ def test_substring_span_dedup_rejects_bad_params(spark):
 
     with pytest.raises(ValueError):
         dedup.substring_span_dedup(spark, "", width=0)
+
+
+# --- winnowing fingerprint overlap -------------------------------------------
+
+
+def _winnow_ref(text, k=4, w=4):
+    """Pure-python reference winnowing (Schleimer et al. 2003):
+    60-bit md5 k-gram hashes, min per w-window, distinct set."""
+    import hashlib
+
+    toks = [t for t in text.split(" ") if t != ""]
+    if len(toks) < k:
+        return set()
+    gs = [
+        int(
+            hashlib.md5(
+                " ".join(toks[p : p + k]).encode("utf-8")
+            ).hexdigest()[:15],
+            16,
+        )
+        for p in range(len(toks) - k + 1)
+    ]
+    nw = max(len(gs) - w + 1, 1)
+    return {min(gs[j : j + w]) for j in range(nw)}
+
+
+def test_winnowing_matches_python_reference(spark):
+    """The Spark fingerprint/pair plan equals a from-scratch python
+    winnowing implementation on a mixed fixture (shared runs, a
+    short doc, a sub-k doc)."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "X Y alpha beta gamma delta epsilon zeta eta theta Q R S"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "one two three four five six INSERT seven eight nine ten"),
+        (4, "tiny doc"),  # < k tokens: no grams
+        (5, "lone words nothing shared here with anyone else at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    out = dedup.winnowing_overlap(
+        spark, "", docs=docs, min_shared=1, max_df=32
+    ).toPandas()
+    fps = {d: _winnow_ref(t) for d, t in rows}
+    want = []
+    for a in sorted(fps):
+        for b in sorted(fps):
+            if a < b and fps[a] & fps[b]:
+                shared = len(fps[a] & fps[b])
+                want.append(
+                    (a, b, shared, shared * 10000 // min(len(fps[a]), len(fps[b])))
+                )
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == want, (got, want)
+    assert any(r[0] == 0 and r[1] == 1 for r in got), (
+        "offset-shifted shared run must still pair (winnowing selects "
+        "by value, not offset)"
+    )
+
+
+def test_winnowing_guarantee_shared_run_always_fingerprints(spark):
+    """The winnowing guarantee: any shared run of w+k-1 tokens yields
+    at least one identical selected fingerprint in both documents —
+    regardless of the offsets at which the run occurs (the property
+    stride hashing lacks)."""
+    import random
+
+    rng = random.Random(11)
+    run = " ".join(f"shared{i}" for i in range(7))  # w+k-1 = 7 tokens
+    mk = lambda n, tag: " ".join(  # noqa: E731
+        f"{tag}{rng.randrange(10**6)}" for _ in range(n)
+    )
+    rows = []
+    for d in range(6):
+        # the run lands at a different, non-congruent offset in each doc
+        left = mk(3 + 7 * d, f"u{d}_")
+        rows.append((d, left + " " + run + " " + mk(11, f"v{d}_")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    out = dedup.winnowing_overlap(
+        spark, "", docs=docs, min_shared=1, max_df=32
+    ).toPandas()
+    pairs = {(r.doc_a, r.doc_b) for r in out.itertuples(index=False)}
+    for a in range(6):
+        for b in range(a + 1, 6):
+            assert (a, b) in pairs, f"shared 7-token run missed for {(a, b)}"
+
+
+def test_winnowing_boilerplate_cap_drops_hot_fingerprints(spark):
+    """A fingerprint present in more than max_df documents is dropped
+    before pair generation: docs related ONLY through ubiquitous
+    boilerplate produce no pairs (and no quadratic bucket)."""
+    boiler = "all rights reserved license header boilerplate text"
+    rows = [(d, f"unique{d}a unique{d}b " + boiler) for d in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    hot = dedup.winnowing_overlap(
+        spark, "", docs=docs, min_shared=1, max_df=4
+    ).toPandas()
+    assert hot.empty, "boilerplate-only relations must be capped away"
+    cold = dedup.winnowing_overlap(
+        spark, "", docs=docs, min_shared=1, max_df=32
+    ).toPandas()
+    assert len(cold) == 8 * 7 // 2, "without the cap every pair collides"
+
+
+def test_winnowing_rejects_bad_params(spark):
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    with pytest.raises(ValueError):
+        dedup.winnowing_overlap(spark, "", k=0)
+    with pytest.raises(ValueError):
+        dedup.winnowing_overlap(spark, "", max_df=1)
