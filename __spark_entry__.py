@@ -601,6 +601,26 @@ def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicate_groups_df(docs.unionByName(planted))
 
 
+def _q_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom probe over the corpus plus a planted re-ingest slice: every
+    50th EXISTING doc re-arrives in the batch under a shifted id, so the
+    driver exercises both verdicts — 'dup_candidate' (the planted slice;
+    the raw corpus has no cross-boundary duplicates at sf0.01) and 'new'
+    (everything else). Mirrored exactly in the SQL twin."""
+    _pin_session(spark)
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < dedup.INGEST_BOUNDARY)
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    return dedup.bloom_dedup_probe(
+        spark, sf_dir, docs=docs.unionByName(planted)
+    )
+
+
 # --- MinHash / SimHash DuckDB oracles: the md5-based hashes are exactly
 # replicable in SQL once hex→int exists; this 60-bit kernel mirrors
 # Spark's conv(substring(md5(x),1,15),16,10) with pure integer arithmetic
@@ -2081,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW this round: zero driver signal
         "winnowing_overlap": _wrap(dedup.winnowing_overlap),
+        "bloom_dedup_probe": _q_bloom_dedup_probe,
         "train_bpe_merges": _wrap(curation.train_bpe_merges),
         "bpe_encode": _wrap(curation.bpe_encode),
         "export_shards": _wrap(chunking.export_shards),
@@ -2259,6 +2280,56 @@ FROM pairs
 JOIN nf na ON na.doc_id = doc_a
 JOIN nf nb ON nb.doc_id = doc_b
 ORDER BY doc_a, doc_b
+"""
+
+
+def _bloom_sql() -> str:
+    """SQL twin of dedup.bloom_dedup_probe: identical md5-derived bit
+    positions (``_hex60_sql`` binds ``i`` internally; the position
+    lambda binds ``s``), 60-bit bitmap words (DuckDB, like ANSI Spark,
+    raises on ``1 << 63``), the same broadcast-shaped left join and
+    all-k-bits verdict."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        BLOOM_WORD_BITS,
+        INGEST_BOUNDARY,
+    )
+
+    pos_hash = _hex60_sql("md5(fp || ':' || CAST(s AS VARCHAR))")
+    wb = BLOOM_WORD_BITS
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 50 = 0 AND doc_id < {INGEST_BOUNDARY}),
+d AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM base),
+pos AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, {BLOOM_HASHES} - 1),
+                s -> {pos_hash} % {BLOOM_BITS})) AS pos
+  FROM d),
+words AS (
+  SELECT pos // {wb} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {wb} AS INTEGER)) AS mask
+  FROM pos WHERE doc_id < {INGEST_BOUNDARY} GROUP BY 1),
+probe AS (
+  SELECT doc_id, pos // {wb} AS word, pos % {wb} AS bit
+  FROM pos WHERE doc_id >= {INGEST_BOUNDARY}),
+hits AS (
+  SELECT p.doc_id,
+         CAST(sum(CASE WHEN w.mask IS NOT NULL
+                        AND ((w.mask >> CAST(p.bit AS INTEGER)) & 1) = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS bits_set
+  FROM probe p LEFT JOIN words w USING (word) GROUP BY p.doc_id)
+SELECT doc_id, bits_set,
+       CASE WHEN bits_set = {BLOOM_HASHES}
+            THEN 'dup_candidate' ELSE 'new' END AS verdict
+FROM hits ORDER BY doc_id
 """
 
 
@@ -2775,6 +2846,7 @@ FROM t ORDER BY doc_id
         "semantic_dedup_text_by_domain": _semantic_text_by_domain_sql(),
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
         "winnowing_overlap": _winnowing_sql(),
+        "bloom_dedup_probe": _bloom_sql(),
         "train_bpe_merges": _train_bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "export_shards": _export_shards_sql(),

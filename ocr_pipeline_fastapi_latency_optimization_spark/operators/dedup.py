@@ -1197,3 +1197,132 @@ def winnowing_overlap(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- bloom-filter membership probe -------------------------------------------
+#
+# The fingerprint-index probes above (incremental_dedup,
+# incremental_minhash_dedup) answer ingest-time membership by joining
+# the batch against a persisted index — exact, but the index side is
+# storage whose size grows with the corpus. The Bloom filter is the
+# opposite trade: a FIXED-size bit array (m bits, k hashes per key)
+# that answers "definitely new" with zero false negatives and
+# "dup candidate" with a tunable false-positive rate
+# (≈ (1 - e^(-kn/m))^k). At 10⁹ corpus fingerprints and 1% FPR the
+# filter is ~1.2 GB — broadcastable to every executor, so the probe
+# side of cross-snapshot dedup touches NO corpus storage at all: the
+# classic first-pass filter in front of an exact index probe.
+
+BLOOM_WORD_BITS = 60  # bits per bitmap word: shifts <= 59 are safe in
+#   both engines (Spark ANSI longs and DuckDB both raise on 1 << 63)
+BLOOM_BITS = 1024 * BLOOM_WORD_BITS  # sandbox default m; production
+#   sizes m ≈ -n·ln(p)/ln(2)² from corpus count and target FPR
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(fp_sql: str, m_bits: int, n_hashes: int) -> Column:
+    """Array of ``n_hashes`` bit positions for one fingerprint column
+    (named by ``fp_sql``): 60-bit md5 prefix of ``fp:i`` mod m — pure
+    JVM, engine-portable (the DuckDB twin replays the identical hex
+    arithmetic)."""
+    return F.expr(
+        (
+            "transform(sequence(0, {k} - 1), s -> "
+            "pmod(CAST(conv(substring(md5(concat({fp}, ':', "
+            "CAST(s AS STRING))), 1, 15), 16, 10) AS BIGINT), {m}))"
+        ).format(k=n_hashes, m=m_bits, fp=fp_sql)
+    )
+
+
+def bloom_filter_words(
+    docs: DataFrame, m_bits: int = BLOOM_BITS, n_hashes: int = BLOOM_HASHES
+) -> DataFrame:
+    """Dense bitmap of the corpus-fingerprint Bloom filter as
+    ``(word, mask)`` rows — at most ``m_bits / 60`` rows regardless of
+    corpus size. Build is one explode (k rows per doc) + one ``bit_or``
+    hash aggregate with map-side partial combine: every executor ORs
+    its local bits before the single shuffle of at most m/60 rows."""
+    return (
+        docs.select(fingerprint(F.col("text")).alias("fp"))
+        .select(
+            F.explode(_bloom_positions("fp", m_bits, n_hashes)).alias("pos")
+        )
+        .select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(f"pos % {BLOOM_WORD_BITS}").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(bit AS INT)))").alias("mask"))
+    )
+
+
+def bloom_dedup_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    boundary: int = INGEST_BOUNDARY,
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Probe the NEW batch (``doc_id >= boundary``) against a Bloom
+    filter built from the EXISTING corpus (``doc_id < boundary``).
+
+    Verdict semantics are the Bloom guarantee, stated exactly:
+
+    * ``new`` — at least one of the k probed bits is unset: the
+      fingerprint is DEFINITELY absent from the corpus (no false
+      negatives, ever);
+    * ``dup_candidate`` — all k bits set: present OR a false positive;
+      a production pipeline forwards only these (typically ~1%) to the
+      exact fingerprint-index probe.
+
+    Plan: the filter frame is ≤ m/60 rows and explicitly broadcast, so
+    the probe is batch-size work — explode k positions per batch doc,
+    broadcast-hash-join, one hash aggregate back to per-doc verdicts.
+    No corpus-sized scan, shuffle, or state appears anywhere on the
+    probe path (the build side scans the corpus once; persist the
+    ``(word, mask)`` frame to amortize it across ingests).
+    """
+    if m_bits <= 0 or m_bits % BLOOM_WORD_BITS != 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of {BLOOM_WORD_BITS}, "
+            f"got {m_bits}"
+        )
+    if n_hashes <= 0:
+        raise ValueError(f"n_hashes must be positive, got {n_hashes}")
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    words = bloom_filter_words(
+        docs.filter(F.col("doc_id") < boundary), m_bits, n_hashes
+    )
+    probe = (
+        docs.filter(F.col("doc_id") >= boundary)
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .select(
+            "doc_id",
+            F.explode(_bloom_positions("fp", m_bits, n_hashes)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(f"pos % {BLOOM_WORD_BITS}").alias("bit"),
+        )
+    )
+    hit = F.expr(
+        "CASE WHEN mask IS NOT NULL "
+        "AND (shiftright(mask, CAST(bit AS INT)) & 1L) = 1L "
+        "THEN 1L ELSE 0L END"
+    )
+    return (
+        probe.join(F.broadcast(words), "word", "left")
+        .select("doc_id", hit.alias("hit"))
+        .groupBy("doc_id")
+        .agg(F.sum("hit").alias("bits_set"))
+        .select(
+            "doc_id",
+            "bits_set",
+            F.when(F.col("bits_set") == n_hashes, F.lit("dup_candidate"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1474,3 +1474,97 @@ def test_winnowing_rejects_bad_params(spark):
         dedup.winnowing_overlap(spark, "", k=0)
     with pytest.raises(ValueError):
         dedup.winnowing_overlap(spark, "", max_df=1)
+
+
+# --- bloom-filter membership probe -------------------------------------------
+
+
+def _bloom_ref_positions(fp_hex, m_bits, n_hashes):
+    """Pure-python replay of the position derivation: 60-bit md5 prefix
+    of 'fp:i' mod m."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{fp_hex}:{s}".encode()).hexdigest()[:15], 16)
+        % m_bits
+        for s in range(n_hashes)
+    ]
+
+
+def test_bloom_probe_matches_python_reference(spark):
+    """bits_set per probe doc equals a from-scratch python bloom build
+    (positions, 60-bit words, membership test) on a mixed fixture."""
+    import hashlib
+    import re
+
+    rows = [(i, f"corpus doc {i} body text") for i in range(10)]
+    rows += [
+        (10, "corpus doc 3 body text"),  # exact dup
+        (11, "Corpus  DOC 7 body   TEXT"),  # normalizes to dup
+        (12, "entirely novel content never indexed"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    out = dedup.bloom_dedup_probe(spark, "", boundary=10, docs=docs).toPandas()
+
+    def fp(t):
+        return hashlib.md5(
+            re.sub(r"\s+", " ", t.lower()).strip().encode()
+        ).hexdigest()
+
+    bits = set()
+    for d, t in rows:
+        if d < 10:
+            bits.update(
+                _bloom_ref_positions(fp(t), dedup.BLOOM_BITS, dedup.BLOOM_HASHES)
+            )
+    want = {}
+    for d, t in rows:
+        if d >= 10:
+            ps = _bloom_ref_positions(fp(t), dedup.BLOOM_BITS, dedup.BLOOM_HASHES)
+            want[d] = sum(1 for p in ps if p in bits)
+    got = {int(r.doc_id): int(r.bits_set) for r in out.itertuples(index=False)}
+    assert got == want, (got, want)
+    verdicts = {int(r.doc_id): r.verdict for r in out.itertuples(index=False)}
+    assert verdicts[10] == "dup_candidate" and verdicts[11] == "dup_candidate"
+    assert verdicts[12] == "new"
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    """The bloom guarantee: a probe doc whose fingerprint IS in the
+    corpus can never read 'new', for any m (even a saturating one)."""
+    rows = [(i, f"seed document {i}") for i in range(20)]
+    rows += [(100 + i, f"seed document {i}") for i in range(20)]  # all dups
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    for m in (dedup.BLOOM_WORD_BITS, dedup.BLOOM_BITS):
+        out = dedup.bloom_dedup_probe(
+            spark, "", boundary=100, m_bits=m, docs=docs
+        ).toPandas()
+        assert (out.verdict == "dup_candidate").all(), m
+
+
+def test_bloom_probe_saturation_degrades_to_candidates_not_errors(spark):
+    """An undersized filter (m = one word) saturates: novel docs become
+    false-positive candidates — the documented FPR trade — but the
+    operator neither errors nor produces false negatives."""
+    rows = [(i, f"filler document number {i}") for i in range(60)]
+    rows += [(200, "genuinely new text")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    out = dedup.bloom_dedup_probe(
+        spark, "", boundary=100, m_bits=dedup.BLOOM_WORD_BITS, docs=docs
+    ).toPandas()
+    assert list(out.verdict) == ["dup_candidate"]  # saturated false positive
+
+
+def test_bloom_probe_rejects_bad_params(spark):
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    with pytest.raises(ValueError):
+        dedup.bloom_dedup_probe(spark, "", m_bits=100)  # not a multiple of 60
+    with pytest.raises(ValueError):
+        dedup.bloom_dedup_probe(spark, "", n_hashes=0)
