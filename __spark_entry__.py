@@ -2102,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW this round: zero driver signal
         "winnowing_overlap": _wrap(dedup.winnowing_overlap),
         "bloom_dedup_probe": _q_bloom_dedup_probe,
+        "cdc_chunks": _wrap(chunking.cdc_chunks),
         "train_bpe_merges": _wrap(curation.train_bpe_merges),
         "bpe_encode": _wrap(curation.bpe_encode),
         "export_shards": _wrap(chunking.export_shards),
@@ -2330,6 +2331,39 @@ SELECT doc_id, bits_set,
        CASE WHEN bits_set = {BLOOM_HASHES}
             THEN 'dup_candidate' ELSE 'new' END AS verdict
 FROM hits ORDER BY doc_id
+"""
+
+
+def _cdc_chunks_sql() -> str:
+    """SQL twin of chunking.cdc_chunks: identical 60-bit md5 token
+    hashes select the cut positions; DuckDB's ``list_distinct`` does not
+    guarantee order (Spark's ``array_distinct`` keeps first occurrence,
+    already ascending), so the twin adds ``list_sort``."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.chunking import (
+        CDC_DIVISOR,
+    )
+
+    tok_hash = _hex60_sql("md5(ts[p])")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents),
+cu AS (
+  SELECT doc_id, ts,
+         list_concat([0], list_sort(list_distinct(list_concat(
+           list_filter(generate_series(1, len(ts)),
+                       p -> {tok_hash} % {CDC_DIVISOR} = 0),
+           [len(ts)])))) AS cuts
+  FROM tok WHERE len(ts) > 0),
+ix AS (
+  SELECT doc_id, ts, cuts,
+         unnest(generate_series(1, len(cuts) - 1)) AS i
+  FROM cu)
+SELECT doc_id,
+       CAST(i - 1 AS INTEGER) AS chunk_idx,
+       CAST(cuts[i + 1] - cuts[i] AS INTEGER) AS n_words,
+       md5(array_to_string(ts[cuts[i] + 1 : cuts[i + 1]], ' ')) AS chunk_fp
+FROM ix ORDER BY doc_id, chunk_idx
 """
 
 
@@ -2847,6 +2881,7 @@ FROM t ORDER BY doc_id
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
         "winnowing_overlap": _winnowing_sql(),
         "bloom_dedup_probe": _bloom_sql(),
+        "cdc_chunks": _cdc_chunks_sql(),
         "train_bpe_merges": _train_bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "export_shards": _export_shards_sql(),

@@ -347,3 +347,77 @@ def export_shards(
         )
         manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
     return manifest
+
+
+# --- content-defined chunking -------------------------------------------------
+#
+# chunk_documents cuts at FIXED offsets, so inserting one word early in
+# a document shifts every later window and changes every downstream
+# chunk fingerprint — the "boundary-shift problem" that defeats
+# chunk-level dedup across document revisions. Content-defined chunking
+# (CDC — the rsync/LBFS/backup-dedup family) cuts where the CONTENT
+# says to: a boundary falls after any token whose hash ≡ 0 (mod D), so
+# boundaries are a property of the local text alone. An insertion only
+# perturbs chunks up to the first boundary after the edit; everything
+# beyond re-fingerprints identically (asserted in tests).
+
+CDC_DIVISOR = 16  # expected chunk length in tokens (geometric lengths;
+#   a production min/max clamp is a parameter lever, not added here
+#   because a max-cut re-introduces offset dependence within long runs)
+
+
+def cdc_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    divisor: int = CDC_DIVISOR,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Content-defined chunks per document: boundary after token t iff
+    its 60-bit md5 hash ≡ 0 (mod ``divisor``).
+
+    Plan shape: entirely per-row narrow JVM expressions — tokenize,
+    compute the boundary-position array, cut the token array between
+    consecutive boundaries, explode. No shuffle except the output sort;
+    fan-out is bounded by the doc's own token count exactly like
+    ``chunk_documents``. Chunk lengths are geometric with mean
+    ``divisor``; emitted as (doc_id, chunk_idx, n_words, chunk_fp) with
+    the md5 fingerprint standing in for the chunk text so cross-engine
+    comparison stays exact and compact.
+    """
+    if divisor <= 1:
+        raise ValueError(f"divisor must be > 1, got {divisor}")
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    tok_hash = (
+        "pmod(CAST(conv(substring(md5(element_at(toks, p)), 1, 15), 16, 10) "
+        f"AS BIGINT), {int(divisor)})"
+    )
+    # cut positions: 0, every boundary token position, n (deduplicated —
+    # the last token may itself be a boundary)
+    cuts = (
+        "concat(array(0), array_distinct(concat("
+        f"filter(sequence(1, size(toks)), p -> {tok_hash} = 0), "
+        "array(size(toks)))))"
+    )
+    # cuts is strictly increasing (0 < first boundary, distinct, n last),
+    # so every piece between consecutive cuts is non-empty by construction
+    pieces = (
+        "transform(sequence(1, size(cuts) - 1), i -> "
+        "slice(toks, element_at(cuts, i) + 1, "
+        "element_at(cuts, i + 1) - element_at(cuts, i)))"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), t -> t != '')").alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+        .select("doc_id", "toks", F.expr(cuts).alias("cuts"))
+        .select("doc_id", F.posexplode(F.expr(pieces)).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("c").cast("int").alias("n_words"),
+            F.md5(F.array_join(F.col("c"), " ")).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -268,3 +268,94 @@ def test_export_shards_manifest_matches_written_data(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(man.reset_index(drop=True), disk_man)
+
+
+# --- content-defined chunking -------------------------------------------------
+
+
+def _cdc_ref(text, divisor=16):
+    """Pure-python reference CDC: cut after any token whose 60-bit md5
+    prefix ≡ 0 (mod divisor); returns the list of chunk token-lists."""
+    import hashlib
+
+    toks = [t for t in text.split(" ") if t != ""]
+    chunks, cur = [], []
+    for t in toks:
+        cur.append(t)
+        if int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % divisor == 0:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    import hashlib
+
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(150))),
+        (1, "single"),
+        (2, ""),  # no tokens: no chunks
+        (3, "a b c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import chunking
+
+    out = chunking.cdc_chunks(spark, "", docs=docs).toPandas()
+    want = []
+    for d, t in rows:
+        for i, c in enumerate(_cdc_ref(t)):
+            want.append(
+                (d, i, len(c), hashlib.md5(" ".join(c).encode()).hexdigest())
+            )
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == want, (got[:5], want[:5])
+
+
+def test_cdc_insertion_locality(spark):
+    """The CDC selling point vs fixed-window chunking: an insertion
+    early in the document only perturbs chunks up to the next boundary;
+    every later chunk re-fingerprints identically. Fixed-window
+    chunking shifts EVERY downstream window."""
+    base = " ".join(f"tok{i}" for i in range(400))
+    edited = base.split(" ")
+    edited.insert(5, "INSERTED_WORD")
+    edited = " ".join(edited)
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id long, text string"
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import chunking
+
+    cdc = chunking.cdc_chunks(spark, "", docs=docs).toPandas()
+    a = set(cdc[cdc.doc_id == 0].chunk_fp)
+    b = set(cdc[cdc.doc_id == 1].chunk_fp)
+    # all but the single edited chunk must survive the insertion
+    assert len(a & b) >= len(a) - 1 and len(a) >= 10, (len(a & b), len(a))
+
+    fixed = chunking.chunk_documents(spark, "", docs=docs).toPandas()
+    fa = set(fixed[fixed.doc_id == 0].chunk_fp)
+    fb = set(fixed[fixed.doc_id == 1].chunk_fp)
+    assert len(fa & fb) == 0, "fixed windows all shift after an insertion"
+
+
+def test_cdc_chunks_cover_every_token(spark):
+    """Chunk lengths per doc sum to the doc's token count — boundaries
+    partition, never drop or duplicate."""
+    rows = [(d, " ".join(f"x{d}_{i}" for i in range(37 * (d + 1)))) for d in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import chunking
+
+    out = chunking.cdc_chunks(spark, "", docs=docs).toPandas()
+    sums = out.groupby("doc_id").n_words.sum().to_dict()
+    assert sums == {d: 37 * (d + 1) for d in range(5)}
+    # chunk_idx is dense 0..k-1 per doc
+    for d, g in out.groupby("doc_id"):
+        assert list(g.chunk_idx) == list(range(len(g)))
+
+
+def test_cdc_rejects_bad_divisor(spark):
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import chunking
+
+    with pytest.raises(ValueError):
+        chunking.cdc_chunks(spark, "", divisor=1)
