@@ -2065,7 +2065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order IS the driver's check order and the driver records at
     # most 50 rows per round. Round-6 hygiene (house rule):
     # HEAD = the round-6 NEW entries (winnowing_overlap,
-    # train_bpe_merges, bpe_encode,
+    # bloom_dedup_probe, cdc_chunks, cms_token_counts,
+    # hll_register_sketch, train_bpe_merges, bpe_encode,
     # global_shuffle, substring_span_dedup, semantic_decontaminate,
     # semantic_dedup_text_by_domain,
     # incremental_text_domain_dedup, vocab_top_tokens,
@@ -2083,8 +2084,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_survivors, incremental_dedup and fuzzy_name_pairs (all
     # multi-green). The train_bpe_merges/global_shuffle head additions
     # displace the multi-green stringops and dedup_exact_groups to the
-    # tail.
-    # Window = first 50 of 95; every tail entry has >= 2 green driver
+    # tail. The five newest head entries (winnowing_overlap,
+    # bloom_dedup_probe, cdc_chunks, cms_token_counts,
+    # hll_register_sketch) displace rate_window, row_counters,
+    # ordered_concat, line_bucketing and enrichment_join_shape — every
+    # row displaced from the r5 window this round was audited fully
+    # green in BOTH r4 and r5 (rows+schema+hash).
+    # Window = first 50 of 100; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -2096,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         olap,
         retrieval,
         similarity,
+        sketches,
     )
 
     return {
@@ -2103,6 +2110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_overlap": _wrap(dedup.winnowing_overlap),
         "bloom_dedup_probe": _q_bloom_dedup_probe,
         "cdc_chunks": _wrap(chunking.cdc_chunks),
+        "cms_token_counts": _wrap(sketches.cms_token_counts),
+        "hll_register_sketch": _wrap(sketches.hll_register_sketch),
         "train_bpe_merges": _wrap(curation.train_bpe_merges),
         "bpe_encode": _wrap(curation.bpe_encode),
         "export_shards": _wrap(chunking.export_shards),
@@ -2331,6 +2340,71 @@ SELECT doc_id, bits_set,
        CASE WHEN bits_set = {BLOOM_HASHES}
             THEN 'dup_candidate' ELSE 'new' END AS verdict
 FROM hits ORDER BY doc_id
+"""
+
+
+def _cms_sql() -> str:
+    """SQL twin of sketches.cms_token_counts: the same md5-derived cell
+    positions (seeds joined from a series rather than a struct unnest —
+    value-equivalent), integer cell counts, min over depth."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_TOPK,
+        CMS_WIDTH,
+    )
+
+    pos = _hex60_sql("md5(token || ':' || CAST(s AS VARCHAR))")
+    return f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents),
+seeds AS (SELECT unnest(generate_series(0, {CMS_DEPTH} - 1)) AS s),
+cells AS (
+  SELECT s AS d, {pos} % {CMS_WIDTH} AS pos
+  FROM tok CROSS JOIN seeds),
+sk AS (SELECT d, pos, CAST(count(*) AS BIGINT) AS cnt
+       FROM cells GROUP BY d, pos),
+top AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+  FROM tok GROUP BY token
+  ORDER BY exact_count DESC, token ASC LIMIT {CMS_TOPK}),
+probes AS (
+  SELECT token, exact_count, s AS d, {pos} % {CMS_WIDTH} AS pos
+  FROM top CROSS JOIN seeds),
+est AS (
+  SELECT token, exact_count, min(cnt) AS est_count
+  FROM probes JOIN sk USING (d, pos) GROUP BY token, exact_count)
+SELECT token, exact_count, est_count,
+       est_count - exact_count AS overcount
+FROM est ORDER BY exact_count DESC, token ASC
+"""
+
+
+def _hll_sql() -> str:
+    """SQL twin of sketches.hll_register_sketch: 60-bit md5 hash split
+    into (register, 52-bit suffix); the leading-zero rank comes from
+    ``length(bin(w))`` — Spark and DuckDB share no-leading-zeros
+    ``bin`` semantics, keeping float log2 out of the boundary cases."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.sketches import (
+        HLL_LOG2M,
+        HLL_WBITS,
+    )
+
+    m = 1 << HLL_LOG2M
+    h = _hex60_sql("md5(token)")
+    return f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents),
+hh AS (SELECT {h} AS h FROM tok),
+rw AS (SELECT h % {m} AS register, h // {m} AS w FROM hh),
+rk AS (
+  SELECT register,
+         CASE WHEN w = 0 THEN {HLL_WBITS + 1}
+              ELSE {HLL_WBITS} + 1 - length(bin(w)) END AS rank
+  FROM rw)
+SELECT register, CAST(max(rank) AS BIGINT) AS max_rank
+FROM rk GROUP BY register ORDER BY register
 """
 
 
@@ -2882,6 +2956,8 @@ FROM t ORDER BY doc_id
         "winnowing_overlap": _winnowing_sql(),
         "bloom_dedup_probe": _bloom_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
+        "cms_token_counts": _cms_sql(),
+        "hll_register_sketch": _hll_sql(),
         "train_bpe_merges": _train_bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "export_shards": _export_shards_sql(),
