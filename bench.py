@@ -211,6 +211,33 @@ def main() -> None:
         "lm_bigram_score",
         lambda: _force(curation.lm_bigram_score(spark, SF_DIR)),
     )
+    # winnowing pair overlap (fingerprint self-join), bloom membership
+    # probe (broadcast bitmap), content-defined chunking (narrow JVM)
+    timed(
+        "winnowing_overlap",
+        lambda: _force(dedup.winnowing_overlap(spark, SF_DIR)),
+    )
+    timed(
+        "bloom_dedup_probe",
+        lambda: _force(dedup.bloom_dedup_probe(spark, SF_DIR)),
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import chunking
+
+    timed(
+        "cdc_chunks",
+        lambda: _force(chunking.cdc_chunks(spark, SF_DIR)),
+    )
+    # fixed-size sketches: constant-state heavy hitters + cardinality
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import sketches
+
+    timed(
+        "cms_token_counts",
+        lambda: _force(sketches.cms_token_counts(spark, SF_DIR)),
+    )
+    timed(
+        "hll_register_sketch",
+        lambda: _force(sketches.hll_register_sketch(spark, SF_DIR)),
+    )
 
     # 7. similarity scale path + block inspection
     timed(

@@ -1219,3 +1219,80 @@ def test_multimodal_compression_envelopes_roundtrip(spark):
     # the sentinel records the exception TYPE (ValueError from the bomb
     # guard), proving the row degraded instead of inflating 64 MiB
     assert out.loc[2, "decode_status"] == "error:ValueError"
+
+
+def test_streaming_bloom_verdicts_match_batch_probe(spark, tmp_path):
+    """The stateless streaming membership tier: verdicts from the
+    literal-map bloom probe over a file stream equal the batch
+    bloom_dedup_probe(index_table=...) on the same docs — including a
+    canonical-form duplicate and a novel doc — with zero streaming
+    state (no watermark, no foreachBatch)."""
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+    from ocr_pipeline_fastapi_latency_optimization_spark.streaming.dedup import (
+        streaming_bloom_verdicts,
+    )
+
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document {i} body") for i in range(50)],
+        "doc_id long, text string",
+    )
+    name = f"blm_{uuid.uuid4().hex[:8]}"
+    try:
+        dedup.persist_bloom_filter(
+            spark, corpus, name, str(tmp_path / "blmidx")
+        )
+        arrivals = [
+            (100, "  Corpus DOCUMENT 7 body ", base),  # canonical dup
+            (101, "never seen before text", base + timedelta(seconds=1)),
+            (102, "corpus document 23 body", base + timedelta(seconds=2)),
+        ]
+        src = tmp_path / "blm_src"
+        src.mkdir()
+        spark.createDataFrame(
+            pd.DataFrame(arrivals, columns=["doc_id", "text", "ts"])
+        ).select("doc_id", "text", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.parquet(str(src / "b0"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .parquet(str(src / "b*"))
+        )
+        qname = f"blmq_{uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_bloom_verdicts(spark, stream, name)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(tmp_path / "blm_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r["doc_id"]: (r["bits_set"], r["verdict"])
+            for r in spark.sql(
+                f"SELECT doc_id, bits_set, verdict FROM {qname}"
+            ).collect()
+        }
+        batch_docs = corpus.unionByName(
+            spark.createDataFrame(
+                [(d, t) for d, t, _ in arrivals], "doc_id long, text string"
+            )
+        )
+        want = {
+            int(r.doc_id): (int(r.bits_set), r.verdict)
+            for r in dedup.bloom_dedup_probe(
+                spark, "", boundary=100, docs=batch_docs, index_table=name
+            )
+            .toPandas()
+            .itertuples(index=False)
+        }
+        assert got == want
+        assert got[100][1] == "dup_candidate" and got[102][1] == "dup_candidate"
+        assert got[101][1] == "new"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

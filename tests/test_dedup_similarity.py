@@ -1568,3 +1568,64 @@ def test_bloom_probe_rejects_bad_params(spark):
         dedup.bloom_dedup_probe(spark, "", m_bits=100)  # not a multiple of 60
     with pytest.raises(ValueError):
         dedup.bloom_dedup_probe(spark, "", n_hashes=0)
+
+
+def test_persist_bloom_filter_probe_append_cycle(spark, tmp_path):
+    """The bloom family joins the index-persistence matrix: persisted
+    probe == in-memory probe byte-identically; append folds a new batch
+    (previously-'new' docs flip to dup_candidate on re-probe); replaying
+    the folded batch is a structural no-op (OR idempotence surfaced via
+    the watermark); a straddling batch raises; a probe under different
+    geometry than recorded raises."""
+    sf = SF_DIR
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    existing = docs.filter(F.col("doc_id") < dedup.INGEST_BOUNDARY)
+    name = "t_bloom_idx"
+    try:
+        dedup.persist_bloom_filter(
+            spark, existing, name, str(tmp_path / "bloom")
+        )
+        got = dedup.bloom_dedup_probe(spark, sf, index_table=name).toPandas()
+        want = dedup.bloom_dedup_probe(spark, sf).toPandas()
+        pd.testing.assert_frame_equal(got, want)
+
+        # append the first half of the new batch; its docs must flip
+        mid = int(dedup.INGEST_BOUNDARY + 10)
+        first = docs.filter(
+            (F.col("doc_id") >= dedup.INGEST_BOUNDARY) & (F.col("doc_id") < mid)
+        )
+        res = dedup.append_to_bloom_filter(spark, name, first)
+        assert res["folded"] == first.count() and res["watermark"] == mid - 1
+        re_probe = dedup.bloom_dedup_probe(
+            spark, sf, boundary=mid, index_table=name
+        ).toPandas()
+        flipped = re_probe[re_probe.doc_id < mid]
+        assert flipped.empty  # boundary excludes them from the batch side
+        # probe the folded docs themselves: all dup_candidate now
+        folded_probe = dedup.bloom_dedup_probe(
+            spark,
+            sf,
+            boundary=dedup.INGEST_BOUNDARY,
+            index_table=name,
+        ).toPandas()
+        sub = folded_probe[folded_probe.doc_id < mid]
+        assert (sub.verdict == "dup_candidate").all() and len(sub) == 10
+
+        # replay: pure no-op
+        res2 = dedup.append_to_bloom_filter(spark, name, first)
+        assert res2 == {"folded": 0, "watermark": mid - 1, "replay": True}
+
+        # straddling raises
+        straddle = docs.filter(
+            (F.col("doc_id") >= mid - 3) & (F.col("doc_id") < mid + 3)
+        )
+        with pytest.raises(ValueError, match="straddles"):
+            dedup.append_to_bloom_filter(spark, name, straddle)
+
+        # geometry mismatch raises
+        with pytest.raises(ValueError, match="different"):
+            dedup.bloom_dedup_probe(
+                spark, sf, n_hashes=dedup.BLOOM_HASHES + 1, index_table=name
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bloom_idx")
