@@ -405,6 +405,23 @@ At 5 k docs the rule picks 72p/8b (512 keys): 640 k candidates (was
 Embed growth 2.8–3.2× for 10× docs (sublinear, narrow JVM pass).
 
 Regenerate with: `python bench/scale_text_run.py`.
+
+## Round-6: sketch/winnowing rung (fixed-size state across a corpus decade)
+
+`bench/scale_sketch_run.py`, local[32], synthetic unrelated corpus
+(100 tokens/doc, vocab ∝ N, one planted offset-shifted 12-token
+overlap pair per 1,000 docs), N = 5,000 vs 50,000 — the late-round-6
+operators measured at 1× and 10×:
+
+| measure | 1× (5 k docs) | 10× (50 k docs) | reading |
+| --- | --- | --- | --- |
+| winnowing wall / pairs / planted recall | 15.7 s / 5 / 5/5 | 35.3 s / 50 / **50/50** | 2.2× wall for 10× docs; emitted pairs exactly track the TRUE overlap (linear), never C(N,2) — the max-df cap bounds every fingerprint bucket; recall survives the head-vs-middle offset shift (the stride-hashing failure mode) |
+| bloom probe vs FIXED sandbox m=61,440 (same 500-doc batch) | 1.34 s / 3 FP | 0.98 s / **224 FP** | probe wall FLAT across the corpus decade (the filter is m bits at any N — contrast: the r5 scan-bounded index probe grew 1.69×/decade) but the fixed m SATURATES at 50 k keys: FPR is the price of not sizing m |
+| bloom probe vs SIZED m = n·ln(1/p)/ln²2 (p=1%) | m=47,940: 0.66 s / 5 FP | m=479,280: 1.07 s / **6 FP** | the m-scales-with-n lever EXECUTED (the bloom twin of the text-family width lever): FPR returns to ~2% at both levels, probe still flat; production derives n from the HLL sketch below |
+| count-min wall / sketch rows / max overcount | 4.5 s / 2,048 / 1,008 | 7.9 s / **2,048** / 9,703 | shuffle state CONSTANT (depth·width) while tokens grow 10×; overcount grows exactly ∝ total/width as documented — width is the lever |
+| HLL wall / registers / rel. error | 1.9 s / 256 / 2.6% | 2.0 s / **256** / 0.07% | flat wall, constant 256-row state, estimator well inside the 1.04/√m envelope at both levels |
+
+Regenerate with: `python bench/scale_sketch_run.py`.
 """
 
     n_turns = levels[LEVELS[-1]]["turns"]
