@@ -2298,8 +2298,14 @@ def _bloom_sql() -> str:
     positions (``_hex60_sql`` binds ``i`` internally; the position
     lambda binds ``s``), 60-bit bitmap words (DuckDB, like ANSI Spark,
     raises on ``1 << 63``), the same broadcast-shaped left join and
-    all-k-bits verdict."""
+    all-k-bits verdict. The filter geometry ADAPTS to the existing-side
+    count through the same integer sizing rule as
+    ``auto_bloom_m_bits`` (the ``cfg`` CTE — the bloom analog of the
+    text family's adaptive-config CTE); at every driver SF the count
+    sits under the sandbox floor, so cfg.m == BLOOM_BITS there."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        _BLOOM_SIZING_DEN,
+        _BLOOM_SIZING_NUM,
         BLOOM_BITS,
         BLOOM_HASHES,
         BLOOM_WORD_BITS,
@@ -2318,11 +2324,16 @@ d AS (
   SELECT doc_id,
          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
   FROM base),
+cfg AS (
+  SELECT greatest({BLOOM_BITS // BLOOM_WORD_BITS},
+                  count(*) * {_BLOOM_SIZING_NUM}
+                    // ({_BLOOM_SIZING_DEN} * {wb}) + 1) * {wb} AS m
+  FROM d WHERE doc_id < {INGEST_BOUNDARY}),
 pos AS (
   SELECT doc_id,
          unnest(list_transform(generate_series(0, {BLOOM_HASHES} - 1),
-                s -> {pos_hash} % {BLOOM_BITS})) AS pos
-  FROM d),
+                s -> {pos_hash} % m)) AS pos
+  FROM d CROSS JOIN cfg),
 words AS (
   SELECT pos // {wb} AS word,
          bit_or(CAST(1 AS BIGINT) << CAST(pos % {wb} AS INTEGER)) AS mask

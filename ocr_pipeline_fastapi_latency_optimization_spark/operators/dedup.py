@@ -1263,8 +1263,8 @@ def bloom_dedup_probe(
     spark: SparkSession,
     sf_dir: str,
     boundary: int = INGEST_BOUNDARY,
-    m_bits: int = BLOOM_BITS,
-    n_hashes: int = BLOOM_HASHES,
+    m_bits: int | None = None,
+    n_hashes: int | None = None,
     docs: DataFrame | None = None,
     index_table: str | None = None,
 ) -> DataFrame:
@@ -1289,11 +1289,51 @@ def bloom_dedup_probe(
 
     ``index_table``: a filter persisted by ``persist_bloom_filter``.
     When given, the corpus is NOT scanned at all — the probe reads the
-    tiny (word, mask) table and hashes only the batch; the passed
-    ``m_bits``/``n_hashes`` must equal the recorded build parameters
-    (fail-fast handshake — a probe hashed under a different geometry
-    silently answers membership in a different filter).
+    tiny (word, mask) table, ADOPTS the recorded geometry (the only
+    hashing that can answer membership in THAT filter; the same
+    adopt-the-index's-recorded-state rule as the domain text family),
+    and hashes only the batch. Explicitly passing ``m_bits``/
+    ``n_hashes`` that differ from the recorded values raises — the
+    fail-fast twin of the other families' parameter handshakes.
     """
+    if m_bits is not None and (m_bits <= 0 or m_bits % BLOOM_WORD_BITS != 0):
+        raise ValueError(
+            f"m_bits must be a positive multiple of {BLOOM_WORD_BITS}, "
+            f"got {m_bits}"
+        )
+    if n_hashes is not None and n_hashes <= 0:
+        raise ValueError(f"n_hashes must be positive, got {n_hashes}")
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    if index_table is not None:
+        from ..sources.catalog import check_index_params
+
+        expected = {}
+        if m_bits is not None:
+            expected["bloom.m_bits"] = m_bits
+        if n_hashes is not None:
+            expected["bloom.n_hashes"] = n_hashes
+        props = check_index_params(spark, index_table, expected, kind="bloom")
+        for k in ("bloom.m_bits", "bloom.n_hashes"):
+            if k not in props:
+                raise ValueError(
+                    f"bloom index table {index_table} records no {k} — not "
+                    "written by persist_bloom_filter; rebuild the index."
+                )
+        m_bits = int(props["bloom.m_bits"])
+        n_hashes = int(props["bloom.n_hashes"])
+        words = spark.table(index_table)
+    else:
+        if m_bits is None:
+            # auto-size from the existing side (one control-plane
+            # scalar; the SQL twin computes the identical m with an
+            # in-query count through the same integer rule). The
+            # sandbox floor keeps every SF the driver checks on the
+            # fixed geometry; past ~6,400 existing keys the default
+            # grows instead of saturating (the rung's measured failure
+            # of a fixed m).
+            n_existing = docs.filter(F.col("doc_id") < boundary).count()
+            m_bits = auto_bloom_m_bits(n_existing)
+        n_hashes = BLOOM_HASHES if n_hashes is None else n_hashes
     if m_bits <= 0 or m_bits % BLOOM_WORD_BITS != 0:
         raise ValueError(
             f"m_bits must be a positive multiple of {BLOOM_WORD_BITS}, "
@@ -1301,18 +1341,7 @@ def bloom_dedup_probe(
         )
     if n_hashes <= 0:
         raise ValueError(f"n_hashes must be positive, got {n_hashes}")
-    docs = docs if docs is not None else _docs(spark, sf_dir)
-    if index_table is not None:
-        from ..sources.catalog import check_index_params
-
-        check_index_params(
-            spark,
-            index_table,
-            {"bloom.m_bits": m_bits, "bloom.n_hashes": n_hashes},
-            kind="bloom",
-        )
-        words = spark.table(index_table)
-    else:
+    if index_table is None:
         words = bloom_filter_words(
             docs.filter(F.col("doc_id") < boundary), m_bits, n_hashes
         )
@@ -1350,12 +1379,49 @@ def bloom_dedup_probe(
     )
 
 
+BLOOM_TARGET_FPR_E4 = 100  # auto-sizing target: 1% false positives
+# ln(1/0.01)/ln²2 = 9.5851…, carried as the integer surrogate
+# 95851/10000 so the sizing rule is EXACT INTEGER ARITHMETIC that the
+# DuckDB twin replays bit-identically (the same discipline as every
+# quantized score in this repo; a float ln here could flip the chosen
+# word count by one between engines)
+_BLOOM_SIZING_NUM = 95851
+_BLOOM_SIZING_DEN = 10000
+
+
+def auto_bloom_m_bits(n_keys: int, fpr_e4: int = BLOOM_TARGET_FPR_E4) -> int:
+    """The standard sizing rule m = n·ln(1/p)/ln²2 rounded up to a
+    whole number of 60-bit words, floored at the sandbox default — the
+    bloom twin of ``auto_text_family`` (round-5 verdict #1: an engine
+    that knows the corpus size must not ship a fixed-geometry default;
+    the sketch rung measured the fixed m saturating at 10×: 224/250
+    false positives vs 6/250 sized). At the default 1% target the rule
+    is pure integer arithmetic (``n·95851 div (10000·60) + 1`` words)
+    so the SQL twin computes the identical m from its own in-query
+    count; other targets use float ln (no oracle rides on them)."""
+    if n_keys <= 0:
+        return BLOOM_BITS
+    if fpr_e4 <= 0 or fpr_e4 >= 10000:
+        raise ValueError(f"fpr_e4 must be in (0, 10000), got {fpr_e4}")
+    if fpr_e4 == BLOOM_TARGET_FPR_E4:
+        words = (
+            n_keys * _BLOOM_SIZING_NUM // (_BLOOM_SIZING_DEN * BLOOM_WORD_BITS)
+            + 1
+        )
+    else:
+        import math
+
+        m = n_keys * math.log(10000.0 / fpr_e4) / (math.log(2.0) ** 2)
+        words = int(m // BLOOM_WORD_BITS) + 1
+    return max(BLOOM_BITS // BLOOM_WORD_BITS, words) * BLOOM_WORD_BITS
+
+
 def persist_bloom_filter(
     spark: SparkSession,
     docs: DataFrame,
     name: str,
     path: str,
-    m_bits: int = BLOOM_BITS,
+    m_bits: int | None = None,
     n_hashes: int = BLOOM_HASHES,
 ) -> str:
     """Persist the corpus-fingerprint Bloom filter as a tiny
@@ -1365,7 +1431,15 @@ def persist_bloom_filter(
     of cross-snapshot dedup reads kilobytes where the others read an
     index. Build parameters and the content watermark ride in
     TBLPROPERTIES behind the same fail-fast handshake as every other
-    family."""
+    family.
+
+    ``m_bits=None`` (the default) SIZES THE FILTER FROM THE CORPUS:
+    one count (the control-plane cardinality statistic — at production
+    scale the HLL sketch supplies it without a second scan) through
+    ``auto_bloom_m_bits`` targeting 1% FPR. The chosen geometry is
+    recorded, and probes adopt it — derived, recorded, overridable."""
+    if m_bits is None:
+        m_bits = auto_bloom_m_bits(docs.count())
     if m_bits <= 0 or m_bits % BLOOM_WORD_BITS != 0:
         raise ValueError(
             f"m_bits must be a positive multiple of {BLOOM_WORD_BITS}, "

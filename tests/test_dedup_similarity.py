@@ -1629,3 +1629,100 @@ def test_persist_bloom_filter_probe_append_cycle(spark, tmp_path):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bloom_idx")
+
+
+def test_auto_bloom_sizing_rule(spark):
+    """The bloom geometry derives from corpus size: sandbox floor below
+    ~6,400 keys, integer-rule growth above it (monotone, ~9.59 bits per
+    key at the 1% target), and the in-memory probe applies the rule —
+    verified by replaying a >floor corpus against a python bloom built
+    at the SIZED m."""
+    wb = dedup.BLOOM_WORD_BITS
+    assert dedup.auto_bloom_m_bits(0) == dedup.BLOOM_BITS
+    assert dedup.auto_bloom_m_bits(250) == dedup.BLOOM_BITS
+    assert dedup.auto_bloom_m_bits(6000) == dedup.BLOOM_BITS
+    big = dedup.auto_bloom_m_bits(50_000)
+    assert big == (50_000 * 95851 // (10000 * wb) + 1) * wb
+    assert big > 8 * dedup.BLOOM_BITS / 2  # ~479k bits: real growth
+    assert dedup.auto_bloom_m_bits(100_000) > big  # monotone
+    with pytest.raises(ValueError):
+        dedup.auto_bloom_m_bits(10, fpr_e4=0)
+
+    # e2e: 7,000 existing docs crosses the floor; bits_set must match a
+    # python replay at the SIZED m (a fixed-m replay would disagree)
+    import hashlib
+    import re as _re
+
+    n = 7000
+    rows = [(i, f"sizing corpus doc {i}") for i in range(n)]
+    rows += [(n + 1, "sizing corpus doc 12"), (n + 2, "fresh text")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.bloom_dedup_probe(spark, "", boundary=n, docs=docs).toPandas()
+    sized_m = dedup.auto_bloom_m_bits(n)
+    assert sized_m > dedup.BLOOM_BITS
+
+    def fp(t):
+        return hashlib.md5(
+            _re.sub(r"\s+", " ", t.lower()).strip().encode()
+        ).hexdigest()
+
+    bits = set()
+    for d, t in rows:
+        if d < n:
+            bits.update(
+                _bloom_ref_positions(fp(t), sized_m, dedup.BLOOM_HASHES)
+            )
+    want = {
+        d: sum(
+            1
+            for p in _bloom_ref_positions(fp(t), sized_m, dedup.BLOOM_HASHES)
+            if p in bits
+        )
+        for d, t in rows
+        if d >= n
+    }
+    got = {int(r.doc_id): int(r.bits_set) for r in out.itertuples(index=False)}
+    assert got == want
+
+
+def test_persist_bloom_filter_autosizes_and_probe_adopts(spark, tmp_path):
+    """persist_bloom_filter(m_bits=None) records the corpus-derived
+    geometry; a parameterless indexed probe adopts it and equals an
+    explicit-geometry probe byte-identically."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.catalog import (
+        get_table_properties,
+    )
+
+    n = 7000
+    corpus = spark.createDataFrame(
+        [(i, f"adopt corpus doc {i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(n + 1, "adopt corpus doc 99"), (n + 2, "novel")],
+        "doc_id long, text string",
+    )
+    name = "t_bloom_auto"
+    try:
+        dedup.persist_bloom_filter(spark, corpus, name, str(tmp_path / "ba"))
+        props = get_table_properties(spark, name)
+        sized = dedup.auto_bloom_m_bits(n)
+        assert int(props["bloom.m_bits"]) == sized and sized > dedup.BLOOM_BITS
+        all_docs = corpus.unionByName(batch)
+        adopted = dedup.bloom_dedup_probe(
+            spark, "", boundary=n, docs=all_docs, index_table=name
+        ).toPandas()
+        explicit = dedup.bloom_dedup_probe(
+            spark,
+            "",
+            boundary=n,
+            docs=all_docs,
+            index_table=name,
+            m_bits=sized,
+            n_hashes=dedup.BLOOM_HASHES,
+        ).toPandas()
+        pd.testing.assert_frame_equal(adopted, explicit)
+        v = dict(zip(adopted.doc_id, adopted.verdict))
+        assert v[n + 1] == "dup_candidate" and v[n + 2] == "new"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bloom_auto")
