@@ -601,6 +601,25 @@ def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicate_groups_df(docs.unionByName(planted))
 
 
+def _q_incremental_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnowing over the corpus plus the planted re-ingest
+    slice (same construction as the bloom driver query): the planted
+    docs contain their originals fully (contain_e4 = 10000), so the
+    driver exercises real pair rows at every SF."""
+    _pin_session(spark)
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < dedup.INGEST_BOUNDARY)
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    return dedup.incremental_winnowing_overlap(
+        spark, sf_dir, docs=docs.unionByName(planted)
+    )
+
+
 def _q_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom probe over the corpus plus a planted re-ingest slice: every
     50th EXISTING doc re-arrives in the batch under a shifted id, so the
@@ -2065,8 +2084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order IS the driver's check order and the driver records at
     # most 50 rows per round. Round-6 hygiene (house rule):
     # HEAD = the round-6 NEW entries (winnowing_overlap,
-    # bloom_dedup_probe, cdc_chunks, cms_token_counts,
-    # hll_register_sketch, train_bpe_merges, bpe_encode,
+    # incremental_winnowing_overlap, bloom_dedup_probe, cdc_chunks,
+    # cms_token_counts, hll_register_sketch, train_bpe_merges,
+    # bpe_encode,
     # global_shuffle, substring_span_dedup, semantic_decontaminate,
     # semantic_dedup_text_by_domain,
     # incremental_text_domain_dedup, vocab_top_tokens,
@@ -2084,13 +2104,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_survivors, incremental_dedup and fuzzy_name_pairs (all
     # multi-green). The train_bpe_merges/global_shuffle head additions
     # displace the multi-green stringops and dedup_exact_groups to the
-    # tail. The five newest head entries (winnowing_overlap,
-    # bloom_dedup_probe, cdc_chunks, cms_token_counts,
-    # hll_register_sketch) displace rate_window, row_counters,
-    # ordered_concat, line_bucketing and enrichment_join_shape — every
-    # row displaced from the r5 window this round was audited fully
-    # green in BOTH r4 and r5 (rows+schema+hash).
-    # Window = first 50 of 100; every tail entry has >= 2 green driver
+    # tail. The six newest head entries (winnowing_overlap,
+    # incremental_winnowing_overlap, bloom_dedup_probe, cdc_chunks,
+    # cms_token_counts, hll_register_sketch) displace
+    # classify_payloads, rate_window, row_counters, ordered_concat,
+    # line_bucketing and enrichment_join_shape — every row displaced
+    # from the r5 window this round was audited fully green in BOTH r4
+    # and r5 (rows+schema+hash).
+    # Window = first 50 of 101; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -2108,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW this round: zero driver signal
         "winnowing_overlap": _wrap(dedup.winnowing_overlap),
+        "incremental_winnowing_overlap": _q_incremental_winnowing,
         "bloom_dedup_probe": _q_bloom_dedup_probe,
         "cdc_chunks": _wrap(chunking.cdc_chunks),
         "cms_token_counts": _wrap(sketches.cms_token_counts),
@@ -2243,26 +2265,22 @@ def _cos_e6(a: str, b: str) -> str:
     return f"CAST(floor({dot} / ({a}.nrm * {b}.nrm) * 1000000.0) AS BIGINT)"
 
 
-def _winnowing_sql() -> str:
-    """SQL twin of dedup.winnowing_overlap: the same k-gram 60-bit md5
-    hashes (via ``_hex60_sql`` — its internal lambda binds ``i``, so the
-    outer gram/window lambdas bind ``p``/``j``), window minima selected
-    by VALUE (no position tie-break needed for the fingerprint SET),
-    the same boilerplate DF cap and integer containment score."""
+def _winnow_fp_ctes(src: str) -> str:
+    """The winnowed-fingerprint CTE chain (tok → g → fp) over source
+    table/CTE ``src`` — shared by the corpus-pair twin and the
+    incremental twin. ``_hex60_sql``'s internal lambda binds ``i``, so
+    the outer gram/window lambdas bind ``p``/``j``."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
         WINNOW_K,
-        WINNOW_MAX_DF,
-        WINNOW_MIN_SHARED,
         WINNOW_W,
     )
 
     gram_hash = _hex60_sql(
         f"md5(array_to_string(ts[p:p+{WINNOW_K}-1], ' '))"
     )
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
-  FROM documents),
+  FROM {src}),
 g AS (
   SELECT doc_id,
          list_transform(generate_series(1, len(ts) - {WINNOW_K} + 1),
@@ -2273,7 +2291,21 @@ fp AS (
          unnest(list_distinct(list_transform(
            generate_series(1, greatest(len(gs) - {WINNOW_W} + 1, 1)),
            j -> list_min(gs[j:j+{WINNOW_W}-1])))) AS fp
-  FROM g),
+  FROM g)"""
+
+
+def _winnowing_sql() -> str:
+    """SQL twin of dedup.winnowing_overlap: the same k-gram 60-bit md5
+    hashes, window minima selected by VALUE (no position tie-break
+    needed for the fingerprint SET), the same boilerplate DF cap and
+    integer containment score."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        WINNOW_MAX_DF,
+        WINNOW_MIN_SHARED,
+    )
+
+    return f"""
+WITH {_winnow_fp_ctes('documents')},
 kept AS (
   SELECT f.doc_id, f.fp FROM fp f
   JOIN (SELECT fp FROM fp GROUP BY fp
@@ -2290,6 +2322,46 @@ FROM pairs
 JOIN nf na ON na.doc_id = doc_a
 JOIN nf nb ON nb.doc_id = doc_b
 ORDER BY doc_a, doc_b
+"""
+
+
+def _incremental_winnowing_sql() -> str:
+    """SQL twin of dedup.incremental_winnowing_overlap over the planted
+    re-ingest corpus (every 50th existing doc re-arrives shifted —
+    guaranteed full-containment rows): boundary split, touched-fp
+    document frequency computed from the matches, one-sided containment
+    of the new doc."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        INGEST_BOUNDARY,
+        WINNOW_MAX_DF,
+        WINNOW_MIN_SHARED,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 50 = 0 AND doc_id < {INGEST_BOUNDARY}),
+{_winnow_fp_ctes('base')},
+newfp AS (SELECT doc_id AS doc_new, fp FROM fp
+          WHERE doc_id >= {INGEST_BOUNDARY}),
+idx AS (SELECT doc_id AS doc_existing, fp FROM fp
+        WHERE doc_id < {INGEST_BOUNDARY}),
+nfn AS (SELECT doc_new, CAST(count(*) AS BIGINT) AS nf_new
+        FROM newfp GROUP BY doc_new),
+m AS (SELECT doc_new, doc_existing, fp FROM newfp JOIN idx USING (fp)),
+hot AS (SELECT fp FROM (SELECT DISTINCT fp, doc_existing FROM m)
+        GROUP BY fp HAVING count(*) > {WINNOW_MAX_DF}),
+pairs AS (
+  SELECT doc_new, doc_existing, CAST(count(*) AS BIGINT) AS shared_fps
+  FROM m WHERE fp NOT IN (SELECT fp FROM hot)
+  GROUP BY doc_new, doc_existing
+  HAVING count(*) >= {WINNOW_MIN_SHARED})
+SELECT doc_new, doc_existing, shared_fps,
+       (shared_fps * 10000) // nf_new AS contain_e4
+FROM pairs JOIN nfn USING (doc_new)
+ORDER BY doc_new, doc_existing
 """
 
 
@@ -2965,6 +3037,7 @@ FROM t ORDER BY doc_id
         "semantic_dedup_text_by_domain": _semantic_text_by_domain_sql(),
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
         "winnowing_overlap": _winnowing_sql(),
+        "incremental_winnowing_overlap": _incremental_winnowing_sql(),
         "bloom_dedup_probe": _bloom_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
         "cms_token_counts": _cms_sql(),

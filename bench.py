@@ -218,6 +218,10 @@ def main() -> None:
         lambda: _force(dedup.winnowing_overlap(spark, SF_DIR)),
     )
     timed(
+        "incremental_winnowing",
+        lambda: _force(dedup.incremental_winnowing_overlap(spark, SF_DIR)),
+    )
+    timed(
         "bloom_dedup_probe",
         lambda: _force(dedup.bloom_dedup_probe(spark, SF_DIR)),
     )

@@ -1092,6 +1092,34 @@ WINNOW_MAX_DF = 32  # fingerprints in more docs than this are boilerplate
 WINNOW_MIN_SHARED = 2  # pair verdict needs >= 2 shared fingerprints
 
 
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """The winnowed fingerprint set per document as (doc_id, fp) rows —
+    one narrow JVM expression (token split → gram md5 → window minima →
+    distinct), zero Python, zero shuffle. Shared by the corpus pass,
+    the incremental probe, and the index build."""
+    grams = (
+        "transform(sequence(1, size(toks) - {k} + 1), "
+        "p -> CAST(conv(substring(md5(array_join(slice(toks, p, {k}), ' ')), "
+        "1, 15), 16, 10) AS BIGINT))"
+    ).format(k=k)
+    fps = (
+        "array_distinct(transform("
+        "sequence(1, greatest(size(gs) - {w} + 1, 1)), "
+        "j -> array_min(slice(gs, j, {w}))))"
+    ).format(w=w)
+    return (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), t -> t != '')").alias("toks"),
+        )
+        .filter(F.size("toks") >= k)
+        .select("doc_id", F.expr(grams).alias("gs"))
+        .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
+    )
+
+
 def winnowing_overlap(
     spark: SparkSession,
     sf_dir: str,
@@ -1139,26 +1167,7 @@ def winnowing_overlap(
             f"max_df={max_df} min_shared={min_shared}"
         )
     docs = docs if docs is not None else _docs(spark, sf_dir)
-    # grams: 60-bit md5 prefix of each k-token window, one JVM expr
-    grams = (
-        "transform(sequence(1, size(toks) - {k} + 1), "
-        "p -> CAST(conv(substring(md5(array_join(slice(toks, p, {k}), ' ')), "
-        "1, 15), 16, 10) AS BIGINT))"
-    ).format(k=k)
-    fps = (
-        "array_distinct(transform("
-        "sequence(1, greatest(size(gs) - {w} + 1, 1)), "
-        "j -> array_min(slice(gs, j, {w}))))"
-    ).format(w=w)
-    fp = (
-        docs.select(
-            "doc_id",
-            F.expr("filter(split(text, ' '), t -> t != '')").alias("toks"),
-        )
-        .filter(F.size("toks") >= k)
-        .select("doc_id", F.expr(grams).alias("gs"))
-        .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
-    )
+    fp = winnow_fingerprints(docs, k, w)
     kept = fp.join(
         fp.groupBy("fp")
         .agg(F.count("*").alias("df"))
@@ -1196,6 +1205,193 @@ def winnowing_overlap(
             ),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def incremental_winnowing_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    boundary: int = INGEST_BOUNDARY,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_df: int = WINNOW_MAX_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+    docs: DataFrame | None = None,
+    index_table: str | None = None,
+) -> DataFrame:
+    """Ingest-time local-overlap detection: which EXISTING documents
+    does each NEW document (``doc_id >= boundary``) share winnowed
+    fingerprints with, and how much of the NEW document is covered —
+    the production shape of ``winnowing_overlap`` (per-ingest cost
+    O(batch), never corpus x corpus).
+
+    The incremental score is ONE-SIDED containment of the new doc:
+    ``contain_e4 = shared·10⁴ div nf_new`` — "how much of what just
+    arrived already exists in E" is the ingest question; the symmetric
+    min-containment needs corpus-global state and stays in the corpus
+    pass. The boilerplate cap is evaluated on the TOUCHED fingerprints
+    only (df counted over the index rows the batch actually probes):
+    always-current — no build-time df statistic to drift under appends
+    — and O(touched buckets), since a fingerprint's df can only be
+    needed when the batch collides with it. Capped fingerprints drop
+    out of ``shared`` (they are non-discriminative), so containment
+    under-reads for boilerplate-heavy pairs — deliberate, same policy
+    as the corpus pass.
+
+    ``index_table``: a persisted (fp, doc_id) index from
+    ``persist_winnowing_index`` — the probe restricts the index read to
+    the batch's fingerprint set (``prune_index_scan`` single-key mode:
+    pushed ``fp IN`` for trickle batches, hashed set test for bulk) and
+    reads it co-located (no Exchange on the index branch). Default
+    (None): both sides computed in-memory from the boundary split — the
+    driver-oracle path, byte-identical output.
+    """
+    if k <= 0 or w <= 0 or max_df < 2 or min_shared <= 0:
+        raise ValueError(
+            f"invalid winnowing params k={k} w={w} "
+            f"max_df={max_df} min_shared={min_shared}"
+        )
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    new_fp = winnow_fingerprints(
+        docs.filter(F.col("doc_id") >= boundary), k, w
+    )
+    if index_table is not None:
+        from ..sources.catalog import check_index_params, prune_index_scan
+
+        check_index_params(
+            spark,
+            index_table,
+            {"winnow.k": k, "winnow.w": w},
+            kind="winnow",
+        )
+        idx = prune_index_scan(
+            spark.table(index_table),
+            new_fp.select("fp"),
+            band_col=None,
+            key_col="fp",
+        )
+    else:
+        idx = winnow_fingerprints(
+            docs.filter(F.col("doc_id") < boundary), k, w
+        )
+    nf_new = new_fp.groupBy("doc_id").agg(F.count("*").alias("nf_new"))
+    # touched-fp document frequency on the index side, computed from the
+    # (restricted) matches themselves
+    matches = new_fp.withColumnRenamed("doc_id", "doc_new").join(
+        idx.withColumnRenamed("doc_id", "doc_existing"), "fp"
+    )
+    hot = (
+        matches.select("fp", "doc_existing")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("fp")
+    )
+    pairs = (
+        matches.join(hot, "fp", "left_anti")
+        .groupBy("doc_new", "doc_existing")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return (
+        pairs.join(nf_new.withColumnRenamed("doc_id", "doc_new"), "doc_new")
+        .select(
+            "doc_new",
+            "doc_existing",
+            "shared_fps",
+            F.expr("(shared_fps * 10000) div nf_new").alias("contain_e4"),
+        )
+        .orderBy("doc_new", "doc_existing")
+    )
+
+
+def persist_winnowing_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    name: str,
+    path: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    n_storage_buckets: int = 32,
+) -> str:
+    """Persist the corpus's winnowed (fp, doc_id) rows as a table
+    bucketed AND sorted by fp — the SIXTH persisted index family. The
+    probe joins on exactly the bucketing key, so the index side reads
+    co-located; the sorted small row groups make the trickle probe's
+    pushed ``fp IN`` skip row groups (the same storage layout as the
+    MinHash index). Selection parameters and the content watermark ride
+    in TBLPROPERTIES behind the standard fail-fast handshake."""
+    from ..sources.catalog import (
+        INDEX_ROWGROUP_BYTES,
+        set_table_properties,
+        write_bucketed_table,
+    )
+
+    rows = winnow_fingerprints(docs, k, w)
+    write_bucketed_table(
+        rows,
+        name,
+        path,
+        ["fp"],
+        n_storage_buckets,
+        sort_cols=["fp"],
+        rowgroup_bytes=INDEX_ROWGROUP_BYTES,
+    )
+    max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    set_table_properties(
+        spark,
+        name,
+        {
+            "winnow.k": k,
+            "winnow.w": w,
+            "winnow.max_doc_id": -1 if max_id is None else int(max_id),
+            "winnow.path": path,
+            "winnow.n_storage_buckets": int(n_storage_buckets),
+            "winnow.bucket_cols": "fp",
+            "winnow.sort_cols": "fp",
+        },
+    )
+    return name
+
+
+def append_to_winnowing_index(
+    spark: SparkSession,
+    docs_batch: DataFrame,
+    index_table: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> dict:
+    """Fold an ingest batch into a persisted winnowing index
+    idempotently — the same receipt protocol as the MinHash family
+    (content fingerprint no-op on replay, monotone watermark, recorded
+    bucket spec). Because the probe computes the boilerplate cap from
+    touched rows at probe time, an append needs no df maintenance:
+    freshly folded boilerplate starts counting against the cap on the
+    very next probe."""
+    from ..sources.catalog import append_to_bucketed_index, check_index_params
+
+    check_index_params(
+        spark, index_table, {"winnow.k": k, "winnow.w": w}, kind="winnow"
+    )
+    stat = docs_batch.agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.sum(F.xxhash64("doc_id", "text").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    if stat["n"] == 0:
+        return {"status": "noop", "batch_fp": "empty", "table": index_table}
+    rows = winnow_fingerprints(docs_batch, k, w)
+    return append_to_bucketed_index(
+        spark,
+        rows,
+        index_table,
+        "winnow",
+        batch_fp=f"{stat['n']}:{stat['h']}",
+        batch_min_id=int(stat["lo"]),
+        batch_max_id=int(stat["hi"]),
+        watermark_key="winnow.max_doc_id",
     )
 
 

@@ -96,7 +96,7 @@ PRUNE_PUSHDOWN_MAX_KEYS = 1024
 def prune_index_scan(
     index_df: DataFrame,
     probe_buckets: DataFrame,
-    band_col: str = "band",
+    band_col: str | None = "band",
     key_col: str = "key",
     max_pairs: int = 65536,
 ) -> DataFrame:
@@ -131,16 +131,22 @@ def prune_index_scan(
     are byte-identical (asserted in tests), and a scan filter never
     disturbs the bucketed co-location (no new Exchange). Built as ONE
     parsed SQL string — Column.isin() creates a py4j literal per
-    element (~3 s for a 4,000-key set)."""
+    element (~3 s for a 4,000-key set).
+
+    ``band_col=None`` selects single-key mode for indexes keyed on one
+    column (the winnowing fingerprint index): the trickle form is a
+    plain pushed ``key IN (…)`` and the bulk form hashes the one
+    column."""
     from pyspark.sql import functions as F
 
+    hash_cols = [key_col] if band_col is None else [band_col, key_col]
     # bounded collect: limit(max_pairs+1) makes the cap actually cap
     # driver cost (an over-cap probe returns before hauling the full
     # key set over), and one job serves BOTH predicate forms (the
     # hashed column rides along instead of a second distinct+collect)
     rows = (
         probe_buckets.select(
-            band_col, key_col, F.xxhash64(band_col, key_col).alias("_pk")
+            *hash_cols, F.xxhash64(*hash_cols).alias("_pk")
         )
         .distinct()
         .limit(max_pairs + 1)
@@ -157,6 +163,12 @@ def prune_index_scan(
         return str(int(v))
 
     if len(rows) <= PRUNE_PUSHDOWN_MAX_KEYS:
+        if band_col is None:
+            cond = (
+                f"`{key_col}` IN "
+                f"({', '.join(lit(r[key_col]) for r in sorted(rows, key=lambda r: r[key_col]))})"
+            )
+            return index_df.filter(F.expr(cond))
         by_band: dict = {}
         for r in rows:
             by_band.setdefault(r[band_col], []).append(r[key_col])
@@ -167,10 +179,12 @@ def prune_index_scan(
         )
         return index_df.filter(F.expr(cond))
     hashes = sorted({r["_pk"] for r in rows})
-    cond = (
-        f"xxhash64(`{band_col}`, `{key_col}`) IN "
-        f"({', '.join(str(h) for h in hashes)})"
+    hash_expr = (
+        f"xxhash64(`{key_col}`)"
+        if band_col is None
+        else f"xxhash64(`{band_col}`, `{key_col}`)"
     )
+    cond = f"{hash_expr} IN ({', '.join(str(h) for h in hashes)})"
     return index_df.filter(F.expr(cond))
 
 

@@ -1726,3 +1726,96 @@ def test_persist_bloom_filter_autosizes_and_probe_adopts(spark, tmp_path):
         assert v[n + 1] == "dup_candidate" and v[n + 2] == "new"
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bloom_auto")
+
+
+def test_persist_winnowing_index_probe_append_cycle(spark, tmp_path):
+    """The winnowing family joins the index-persistence matrix (sixth
+    family): indexed probe == in-memory boundary-split byte-identically
+    on driver data; append folds a batch (a doc re-ingested afterwards
+    collides with it); replay is a recorded no-op; param mismatch fails
+    fast."""
+    sf = SF_DIR
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < dedup.INGEST_BOUNDARY)
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    all_docs = docs.unionByName(planted)
+    name = "t_winnow_idx"
+    try:
+        dedup.persist_winnowing_index(
+            spark,
+            all_docs.filter(F.col("doc_id") < dedup.INGEST_BOUNDARY),
+            name,
+            str(tmp_path / "wi"),
+            n_storage_buckets=8,
+        )
+        got = dedup.incremental_winnowing_overlap(
+            spark, sf, docs=all_docs, index_table=name
+        ).toPandas()
+        want = dedup.incremental_winnowing_overlap(
+            spark, sf, docs=all_docs
+        ).toPandas()
+        pd.testing.assert_frame_equal(got, want)
+        assert (want.contain_e4 == 10000).any()  # planted full containment
+
+        # append one existing-side doc under a new id past the
+        # watermark; a subsequent probe of its copy must collide
+        probe_id = 2_000_000
+        src = docs.filter(F.col("doc_id") == 0)
+        fold = src.withColumn("doc_id", F.lit(1_500_000).cast("long"))
+        r = dedup.append_to_winnowing_index(spark, fold, name)
+        assert r["status"] == "appended"
+        r2 = dedup.append_to_winnowing_index(spark, fold, name)
+        assert r2["status"] == "noop"  # content-fp replay
+
+        probe_docs = fold.withColumn(
+            "doc_id", F.lit(probe_id).cast("long")
+        ).unionByName(all_docs.filter(F.col("doc_id") < dedup.INGEST_BOUNDARY))
+        out = dedup.incremental_winnowing_overlap(
+            spark,
+            sf,
+            boundary=probe_id,
+            docs=probe_docs,
+            index_table=name,
+        ).toPandas()
+        hits = set(out[out.doc_new == probe_id].doc_existing)
+        assert 1_500_000 in hits and 0 in hits
+
+        with pytest.raises(ValueError, match="different"):
+            dedup.incremental_winnowing_overlap(
+                spark, sf, k=dedup.WINNOW_K + 1, index_table=name
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_winnow_idx")
+
+
+def test_prune_index_scan_single_key_mode(spark, tmp_path):
+    """band_col=None prunes on one key column: trickle form is a plain
+    pushed IN, bulk/over-cap falls back to the full frame, empty probe
+    reads nothing — and every form is a pure restriction (pruned ==
+    semi-join of unpruned)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.catalog import (
+        prune_index_scan,
+    )
+
+    idx = spark.createDataFrame(
+        [(i % 7, i) for i in range(100)], "fp long, doc_id long"
+    )
+    probe = spark.createDataFrame([(1,), (3,), (99,)], "fp long")
+    pruned = prune_index_scan(idx, probe, band_col=None, key_col="fp")
+    want = idx.join(probe.distinct(), "fp", "left_semi")
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # over-cap: falls back to the unrestricted frame
+    over = prune_index_scan(
+        idx, idx.select("fp"), band_col=None, key_col="fp", max_pairs=2
+    )
+    assert over.count() == idx.count()
+    # empty probe reads nothing
+    empty = prune_index_scan(
+        idx, probe.filter(F.lit(False)), band_col=None, key_col="fp"
+    )
+    assert empty.count() == 0
