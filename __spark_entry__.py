@@ -1781,9 +1781,23 @@ def _dsir_importance_sql() -> str:
         DSIR_TARGET_LANG,
     )
 
-    h = _hex60_sql("md5(bigram)")
     return f"""
-WITH t AS (
+WITH {_dsir_ctes()}
+SELECT doc_id, n_feat, score_e4, avg_e4 FROM dsir ORDER BY doc_id
+"""
+
+
+def _dsir_ctes() -> str:
+    """The dsir_importance CTE chain ending in ``dsir`` (doc_id,
+    n_feat, score_e4, avg_e4) — shared by the importance and resample
+    twins."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+    )
+
+    h = _hex60_sql("md5(bigram)")
+    return f"""t AS (
   SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_target,
          list_filter(string_split(text, ' '), x -> x <> '') AS w
   FROM documents),
@@ -1804,14 +1818,36 @@ wt AS (
 sc AS (
   SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feat,
          CAST(sum(cnt * w_e4) AS BIGINT) AS score_e4
-  FROM db JOIN wt USING (bucket) GROUP BY doc_id)
-SELECT d.doc_id,
-       COALESCE(n_feat, 0) AS n_feat,
-       COALESCE(score_e4, 0) AS score_e4,
-       COALESCE(score_e4 // n_feat, 0) AS avg_e4
-FROM (SELECT doc_id FROM documents) d
-LEFT JOIN sc ON d.doc_id = sc.doc_id
-ORDER BY d.doc_id
+  FROM db JOIN wt USING (bucket) GROUP BY doc_id),
+dsir AS (
+  SELECT d.doc_id,
+         COALESCE(n_feat, 0) AS n_feat,
+         COALESCE(score_e4, 0) AS score_e4,
+         COALESCE(score_e4 // n_feat, 0) AS avg_e4
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN sc ON d.doc_id = sc.doc_id)"""
+
+
+def _dsir_resample_sql() -> str:
+    """SQL twin of curation.dsir_resample: the shared dsir CTE chain, a
+    1-row total, the md5 uniform draw and the cross-multiplied
+    HUGEINT/decimal keep comparison (no float division)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        DSIR_RESAMPLE_RATE_E4,
+    )
+
+    u = _hex60_sql("md5('dsir:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH {_dsir_ctes()},
+tot AS (SELECT CAST(sum(avg_e4) AS BIGINT) AS w_total,
+               CAST(count(*) AS BIGINT) AS n_docs FROM dsir)
+SELECT doc_id, avg_e4,
+       ({u}) % 10000 AS u_e4,
+       CAST(({u}) % 10000 AS HUGEINT) * CAST(w_total AS HUGEINT)
+         < CAST({DSIR_RESAMPLE_RATE_E4} AS HUGEINT)
+           * CAST(avg_e4 AS HUGEINT) * CAST(n_docs AS HUGEINT) AS kept
+FROM dsir CROSS JOIN tot
+ORDER BY doc_id
 """
 
 
@@ -2104,14 +2140,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_survivors, incremental_dedup and fuzzy_name_pairs (all
     # multi-green). The train_bpe_merges/global_shuffle head additions
     # displace the multi-green stringops and dedup_exact_groups to the
-    # tail. The six newest head entries (winnowing_overlap,
+    # tail. The seven newest head entries (winnowing_overlap,
     # incremental_winnowing_overlap, bloom_dedup_probe, cdc_chunks,
-    # cms_token_counts, hll_register_sketch) displace
-    # classify_payloads, rate_window, row_counters, ordered_concat,
-    # line_bucketing and enrichment_join_shape — every row displaced
-    # from the r5 window this round was audited fully green in BOTH r4
-    # and r5 (rows+schema+hash).
-    # Window = first 50 of 101; every tail entry has >= 2 green driver
+    # cms_token_counts, hll_register_sketch, dsir_resample) displace
+    # stitch_conversations, classify_payloads, rate_window,
+    # row_counters, ordered_concat, line_bucketing and
+    # enrichment_join_shape — every row displaced from the r5 window
+    # this round was audited fully green in BOTH r4 and r5
+    # (rows+schema+hash).
+    # Window = first 50 of 102; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -2138,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _wrap(curation.bpe_encode),
         "export_shards": _wrap(chunking.export_shards),
         "dsir_importance": _wrap(curation.dsir_importance),
+        "dsir_resample": _wrap(curation.dsir_resample),
         "cluster_safe_split": _wrap(curation.cluster_safe_split),
         "global_shuffle": _wrap(chunking.global_shuffle),
         "substring_span_dedup": _wrap(dedup.substring_span_dedup),
@@ -3046,6 +3084,7 @@ FROM t ORDER BY doc_id
         "bpe_encode": _bpe_encode_sql(),
         "export_shards": _export_shards_sql(),
         "dsir_importance": _dsir_importance_sql(),
+        "dsir_resample": _dsir_resample_sql(),
         "cluster_safe_split": _cluster_safe_split_sql(),
         "global_shuffle": _global_shuffle_sql(),
         "substring_span_dedup": _substring_span_dedup_sql(),

@@ -1279,6 +1279,69 @@ def dsir_importance(
     )
 
 
+DSIR_RESAMPLE_RATE_E4 = 2500  # target overall keep rate: 25%
+
+
+def dsir_resample(
+    spark: SparkSession,
+    sf_dir: str,
+    rate_e4: int = DSIR_RESAMPLE_RATE_E4,
+    n_buckets: int = DSIR_BUCKETS,
+    target_lang: str = DSIR_TARGET_LANG,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """The sampling half of DSIR: turn ``dsir_importance`` weights into
+    an actual kept/dropped decision — Bernoulli sampling with inclusion
+    probability PROPORTIONAL TO THE WEIGHT, normalized so the expected
+    keep rate is ``rate_e4``/10⁴ (docs above the proportionality cap
+    are always kept).
+
+    Deterministic and engine-exact: the per-doc uniform draw is
+    ``u_e4 = hash60(md5('dsir:'||doc_id)) % 10⁴`` and the keep rule is
+    the cross-multiplied integer comparison
+
+        keep  ⇔  u_e4 · W  <  rate_e4 · avg_i · n
+
+    (W = Σ avg_e4, n = doc count — one 1-row broadcast aggregate), so
+    no float division anywhere; the comparison runs in decimal(38,0)
+    because u·W reaches ~10²⁰ at 10¹² docs — a long would overflow
+    exactly at the scale this engine targets. Membership is stable
+    under re-runs (hash of doc_id, not position) — the same property
+    as ``dataset_split``.
+
+    Scale shape: one pass of ``dsir_importance`` (its one shuffle), one
+    1-row total, one narrow projection. Output keeps the audit columns
+    (weight, draw, verdict) rather than silently dropping rows."""
+    if rate_e4 <= 0 or rate_e4 > 10000:
+        raise ValueError(f"rate_e4 must be in (0, 10000], got {rate_e4}")
+    scored = dsir_importance(
+        spark, sf_dir, n_buckets=n_buckets, target_lang=target_lang, docs=docs
+    )
+    totals = scored.agg(
+        F.sum("avg_e4").alias("w_total"), F.count("*").alias("n_docs")
+    )
+    u = (
+        "pmod(CAST(conv(substring(md5(concat('dsir:', CAST(doc_id AS STRING))), "
+        "1, 15), 16, 10) AS BIGINT), 10000)"
+    )
+    keep = (
+        "CAST(u_e4 AS DECIMAL(38,0)) * CAST(w_total AS DECIMAL(38,0)) < "
+        f"CAST({int(rate_e4)} AS DECIMAL(38,0)) * CAST(avg_e4 AS DECIMAL(38,0)) "
+        "* CAST(n_docs AS DECIMAL(38,0))"
+    )
+    return (
+        scored.crossJoin(F.broadcast(totals))
+        .withColumn("u_e4", F.expr(u))
+        .select(
+            "doc_id",
+            "avg_e4",
+            "u_e4",
+            F.expr(keep).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def cluster_safe_split(
     spark: SparkSession,
     sf_dir: str,

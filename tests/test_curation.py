@@ -762,3 +762,44 @@ def test_cluster_safe_split_singletons_match_plain_split(spark, neardup_corpus):
     singles = out[out.index == out["cluster_id"]]
     clustered = out[out.index != out["cluster_id"]]
     assert len(singles) >= 6 and len(clustered) >= 12
+
+
+# --- dsir resampling ----------------------------------------------------------
+
+
+def test_dsir_resample_rate_and_weight_proportionality(spark):
+    """On a mixed-weight fixture the realized keep rate lands near the
+    target, higher-weight docs are kept at a measurably higher rate
+    than lower-weight docs, and membership is stable across runs
+    (hash-of-id, not position)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import curation
+
+    rng = __import__("random").Random(5)
+    rows = []
+    for i in range(600):
+        if i % 2 == 0:  # target-like docs: repeated en bigrams
+            txt = " ".join("alpha beta".split() * 10)
+            lang = "en"
+        else:  # off-target docs
+            txt = " ".join(f"x{rng.randrange(999)}" for _ in range(20))
+            lang = "de"
+        rows.append((i, txt, lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = curation.dsir_resample(spark, "", rate_e4=3000, docs=docs).toPandas()
+    assert len(out) == 600
+    rate = out.kept.mean()
+    assert 0.2 < rate < 0.4, rate  # near the 30% target
+    hi = out[out.doc_id % 2 == 0].kept.mean()
+    lo = out[out.doc_id % 2 == 1].kept.mean()
+    assert hi > lo + 0.2, (hi, lo)  # weight proportionality is real
+    again = curation.dsir_resample(spark, "", rate_e4=3000, docs=docs).toPandas()
+    assert (out.kept == again.kept).all()  # deterministic membership
+
+
+def test_dsir_resample_rejects_bad_rate(spark):
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import curation
+
+    with pytest.raises(ValueError):
+        curation.dsir_resample(spark, "", rate_e4=0)
+    with pytest.raises(ValueError):
+        curation.dsir_resample(spark, "", rate_e4=10001)
