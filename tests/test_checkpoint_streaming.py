@@ -1296,3 +1296,97 @@ def test_streaming_bloom_verdicts_match_batch_probe(spark, tmp_path):
         assert got[101][1] == "new"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_streaming_sketches_merge_to_batch_equivalent(spark, tmp_path):
+    """Sketch maintenance in motion: three micro-batches each write a
+    partial CMS/HLL (batch_id partition overwrite), and the read-time
+    merge equals the one-shot batch sketch over the union — the
+    mergeability property driving the design. A simulated foreachBatch
+    replay (same batch re-handled) leaves the merged result unchanged:
+    partial-per-batch overwrite is what makes CMS replay-safe (a
+    cumulative merge would double-count)."""
+    import pandas as pd
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import sketches
+    from ocr_pipeline_fastapi_latency_optimization_spark.streaming.sketches import (
+        read_cms,
+        read_hll,
+        streaming_sketch_update,
+    )
+
+    src = tmp_path / "sk_src"
+    src.mkdir()
+    batches = []
+    for b in range(3):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [b * 10 + i for i in range(5)],
+                "text": [f"tok{b}_{i} common shared tok{b}" for i in range(5)],
+            }
+        )
+        batches.append(pdf)
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / f"b{b}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = str(tmp_path / "sk_out")
+    q = (
+        streaming_sketch_update(spark, stream, out)
+        .option("checkpointLocation", str(tmp_path / "sk_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    union = spark.createDataFrame(pd.concat(batches, ignore_index=True))
+    want_cms = {
+        (r.d, r.pos): r.cnt
+        for r in sketches.cms_sketch(sketches._tokens(union))
+        .toPandas()
+        .itertuples(index=False)
+    }
+    got_cms = {
+        (r.d, r.pos): r.cnt
+        for r in read_cms(spark, out).toPandas().itertuples(index=False)
+    }
+    assert got_cms == want_cms
+
+    want_hll = {
+        int(r.register): int(r.max_rank)
+        for r in sketches.hll_register_sketch(spark, "", docs=union)
+        .toPandas()
+        .itertuples(index=False)
+    }
+    got_hll = {
+        int(r.register): int(r.max_rank)
+        for r in read_hll(spark, out).toPandas().itertuples(index=False)
+    }
+    assert got_hll == want_hll
+
+    # simulated at-least-once replay: re-write batch 1's partials via a
+    # fresh handler invocation with the same batch_id — merged results
+    # must not move
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.sketches import (
+        cms_sketch,
+        hll_register_sketch,
+        _tokens,
+    )
+
+    replay = spark.createDataFrame(batches[1])
+    cms_sketch(_tokens(replay)).write.mode("overwrite").parquet(
+        f"{out}/cms/batch_id=1"
+    )
+    hll_register_sketch(spark, "", docs=replay).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/hll/batch_id=1")
+    assert {
+        (r.d, r.pos): r.cnt
+        for r in read_cms(spark, out).toPandas().itertuples(index=False)
+    } == want_cms
+    assert {
+        int(r.register): int(r.max_rank)
+        for r in read_hll(spark, out).toPandas().itertuples(index=False)
+    } == want_hll
