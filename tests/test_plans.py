@@ -370,3 +370,31 @@ def test_fuzzy_candidates_is_equi_join(spark):
     plan = plan_str(fuzzy_name_pairs(spark, "/root/testdata/sf0.001"))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_round6_late_operators_are_python_free(spark):
+    """Plan guards for the late-round-6 operators: winnowing (corpus +
+    incremental), CDC chunking, bloom probe, CMS, and HLL must contain
+    NO Python evaluation node — every stage is JVM expressions and
+    built-in aggregates (the UDFs-are-the-slow-path rule, enforced
+    structurally). The bloom probe must additionally build its filter
+    side as a broadcast."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
+        chunking,
+        dedup,
+        sketches,
+    )
+
+    plans = {
+        "winnowing": plan_str(dedup.winnowing_overlap(spark, SF_DIR)),
+        "incr_winnowing": plan_str(
+            dedup.incremental_winnowing_overlap(spark, SF_DIR)
+        ),
+        "cdc": plan_str(chunking.cdc_chunks(spark, SF_DIR)),
+        "bloom": plan_str(dedup.bloom_dedup_probe(spark, SF_DIR)),
+        "cms": plan_str(sketches.cms_token_counts(spark, SF_DIR)),
+        "hll": plan_str(sketches.hll_register_sketch(spark, SF_DIR)),
+    }
+    for name, p in plans.items():
+        assert "EvalPython" not in p and "InPandas" not in p, (name, p)
+    assert "BroadcastExchange" in plans["bloom"], plans["bloom"]
