@@ -1275,10 +1275,18 @@ def incremental_winnowing_overlap(
             docs.filter(F.col("doc_id") < boundary), k, w
         )
     nf_new = new_fp.groupBy("doc_id").agg(F.count("*").alias("nf_new"))
-    # touched-fp document frequency on the index side, computed from the
-    # (restricted) matches themselves
+    # distinct (fp, doc_id) on the index side: a crash-window double
+    # append leaves duplicate index rows (repairable by
+    # compact_bucketed_index) which would double-count shared_fps —
+    # the same probe-side guard every bucketed family carries. On the
+    # persisted table this plans WITHOUT an Exchange: HashPartitioning
+    # on fp satisfies the distinct's ClusteredDistribution([fp, doc_id])
+    # (subset rule).
     matches = new_fp.withColumnRenamed("doc_id", "doc_new").join(
-        idx.withColumnRenamed("doc_id", "doc_existing"), "fp"
+        idx.select("fp", "doc_id").distinct().withColumnRenamed(
+            "doc_id", "doc_existing"
+        ),
+        "fp",
     )
     hot = (
         matches.select("fp", "doc_existing")

@@ -1819,3 +1819,37 @@ def test_prune_index_scan_single_key_mode(spark, tmp_path):
         idx, probe.filter(F.lit(False)), band_col=None, key_col="fp"
     )
     assert empty.count() == 0
+
+
+def test_incremental_winnowing_tolerates_duplicate_index_rows(spark, tmp_path):
+    """Crash-window duplicate index rows (a manifest-bypassing double
+    append) must not double-count shared_fps: the probe carries the
+    same distinct guard as the other bucketed families."""
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(5)]
+    rows.append((100, rows[2][1]))  # re-ingest of doc 2
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clean = dedup.incremental_winnowing_overlap(
+        spark, "", boundary=100, docs=docs, min_shared=1
+    ).toPandas()
+    name = "t_win_dup"
+    try:
+        existing = docs.filter(F.col("doc_id") < 100)
+        dedup.persist_winnowing_index(
+            spark, existing, name, str(tmp_path / "wd"), n_storage_buckets=4
+        )
+        # simulate the crash window: append the SAME rows again,
+        # bypassing the content-fp manifest
+        from ocr_pipeline_fastapi_latency_optimization_spark.sources.catalog import (
+            get_table_properties,
+        )
+
+        props = get_table_properties(spark, name)
+        dedup.winnow_fingerprints(existing).write.mode("append").option(
+            "path", props["winnow.path"]
+        ).format("parquet").insertInto(name)
+        dup = dedup.incremental_winnowing_overlap(
+            spark, "", boundary=100, docs=docs, min_shared=1, index_table=name
+        ).toPandas()
+        pd.testing.assert_frame_equal(dup, clean)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_win_dup")
