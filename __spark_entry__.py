@@ -1669,16 +1669,10 @@ def _train_bpe_merges_sql() -> str:
     )
 
 
-def _bpe_encode_sql() -> str:
-    """SQL twin of curation.bpe_encode (trained on the same corpus,
-    default n_merges): the shared training chain supplies the per-pass
-    argmax rows ``m1..mn``; a parallel ``e``-chain carries the WORD
-    alongside its symbol string through the same rank-ordered replaces
-    (the encoder replays the trainer's state updates, so e_n(w) is
-    exactly the trained vocabulary's encoding); documents unnest to
-    ordered encodable words, join the encoded vocab, and aggregate to
-    (n_words, n_bpe_tokens, order-exact md5 fingerprint) with the
-    empty-doc sentinel row."""
+def _bpe_encode_ctes() -> list:
+    """The full encode CTE chain ending in ``agg`` (doc_id, n_words,
+    n_bpe_tokens, tokens_fp) — shared by the encode twin and the
+    compression-eval twin."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
         BPE_N_MERGES,
         BPE_WORD_RE,
@@ -1712,6 +1706,52 @@ agg AS (
          md5(string_agg(s, '' ORDER BY ord)) AS tokens_fp
   FROM enc GROUP BY doc_id)"""
     )
+    return ctes
+
+
+def _bpe_compression_sql() -> str:
+    """SQL twin of curation.bpe_compression_eval: the shared encode
+    chain, then per-source integer fertility (tokens per 100 words) and
+    chars-per-token (·10²) with zero-denominator sentinels."""
+    ctes = _bpe_encode_ctes()
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """,
+per AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(COALESCE(a.n_words, 0)) AS BIGINT) AS total_words,
+         CAST(sum(COALESCE(a.n_bpe_tokens, 0)) AS BIGINT) AS total_tokens,
+         CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+  GROUP BY d.source)
+SELECT source, n_docs, total_tokens,
+       CASE WHEN total_words = 0 THEN 0
+            ELSE total_tokens * 100 // total_words END AS tokens_per_100w,
+       CASE WHEN total_tokens = 0 THEN 0
+            ELSE total_chars * 100 // total_tokens END AS chars_per_token_e2
+FROM per ORDER BY source
+"""
+    )
+
+
+def _bpe_encode_sql() -> str:
+    """SQL twin of curation.bpe_encode (trained on the same corpus,
+    default n_merges): the shared training chain supplies the per-pass
+    argmax rows ``m1..mn``; a parallel ``e``-chain carries the WORD
+    alongside its symbol string through the same rank-ordered replaces
+    (the encoder replays the trainer's state updates, so e_n(w) is
+    exactly the trained vocabulary's encoding); documents unnest to
+    ordered encodable words, join the encoded vocab, and aggregate to
+    (n_words, n_bpe_tokens, order-exact md5 fingerprint) with the
+    empty-doc sentinel row."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        BPE_N_MERGES,
+        BPE_WORD_RE,
+    )
+
+    ctes = _bpe_encode_ctes()
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -2140,15 +2180,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_survivors, incremental_dedup and fuzzy_name_pairs (all
     # multi-green). The train_bpe_merges/global_shuffle head additions
     # displace the multi-green stringops and dedup_exact_groups to the
-    # tail. The seven newest head entries (winnowing_overlap,
+    # tail. The eight newest head entries (winnowing_overlap,
     # incremental_winnowing_overlap, bloom_dedup_probe, cdc_chunks,
-    # cms_token_counts, hll_register_sketch, dsir_resample) displace
-    # stitch_conversations, classify_payloads, rate_window,
-    # row_counters, ordered_concat, line_bucketing and
+    # cms_token_counts, hll_register_sketch, dsir_resample,
+    # bpe_compression_eval) displace extract_documents (the flagship —
+    # still smoke-checked every round via entry(), green in EVERY
+    # round's window r1-r5), stitch_conversations, classify_payloads,
+    # rate_window, row_counters, ordered_concat, line_bucketing and
     # enrichment_join_shape — every row displaced from the r5 window
     # this round was audited fully green in BOTH r4 and r5
     # (rows+schema+hash).
-    # Window = first 50 of 102; every tail entry has >= 2 green driver
+    # Window = first 50 of 103; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -2176,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": _wrap(chunking.export_shards),
         "dsir_importance": _wrap(curation.dsir_importance),
         "dsir_resample": _wrap(curation.dsir_resample),
+        "bpe_compression_eval": _wrap(curation.bpe_compression_eval),
         "cluster_safe_split": _wrap(curation.cluster_safe_split),
         "global_shuffle": _wrap(chunking.global_shuffle),
         "substring_span_dedup": _wrap(dedup.substring_span_dedup),
@@ -3085,6 +3128,7 @@ FROM t ORDER BY doc_id
         "export_shards": _export_shards_sql(),
         "dsir_importance": _dsir_importance_sql(),
         "dsir_resample": _dsir_resample_sql(),
+        "bpe_compression_eval": _bpe_compression_sql(),
         "cluster_safe_split": _cluster_safe_split_sql(),
         "global_shuffle": _global_shuffle_sql(),
         "substring_span_dedup": _substring_span_dedup_sql(),

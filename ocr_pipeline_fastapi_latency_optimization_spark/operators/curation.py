@@ -1279,6 +1279,57 @@ def dsir_importance(
     )
 
 
+def bpe_compression_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_N_MERGES,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Evaluate the trained tokenizer the way tokenizers are actually
+    judged: per-source FERTILITY (BPE tokens per 100 words) and
+    compression (characters per token, ·10²) — the numbers that decide
+    whether a merge table is worth its size, and the per-domain view
+    that shows which sources the vocabulary under-serves (unseen
+    domains encode near character-level: high fertility, low
+    chars/token).
+
+    Composition of shipped pieces: ``bpe_encode`` (zero-shuffle narrow
+    encoder) joined back to (source, n_chars), one small per-source
+    aggregate. All-integer ratios with zero-denominator sentinels, so
+    the DuckDB twin is bit-exact. ``n_chars`` counts the raw document
+    (including OOV words the encoder skips) — the honest denominator
+    for "how much text does one token carry".
+    """
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    enc = bpe_encode(spark, sf_dir, n_merges=n_merges, docs=docs)
+    per = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(enc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce("n_words", F.lit(0))).cast("long").alias(
+                "total_words"
+            ),
+            F.sum(F.coalesce("n_bpe_tokens", F.lit(0)))
+            .cast("long")
+            .alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.when(F.col("total_words") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("total_tokens * 100 div total_words"))
+        .alias("tokens_per_100w"),
+        F.when(F.col("total_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("total_chars * 100 div total_tokens"))
+        .alias("chars_per_token_e2"),
+    ).orderBy("source")
+
+
 DSIR_RESAMPLE_RATE_E4 = 2500  # target overall keep rate: 25%
 
 

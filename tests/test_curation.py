@@ -803,3 +803,30 @@ def test_dsir_resample_rejects_bad_rate(spark):
         curation.dsir_resample(spark, "", rate_e4=0)
     with pytest.raises(ValueError):
         curation.dsir_resample(spark, "", rate_e4=10001)
+
+
+def test_bpe_compression_eval_flags_underserved_source(spark):
+    """The per-source view is the point: a source whose vocabulary
+    dominated merge training gets low fertility (few tokens per word);
+    an unseen-vocabulary source encodes near character-level — higher
+    tokens_per_100w and lower chars_per_token."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import curation
+
+    rows = []
+    for i in range(40):  # dominant source: tiny repeated vocabulary
+        t = "the quick brown fox jumps " * 4
+        rows.append((i, t.strip(), "en", "major", len(t.strip())))
+    rng = __import__("random").Random(3)
+    for i in range(40, 50):  # minor source: unseen words
+        t = " ".join(
+            "".join(rng.choice("qxzjvwk") for _ in range(8)) for _ in range(12)
+        )
+        rows.append((i, t, "en", "minor", len(t)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curation.bpe_compression_eval(spark, "", docs=docs).toPandas()
+    r = {x.source: x for x in out.itertuples(index=False)}
+    assert r["minor"].tokens_per_100w > r["major"].tokens_per_100w
+    assert r["minor"].chars_per_token_e2 < r["major"].chars_per_token_e2
+    assert r["major"].n_docs == 40 and r["minor"].n_docs == 10
