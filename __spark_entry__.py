@@ -785,6 +785,86 @@ ORDER BY d.doc_id
     )
 
 
+def _quality_aware_dedup_sql() -> str:
+    """SQL twin of dedup.quality_aware_dedup: the shared recursive-CC
+    chain, then per-cluster argmax-quality representative selection
+    (max length, ties to the smallest doc_id) as two bounded
+    aggregates — the same algebra as the Spark plan."""
+    return (
+        _cc_cte()
+        + """,
+lab AS (
+  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+         CAST(length(d.text) AS BIGINT) AS quality
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+mq AS (SELECT cluster_id, max(quality) AS mq FROM lab GROUP BY cluster_id),
+rep AS (SELECT l.cluster_id, CAST(min(l.doc_id) AS BIGINT) AS kept_doc
+        FROM lab l JOIN mq USING (cluster_id)
+        WHERE l.quality = mq.mq GROUP BY l.cluster_id)
+SELECT l.doc_id, l.cluster_id, l.quality, r.kept_doc,
+       (l.doc_id = r.kept_doc) AS keep
+FROM lab l JOIN rep r USING (cluster_id)
+ORDER BY l.doc_id
+"""
+    )
+
+
+def _temperature_mixture_sql() -> str:
+    """SQL twin of curation.temperature_mixture: isqrt source weights
+    (IEEE sqrt is correctly rounded, so FLOOR(SQRT(n)) is engine-exact
+    for n < 2^52), then the integer binding-constraint algebra and the
+    shared hash grid."""
+    cell = _hex60_sql("md5(CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             FROM documents GROUP BY source),
+w AS (SELECT source, n,
+             CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM cnt),
+s AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM w),
+t AS (SELECT min(n * wsum // w) AS tmax FROM w, s),
+rates AS (SELECT source, ((w * tmax // wsum) * 10000) // n AS rate_e4
+          FROM w, s, t)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE ({cell}) % 10000 < r.rate_e4
+ORDER BY d.doc_id
+"""
+
+
+def _vocab_coverage_sql() -> str:
+    """SQL twin of curation.vocab_coverage: the count-of-counts
+    cumulative walk — window only over the bounded histogram, integer
+    ceil-division for the within-group rank. Scalar sums are cast back
+    from DuckDB's HUGEINT promotion; min/max keep BIGINT."""
+    return """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents),
+tc AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+coc AS (SELECT c, CAST(count(*) AS BIGINT) AS k FROM tc GROUP BY c),
+cum AS (SELECT c, k, c * k AS mass,
+               CAST(sum(c * k) OVER (ORDER BY c DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_mass,
+               CAST(sum(k) OVER (ORDER BY c DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_k
+        FROM coc),
+tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM cum),
+ps AS (SELECT unnest([50, 90, 95, 99]::BIGINT[]) AS p),
+g AS (SELECT p, c, k, mass, cum_mass, cum_k, total,
+             (total * p + 99) // 100 AS thresh
+      FROM cum, tot, ps)
+SELECT p,
+       min(cum_k - k + ((thresh - (cum_mass - mass)) + c - 1) // c)
+         AS vocab_size,
+       max(thresh) AS threshold_occ,
+       max(total) AS total_occ
+FROM g WHERE cum_mass >= thresh AND cum_mass - mass < thresh
+GROUP BY p ORDER BY p
+"""
+
+
 def _cluster_safe_split_sql() -> str:
     """SQL twin of curation.cluster_safe_split: the recursive-CC chain
     (shared ``_cc_cte``), then the dataset_split hash grid keyed on the
@@ -2190,7 +2270,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # enrichment_join_shape — every row displaced from the r5 window
     # this round was audited fully green in BOTH r4 and r5
     # (rows+schema+hash).
-    # Window = first 50 of 103; every tail entry has >= 2 green driver
+    # Late round-6 additions (quality_aware_dedup, temperature_mixture,
+    # vocab_coverage) join the head; they displace dedup_conversations,
+    # median_chars_by_source and blocks_table — each green in r1-r5
+    # windows multiple times (multi-green, unchanged plans).
+    # Window = first 50 of 106; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -2207,6 +2291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # --- NEW this round: zero driver signal
+        "quality_aware_dedup": _wrap(dedup.quality_aware_dedup),
+        "temperature_mixture": _wrap(curation.temperature_mixture),
+        "vocab_coverage": _wrap(curation.vocab_coverage),
         "winnowing_overlap": _wrap(dedup.winnowing_overlap),
         "incremental_winnowing_overlap": _q_incremental_winnowing,
         "bloom_dedup_probe": _q_bloom_dedup_probe,
@@ -3320,6 +3407,9 @@ FROM p GROUP BY seq_id ORDER BY seq_id
         "simhash_near_dups": _simhash_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "near_dedup_corpus": _near_dedup_corpus_sql(),
+        "quality_aware_dedup": _quality_aware_dedup_sql(),
+        "temperature_mixture": _temperature_mixture_sql(),
+        "vocab_coverage": _vocab_coverage_sql(),
         "dedup_survivors": f"""
 WITH d AS (SELECT doc_id, {qualify_fp} AS fp FROM documents)
 SELECT doc_id,

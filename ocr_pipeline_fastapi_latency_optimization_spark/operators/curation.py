@@ -705,6 +705,128 @@ def dataset_mixture(
     )
 
 
+def temperature_mixture(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Temperature-scaled source sampling (alpha = 1/2): the
+    multilingual/UniMax-style mix where per-source sampling weights are
+    DERIVED from corpus counts as n_s^alpha — large sources are
+    down-weighted, small sources up-weighted — instead of taken from a
+    caller-provided target table (that variant is ``dataset_mixture``).
+
+    alpha = 1/2 is the one temperature that stays ENGINE-EXACT without
+    a transcendental: ``floor(sqrt(n))`` is deterministic across
+    Spark/DuckDB/numpy because IEEE-754 requires sqrt to be correctly
+    rounded and every count below 2^52 is exactly representable in a
+    double. General alpha needs pow(), whose last-ulp behavior is
+    libm-specific — the documented production variant relaxes to it
+    when cross-engine bit-equality is not required.
+
+    Derivation (all integer after the isqrt, mirroring
+    ``dataset_mixture``'s binding-constraint algebra):
+        w_s    = floor(sqrt(n_s))            per-source weight
+        W      = sum_s w_s
+        T      = min_s floor(n_s * W / w_s)  achievable total (binding
+                                             constraint: the source
+                                             that exhausts first)
+        want_s = floor(w_s * T / W)  <= n_s
+        rate_s = floor(want_s * 1e4 / n_s)   per-source keep rate
+    Selection is the same content-addressed hash grid as the other
+    samplers: deterministic, shuffle-free keep decision per row.
+    Scale shape: one bounded (source) aggregate, two broadcast
+    crossJoins of 1-row/source-count frames, one narrow filter — the
+    corpus is scanned once. ``n_s * W`` stays inside ANSI longs for any
+    corpus up to ~10^12 docs/source (W grows only as sum of isqrts)."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    w = counts.withColumn(
+        "w", F.expr("CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)")
+    )
+    wsum = w.agg(F.sum("w").cast("long").alias("wsum"))
+    j = w.crossJoin(F.broadcast(wsum))
+    tmax = j.agg(F.expr("min(n * wsum div w)").alias("tmax"))
+    rates = j.crossJoin(F.broadcast(tmax)).select(
+        "source",
+        F.expr("((w * tmax div wsum) * 10000) div n").alias("rate_e4"),
+    )
+    cell = _hash_grid(F.col("doc_id"))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .select("doc_id", "source", cell.alias("cell"), "rate_e4")
+        .filter(F.col("cell") < F.col("rate_e4"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_COVERAGE_PS = (50, 90, 95, 99)
+
+
+def vocab_coverage(
+    spark: SparkSession, sf_dir: str, ps: tuple = VOCAB_COVERAGE_PS
+) -> DataFrame:
+    """Token-coverage curve: for each target percentage ``p``, the
+    MINIMUM vocabulary size (number of distinct tokens, taken in
+    frequency order) whose occurrences cover at least ``p``% of all
+    token occurrences — the statistic that sizes a frequency vocabulary
+    or sanity-checks a BPE budget ("how many types cover 95% of the
+    stream"). Integer-exact in both engines.
+
+    Scale shape — the reason this is NOT a window over the vocabulary:
+    a direct rank-cumsum needs a global sort of the distinct-token
+    table (vocab-sized, billions of rows at corpus scale). Instead the
+    cumulative walk runs over the COUNT-OF-COUNTS histogram (rows =
+    distinct occurrence values; if the m-th largest distinct value is
+    v_m then total >= v_1+..+v_m >= m(m+1)/2, so m = O(sqrt(total)) —
+    a few thousand rows even at 100 TB). Within a group of equal-count
+    tokens the order is immaterial for coverage, so the exact answer is
+        rank(prev groups) + ceil((T_p - mass(prev groups)) / v)
+    at the first value v where cumulative mass reaches the threshold
+    T_p = ceil(total * p / 100). Two bounded aggregates + one window
+    over the bounded histogram; the corpus is scanned once."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("token")
+    )
+    tok_counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    coc = tok_counts.groupBy("c").agg(F.count("*").cast("long").alias("k"))
+    from pyspark.sql import Window as W
+
+    win = W.orderBy(F.col("c").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = (
+        coc.withColumn("mass", F.expr("c * k"))
+        .withColumn("cum_mass", F.sum("mass").over(win))
+        .withColumn("cum_k", F.sum("k").over(win))
+    )
+    total = cum.agg(F.sum("mass").cast("long").alias("total"))
+    pdf = spark.createDataFrame([(int(p),) for p in sorted(ps)], "p long")
+    g = cum.crossJoin(F.broadcast(total)).crossJoin(F.broadcast(pdf))
+    return (
+        g.withColumn("thresh", F.expr("(total * p + 99) div 100"))
+        # exactly the FIRST value where cumulative mass crosses the
+        # threshold: the within-group rank formula is only meaningful
+        # there (later rows' residual need goes negative)
+        .filter(
+            (F.col("cum_mass") >= F.col("thresh"))
+            & (F.col("cum_mass") - F.col("mass") < F.col("thresh"))
+        )
+        .groupBy("p")
+        .agg(
+            F.min(
+                F.expr(
+                    "cum_k - k + ((thresh - (cum_mass - mass)) + c - 1) div c"
+                )
+            ).alias("vocab_size"),
+            F.max("thresh").alias("threshold_occ"),
+            F.max("total").alias("total_occ"),
+        )
+        .orderBy("p")
+    )
+
+
 def lm_bigram_score(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> DataFrame:

@@ -866,6 +866,59 @@ def near_dedup_corpus(
     ).orderBy("doc_id")
 
 
+def quality_aware_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Near-dedup with QUALITY-AWARE representative selection: each
+    near-dup cluster keeps its highest-quality member instead of the
+    arbitrary minimum-id one (``near_dedup_corpus``). Production
+    curation prefers this — planted/crawled copies often differ
+    (truncation, boilerplate stripped, appended chrome) and dropping
+    the best copy because it has the larger id loses data quality for
+    free. Quality here is the integer-exact proxy ``length(text)``
+    (longest copy wins; production swaps in any per-doc score — the
+    selection algebra is score-agnostic); ties break to the smallest
+    doc_id so the verdict is total-ordered and engine-exact.
+
+    Scale shape: the same MinHash-LSH → star-contraction pipeline as
+    ``near_dedup_corpus``, then TWO bounded hash aggregates on
+    cluster_id (max quality; min doc_id among the argmax set) and two
+    cluster-keyed equi-joins — never a window over the corpus, and the
+    representative table is cluster-count-sized (AQE broadcasts it)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("quality")
+    )
+    cc = connected_components(
+        minhash_lsh_pairs(spark, sf_dir, n_perms=n_perms, bands=bands)
+    )
+    lab = docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        "quality",
+    )
+    best = lab.groupBy("cluster_id").agg(F.max("quality").alias("mq"))
+    rep = (
+        lab.join(best, "cluster_id")
+        .filter(F.col("quality") == F.col("mq"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("kept_doc"))
+    )
+    return (
+        lab.join(rep, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            "kept_doc",
+            (F.col("doc_id") == F.col("kept_doc")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- SimHash ------------------------------------------------------------------------
 
 SIMHASH_BITS = 60

@@ -830,3 +830,70 @@ def test_bpe_compression_eval_flags_underserved_source(spark):
     assert r["minor"].tokens_per_100w > r["major"].tokens_per_100w
     assert r["minor"].chars_per_token_e2 < r["major"].chars_per_token_e2
     assert r["major"].n_docs == 40 and r["minor"].n_docs == 10
+
+
+def test_temperature_mixture_flattens_and_is_content_addressed(spark, tmp_path):
+    """alpha=1/2 temperature math on hand-checkable counts (400/100/25):
+    isqrt weights 20/10/5, W=35, T=min(700,350,175)=175 -> binding
+    source C kept in FULL; derived rates A=2500/B=5000/C=10000; the
+    kept SET is exactly the md5-grid recompute (deterministic,
+    shuffle-free keep decision); the mix flattens: the dominant
+    source's kept share drops below its raw share, the scarce source's
+    rises above."""
+    import hashlib
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        temperature_mixture,
+    )
+
+    rows = (
+        [(i, "x", "A") for i in range(400)]
+        + [(1000 + i, "x", "B") for i in range(100)]
+        + [(2000 + i, "x", "C") for i in range(25)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = temperature_mixture(spark, str(tmp_path)).toPandas()
+
+    rates = {"A": 2500, "B": 5000, "C": 10000}
+    expected = {
+        (i, s)
+        for i, _, s in rows
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 10000
+        < rates[s]
+    }
+    assert set(zip(out.doc_id, out.source)) == expected
+
+    per = out.groupby("source")["doc_id"].count()
+    assert per["C"] == 25  # binding source kept in full
+    kept_share_A = per["A"] / per.sum()
+    assert kept_share_A < 400 / 525  # dominant source down-weighted
+    assert per["B"] / per.sum() > 100 / 525  # mid source up-weighted
+
+
+def test_vocab_coverage_hand_computed(spark, tmp_path):
+    """Exact coverage curve on a hand-computed histogram — token counts
+    a=8, b=4, c=4, d=2, e=1, f=1 (total 20): p50 needs 1 of the two
+    equal-count-4 types (the within-group ceil), p90 reaches through d,
+    p99's threshold rounds up to the full stream."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        vocab_coverage,
+    )
+
+    rows = [
+        (0, "a a a a a a a a", "en", "s", 1),
+        (1, "b b b b c c c c", "en", "s", 1),
+        (2, "d d e f", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = vocab_coverage(spark, str(tmp_path)).toPandas()
+    got = [tuple(r) for r in out.to_numpy()]
+    assert got == [
+        (50, 2, 10, 20),
+        (90, 4, 18, 20),
+        (95, 5, 19, 20),
+        (99, 6, 20, 20),
+    ]

@@ -1853,3 +1853,34 @@ def test_incremental_winnowing_tolerates_duplicate_index_rows(spark, tmp_path):
         pd.testing.assert_frame_equal(dup, clean)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_win_dup")
+
+
+def test_quality_aware_dedup_keeps_longest(spark, tmp_path):
+    """Representative selection semantics on a collision-guaranteed
+    fixture (docs of a single repeated token share ONE distinct
+    5-shingle, so their MinHash signatures are identical and the LSH
+    pair is certain): the LONGEST cluster member survives even with the
+    larger id, exact-duplicate ties break to the smallest id, and
+    singletons keep themselves. Exactly one keep per cluster."""
+    rows = [
+        (10, "a " * 6, "en", "s", 1),   # cluster {10, 11}: same shingle set,
+        (11, "a " * 10, "en", "s", 1),  # 11 is longer -> 11 survives
+        (20, "b " * 6, "en", "s", 1),   # exact-dup tie {20, 21} -> 20 survives
+        (21, "b " * 6, "en", "s", 1),
+        (30, "unique words forming one lonely shingle run", "en", "s", 1),
+    ]
+    rows = [(i, t.strip(), l, s, n) for i, t, l, s, n in rows]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = (
+        dedup.quality_aware_dedup(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[11, "keep"]) and not bool(out.loc[10, "keep"])
+    assert out.loc[10, "kept_doc"] == 11  # longest wins over min-id
+    assert bool(out.loc[20, "keep"]) and not bool(out.loc[21, "keep"])
+    assert bool(out.loc[30, "keep"]) and out.loc[30, "cluster_id"] == 30
+    per_cluster = out.groupby("cluster_id")["keep"].sum()
+    assert (per_cluster == 1).all()

@@ -398,3 +398,30 @@ def test_round6_late_operators_are_python_free(spark):
     for name, p in plans.items():
         assert "EvalPython" not in p and "InPandas" not in p, (name, p)
     assert "BroadcastExchange" in plans["bloom"], plans["bloom"]
+
+
+def test_session_late_operators_plan_shapes(spark):
+    """Plan guards for quality_aware_dedup / temperature_mixture /
+    vocab_coverage: all three are Python-free (JVM expressions +
+    built-in aggregates end to end — quality_aware_dedup rides the
+    md5_affine MinHash default, so even signature generation stays in
+    codegen). temperature_mixture's per-source rate table must attach
+    as a broadcast (never a shuffled join against the corpus), and
+    vocab_coverage's single Window must sit over the bounded
+    count-of-counts histogram — exactly one Window node, never one per
+    cumulative column."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
+        curation,
+        dedup,
+    )
+
+    plans = {
+        "quality_aware": plan_str(dedup.quality_aware_dedup(spark, SF_DIR)),
+        "temperature": plan_str(curation.temperature_mixture(spark, SF_DIR)),
+        "coverage": plan_str(curation.vocab_coverage(spark, SF_DIR)),
+    }
+    for name, p in plans.items():
+        assert "EvalPython" not in p and "InPandas" not in p, (name, p)
+    assert "BroadcastExchange" in plans["temperature"], plans["temperature"]
+    assert plans["coverage"].count("Window (") == 1, plans["coverage"]
+    assert "Window" not in plans["quality_aware"], plans["quality_aware"]
