@@ -785,6 +785,50 @@ ORDER BY d.doc_id
     )
 
 
+def _verified_near_dedup_sql() -> str:
+    """SQL twin of dedup.verified_near_dedup: LSH candidates, the exact
+    integer Jaccard criterion applied to candidates only (shingle
+    equi-join restricted through the candidate list), then the shared
+    recursive reachability closure over VERIFIED pairs and the
+    per-document verdict."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_buckets_sql()
+        + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+               JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE 9 * i.n_inter >= 4 * (sa.n_sh + sb.n_sh)),
+sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.d AS node, reach.r FROM reach JOIN sym e ON e.s = reach.node),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+       (cc.node IS NULL OR cc.node = cc.cluster_id) AS keep
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+ORDER BY d.doc_id
+"""
+    )
+
+
 def _quality_aware_dedup_sql() -> str:
     """SQL twin of dedup.quality_aware_dedup: the shared recursive-CC
     chain, then per-cluster argmax-quality representative selection
@@ -2270,11 +2314,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # enrichment_join_shape — every row displaced from the r5 window
     # this round was audited fully green in BOTH r4 and r5
     # (rows+schema+hash).
-    # Late round-6 additions (quality_aware_dedup, temperature_mixture,
-    # vocab_coverage) join the head; they displace dedup_conversations,
-    # median_chars_by_source and blocks_table — each green in r1-r5
-    # windows multiple times (multi-green, unchanged plans).
-    # Window = first 50 of 106; every tail entry has >= 2 green driver
+    # Late round-6 additions (verified_near_dedup, quality_aware_dedup,
+    # temperature_mixture, vocab_coverage) join the head; they displace
+    # dedup_conversations, median_chars_by_source, blocks_table and
+    # curation_funnel — each green in r1-r5 windows multiple times
+    # (multi-green, unchanged plans).
+    # Window = first 50 of 107; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -2291,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # --- NEW this round: zero driver signal
+        "verified_near_dedup": _wrap(dedup.verified_near_dedup),
         "quality_aware_dedup": _wrap(dedup.quality_aware_dedup),
         "temperature_mixture": _wrap(curation.temperature_mixture),
         "vocab_coverage": _wrap(curation.vocab_coverage),
@@ -3408,6 +3454,7 @@ FROM p GROUP BY seq_id ORDER BY seq_id
         "dedup_clusters": _dedup_clusters_sql(),
         "near_dedup_corpus": _near_dedup_corpus_sql(),
         "quality_aware_dedup": _quality_aware_dedup_sql(),
+        "verified_near_dedup": _verified_near_dedup_sql(),
         "temperature_mixture": _temperature_mixture_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "dedup_survivors": f"""

@@ -129,6 +129,10 @@ def main() -> None:
         ),
     )
     timed("dedup_exact", lambda: _force(dedup.exact_duplicate_groups(spark, SF_DIR)))
+    timed(
+        "verified_near_dedup",
+        lambda: _force(dedup.verified_near_dedup(spark, SF_DIR)),
+    )
 
     # 5. similarity: IVF ANN over embeddings
     timed("knn_ivf", lambda: _force(similarity.ivf_knn(spark, SF_DIR)))

@@ -866,6 +866,72 @@ def near_dedup_corpus(
     ).orderBy("doc_id")
 
 
+def verified_near_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    n: int = SHINGLE_WORDS,
+) -> DataFrame:
+    """The production-true MinHash pipeline: LSH candidates → EXACT
+    n-gram-Jaccard verify on the candidate pairs only → star-contraction
+    clusters → per-document keep/drop. ``near_dedup_corpus`` trusts raw
+    band collisions, so an LSH false positive (two dissimilar docs
+    sharing one banded sub-signature) can weld unrelated documents into
+    one cluster and silently drop a non-duplicate; here every edge that
+    reaches the clustering has proven ``jaccard >= 0.8`` via the same
+    integer criterion as ``ngram_jaccard_pairs`` (9·|∩| >= 4·(|A|+|B|)).
+    This mirrors the text-semantic path, whose banding stage is likewise
+    followed by an exact-cosine verify before any verdict.
+
+    Scale shape — the verify is O(candidates), never all-pairs: the
+    candidate pair list (already bounded by the banding) is exploded by
+    the LEFT doc's shingles and equi-joined on (right doc, shingle) to
+    count the intersection, so cost is candidates × shingles-per-doc —
+    the same discipline as the cosine verify's candidates-only rule.
+    Contrast with ``ngram_jaccard_pairs``, which equi-joins the whole
+    corpus's shingle table against itself (exact but quadratic in the
+    hottest shingle's document frequency); here the quadratic stage is
+    the banded one, whose collision width the MinHash family controls.
+    Pairs sharing ZERO shingles never reach the threshold test (they
+    vanish from the intersection count, and 9·0 >= 4·(n_a+n_b) is
+    unsatisfiable for non-empty shingle sets)."""
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(spark, sf_dir, n_perms=n_perms, bands=bands)
+    sh = word_shingles(docs, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    verified = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(9) * F.col("n_inter") >= F.lit(4) * (F.col("n_a") + F.col("n_b"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    cc = connected_components(verified)
+    joined = docs.select("doc_id").join(cc, F.col("doc_id") == cc["node"], "left")
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        (F.col("node").isNull() | (F.col("node") == F.col("cluster_id"))).alias(
+            "keep"
+        ),
+    ).orderBy("doc_id")
+
+
 def quality_aware_dedup(
     spark: SparkSession,
     sf_dir: str,

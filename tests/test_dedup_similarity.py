@@ -1884,3 +1884,55 @@ def test_quality_aware_dedup_keeps_longest(spark, tmp_path):
     assert bool(out.loc[30, "keep"]) and out.loc[30, "cluster_id"] == 30
     per_cluster = out.groupby("cluster_id")["keep"].sum()
     assert (per_cluster == 1).all()
+
+
+def test_verified_near_dedup_rejects_lsh_false_positive(spark, tmp_path):
+    """The verify stage's reason to exist: a SUPERSET doc (one extra
+    shingle) whose band sub-signature collides with its base doc is an
+    LSH candidate at Jaccard exactly 1/2 — near_dedup_corpus welds the
+    two into a cluster and drops one; verified_near_dedup's exact
+    integer Jaccard test (9·|∩| >= 4·(|A|+|B|)) rejects the edge and
+    keeps BOTH, while a true exact-duplicate pair still contracts. The
+    colliding token is searched deterministically with the same
+    pure-Python affine oracle the Spark expressions replicate."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        minhash_signature_affine_py,
+    )
+
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    base = "alpha " * 5
+    sa = minhash_signature_affine_py(base.strip())
+    collider = None
+    for i in range(20000):
+        cand = base + f"tok{i}"
+        sb = minhash_signature_affine_py(cand)
+        if any(
+            sa[b * rows_per_band : (b + 1) * rows_per_band]
+            == sb[b * rows_per_band : (b + 1) * rows_per_band]
+            for b in range(MINHASH_BANDS)
+        ):
+            collider = cand
+            break
+    assert collider is not None, "no banded collision in the search space"
+
+    rows = [
+        (0, base.strip(), "en", "s", 1),
+        (1, collider, "en", "s", 1),          # candidate, Jaccard 1/2
+        (10, "b b b b b b", "en", "s", 1),    # exact-dup pair: true dup
+        (11, "b b b b b b", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    unverified = dedup.near_dedup_corpus(spark, sf).toPandas().set_index("doc_id")
+    assert not bool(unverified.loc[1, "keep"])  # the false positive drops
+
+    out = dedup.verified_near_dedup(spark, sf).toPandas().set_index("doc_id")
+    assert bool(out.loc[0, "keep"]) and bool(out.loc[1, "keep"])  # both kept
+    assert out.loc[1, "cluster_id"] == 1  # no weld
+    assert bool(out.loc[10, "keep"]) and not bool(out.loc[11, "keep"])
+    assert out.loc[11, "cluster_id"] == 10  # true dups still contract

@@ -417,6 +417,7 @@ def test_session_late_operators_plan_shapes(spark):
 
     plans = {
         "quality_aware": plan_str(dedup.quality_aware_dedup(spark, SF_DIR)),
+        "verified": plan_str(dedup.verified_near_dedup(spark, SF_DIR)),
         "temperature": plan_str(curation.temperature_mixture(spark, SF_DIR)),
         "coverage": plan_str(curation.vocab_coverage(spark, SF_DIR)),
     }
@@ -425,3 +426,4 @@ def test_session_late_operators_plan_shapes(spark):
     assert "BroadcastExchange" in plans["temperature"], plans["temperature"]
     assert plans["coverage"].count("Window (") == 1, plans["coverage"]
     assert "Window" not in plans["quality_aware"], plans["quality_aware"]
+    assert "Window" not in plans["verified"], plans["verified"]
