@@ -829,6 +829,45 @@ ORDER BY d.doc_id
     )
 
 
+def _incremental_verified_dedup_sql() -> str:
+    """SQL twin of dedup.incremental_verified_dedup: boundary-split
+    candidate edges, the exact integer Jaccard criterion per edge, and
+    the honest new/near_dup verdict (rejected candidates are 'new')."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        INGEST_BOUNDARY,
+    )
+
+    return (
+        "WITH "
+        + _minhash_buckets_sql()
+        + f""",
+newb AS (SELECT DISTINCT doc_id, band, bucket FROM buckets
+         WHERE doc_id >= {INGEST_BOUNDARY}),
+oldb AS (SELECT DISTINCT doc_id, band, bucket FROM buckets
+         WHERE doc_id < {INGEST_BOUNDARY}),
+cand AS (SELECT DISTINCT n.doc_id AS doc_n, o.doc_id AS doc_o
+         FROM newb n JOIN oldb o USING (band, bucket)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_n, c.doc_o, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_n
+  JOIN sh b ON b.doc_id = c.doc_o AND b.shingle = a.shingle
+  GROUP BY c.doc_n, c.doc_o),
+ver AS (SELECT DISTINCT i.doc_n AS doc_id
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_n
+                     JOIN sizes sb ON sb.doc_id = i.doc_o
+        WHERE 9 * i.n_inter >= 4 * (sa.n_sh + sb.n_sh)),
+alln AS (SELECT DISTINCT doc_id FROM newb)
+SELECT doc_id,
+       CASE WHEN doc_id IN (SELECT doc_id FROM ver)
+            THEN 'near_dup' ELSE 'new' END AS verdict
+FROM alln ORDER BY doc_id
+"""
+    )
+
+
 def _quality_aware_dedup_sql() -> str:
     """SQL twin of dedup.quality_aware_dedup: the shared recursive-CC
     chain, then per-cluster argmax-quality representative selection
@@ -2314,12 +2353,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # enrichment_join_shape — every row displaced from the r5 window
     # this round was audited fully green in BOTH r4 and r5
     # (rows+schema+hash).
-    # Late round-6 additions (verified_near_dedup, quality_aware_dedup,
+    # Late round-6 additions (verified_near_dedup,
+    # incremental_verified_dedup, quality_aware_dedup,
     # temperature_mixture, vocab_coverage) join the head; they displace
-    # dedup_conversations, median_chars_by_source, blocks_table and
-    # curation_funnel — each green in r1-r5 windows multiple times
-    # (multi-green, unchanged plans).
-    # Window = first 50 of 107; every tail entry has >= 2 green driver
+    # dedup_conversations, median_chars_by_source, blocks_table,
+    # curation_funnel and quantize_embeddings — each green in r1-r5
+    # windows multiple times (multi-green, unchanged plans).
+    # Window = first 50 of 108; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -2337,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW this round: zero driver signal
         "verified_near_dedup": _wrap(dedup.verified_near_dedup),
+        "incremental_verified_dedup": _wrap(dedup.incremental_verified_dedup),
         "quality_aware_dedup": _wrap(dedup.quality_aware_dedup),
         "temperature_mixture": _wrap(curation.temperature_mixture),
         "vocab_coverage": _wrap(curation.vocab_coverage),
@@ -3455,6 +3496,7 @@ FROM p GROUP BY seq_id ORDER BY seq_id
         "near_dedup_corpus": _near_dedup_corpus_sql(),
         "quality_aware_dedup": _quality_aware_dedup_sql(),
         "verified_near_dedup": _verified_near_dedup_sql(),
+        "incremental_verified_dedup": _incremental_verified_dedup_sql(),
         "temperature_mixture": _temperature_mixture_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "dedup_survivors": f"""

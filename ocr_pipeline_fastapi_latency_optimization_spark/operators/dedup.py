@@ -614,6 +614,198 @@ def incremental_minhash_dedup(
     return dups.unionByName(fresh).orderBy("doc_id")
 
 
+def minhash_verified_verdicts_for_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_table: str,
+    corpus_docs: DataFrame,
+    n_perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    hash_fn: str = "md5_affine",
+    n: int = SHINGLE_WORDS,
+    boundary: int | None = None,
+) -> DataFrame:
+    """Batch kernel shared by ``incremental_verified_dedup(
+    index_table=…)`` and the streaming ``streaming_minhash_verdicts``:
+    a batch of (doc_id, text) probed against a PERSISTED minhash index
+    with the exact-Jaccard verify applied to the candidate edges.
+
+    Per-batch cost breakdown (the O(batch) ingest design):
+    only the batch is hashed; the index read is pruned to the batch's
+    touched (band, bucket) set (``prune_index_scan``) and joins with no
+    Exchange on the index side; candidate PARTNERS' text is fetched by
+    an id equi-join against ``corpus_docs`` — O(matched partners),
+    never O(corpus) — and the shingle verify explodes candidate edges
+    only. The strictly-earlier guard (index doc < batch doc) makes an
+    already-appended copy of a batch doc never its own partner, so
+    replay after an index append cannot flip verdicts (the same guard
+    class as the streaming semantic probe). Returns (doc_id, verdict)
+    unordered — callers sort or partition as they need."""
+    from ..sources.catalog import check_index_params, prune_index_scan
+
+    check_index_params(
+        spark,
+        index_table,
+        {
+            "minhash.n_perms": n_perms,
+            "minhash.bands": bands,
+            "minhash.hash_fn": hash_fn,
+        },
+        kind="minhash",
+    )
+    batch = batch.select("doc_id", "text")
+    sig = minhash_signatures(batch, n_perms=n_perms, hash_fn=hash_fn)
+    newb = minhash_band_buckets(sig, n_perms=n_perms, bands=bands).localCheckpoint(
+        eager=True
+    )
+    idx = prune_index_scan(
+        spark.table(index_table), newb, band_col="band", key_col="bucket"
+    )
+    if boundary is not None:
+        idx = idx.filter(F.col("doc_id") < boundary)
+    cand = (
+        newb.select(F.col("doc_id").alias("doc_n"), "band", "bucket")
+        .join(
+            idx.select(F.col("doc_id").alias("doc_o"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_o") < F.col("doc_n"))
+        .select("doc_n", "doc_o")
+        .distinct()
+    )
+    partners = (
+        cand.select(F.col("doc_o").alias("doc_id"))
+        .distinct()
+        .join(corpus_docs.select("doc_id", "text"), "doc_id")
+    )
+    sh_n = word_shingles(batch, n=n)
+    sh_o = word_shingles(partners, n=n)
+    inter = (
+        cand.join(sh_n.select(F.col("doc_id").alias("doc_n"), "shingle"), "doc_n")
+        .join(
+            sh_o.select(F.col("doc_id").alias("doc_o"), "shingle"),
+            ["doc_o", "shingle"],
+        )
+        .groupBy("doc_n", "doc_o")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes_n = sh_n.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes_o = sh_o.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    verified = (
+        inter.join(
+            sizes_n.select(F.col("doc_id").alias("doc_n"), F.col("n_sh").alias("n_a")),
+            "doc_n",
+        )
+        .join(
+            sizes_o.select(F.col("doc_id").alias("doc_o"), F.col("n_sh").alias("n_b")),
+            "doc_o",
+        )
+        .filter(
+            F.lit(9) * F.col("n_inter") >= F.lit(4) * (F.col("n_a") + F.col("n_b"))
+        )
+        .select(F.col("doc_n").alias("doc_id"))
+        .distinct()
+    )
+    alln = batch.select("doc_id").distinct()
+    dups = verified.select("doc_id", F.lit("near_dup").alias("verdict"))
+    fresh = alln.join(verified, "doc_id", "left_anti").select(
+        "doc_id", F.lit("new").alias("verdict")
+    )
+    return dups.unionByName(fresh)
+
+
+def incremental_verified_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    boundary: int = INGEST_BOUNDARY,
+    n_perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    n: int = SHINGLE_WORDS,
+    index_table: str | None = None,
+) -> DataFrame:
+    """The ingest-side counterpart of ``verified_near_dedup``:
+    ``incremental_minhash_dedup`` stops at ``near_dup_candidate`` (any
+    shared band-bucket with the existing corpus); here each candidate
+    EDGE (new doc, existing doc) is verified with the exact integer
+    Jaccard criterion, so the verdict is ``near_dup`` only when a
+    genuine >= 0.8 neighbor exists — a banded false positive honestly
+    comes back ``new`` instead of being quarantined. This mirrors the
+    text-semantic ingest path (``incremental_text_semantic_dedup``),
+    whose band probe is likewise followed by an exact-cosine verify
+    before any verdict.
+
+    Scale shape: the candidate join is new-batch buckets × existing
+    index (O(batch) probe), and the verify explodes only the candidate
+    edges by the new doc's shingles — candidates × shingles/doc, never
+    batch × corpus. This boundary-split form computes both sides
+    in-memory (the driver-oracle path); ``index_table`` switches to the
+    index-probing production form (``minhash_verified_verdicts_for_
+    batch``): existing buckets read from the persisted index with probe
+    pruning, matched partners' text fetched by an id equi-join against
+    the corpus store — O(matched docs), not O(corpus), because only
+    verified-candidate partners need text. Byte-identical output
+    (asserted in tests)."""
+    docs = _docs(spark, sf_dir)
+    if index_table is not None:
+        batch = docs.filter(F.col("doc_id") >= boundary).select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") < boundary).select("doc_id", "text")
+        return minhash_verified_verdicts_for_batch(
+            spark,
+            batch,
+            index_table,
+            corpus,
+            n_perms=n_perms,
+            bands=bands,
+            n=n,
+            boundary=boundary,
+        ).orderBy("doc_id")
+    sig = minhash_signatures(docs, n_perms=n_perms, hash_fn="md5_affine")
+    buckets = minhash_band_buckets(sig, n_perms=n_perms, bands=bands)
+    newb = buckets.filter(F.col("doc_id") >= boundary)
+    oldb = buckets.filter(F.col("doc_id") < boundary)
+    cand = (
+        newb.select(F.col("doc_id").alias("doc_n"), "band", "bucket")
+        .join(
+            oldb.select(F.col("doc_id").alias("doc_o"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("doc_n", "doc_o")
+        .distinct()
+    )
+    sh = word_shingles(docs, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_n"), "shingle"), "doc_n")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_o"), "shingle"),
+            ["doc_o", "shingle"],
+        )
+        .groupBy("doc_n", "doc_o")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    verified = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_n"), F.col("n_sh").alias("n_a")),
+            "doc_n",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_o"), F.col("n_sh").alias("n_b")),
+            "doc_o",
+        )
+        .filter(
+            F.lit(9) * F.col("n_inter") >= F.lit(4) * (F.col("n_a") + F.col("n_b"))
+        )
+        .select(F.col("doc_n").alias("doc_id"))
+        .distinct()
+    )
+    alln = newb.select("doc_id").distinct()
+    dups = verified.select("doc_id", F.lit("near_dup").alias("verdict"))
+    fresh = alln.join(verified, "doc_id", "left_anti").select(
+        "doc_id", F.lit("new").alias("verdict")
+    )
+    return dups.unionByName(fresh).orderBy("doc_id")
+
+
 def _shingle_set(text: str, n: int) -> set:
     words = text.split(" ")
     if len(words) >= n:

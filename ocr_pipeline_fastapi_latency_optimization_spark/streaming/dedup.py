@@ -274,6 +274,44 @@ def streaming_semantic_verdicts(
     return docs_stream.writeStream.foreachBatch(handle)
 
 
+def streaming_minhash_verdicts(
+    spark,
+    docs_stream: DataFrame,
+    index_table: str,
+    corpus_docs: DataFrame,
+    out_path: str,
+):
+    """Streaming MINHASH dedup-on-ingest, FULL verdict tier — completes
+    the family symmetry: exact-fp streaming dedup drops duplicates
+    stateful-side, the semantic tier has in-stream verdicts, and this
+    is the shingle-Jaccard analog. Each micro-batch runs the complete
+    probe + exact-Jaccard verify via ``foreachBatch`` over the SAME
+    batch kernel the incremental operator uses
+    (``dedup.minhash_verified_verdicts_for_batch``): batch hashed,
+    index scan pruned to touched buckets, partner text fetched
+    O(matched), candidate edges verified — a banded false positive
+    honestly streams out as 'new'. The persisted index is the only
+    state; the batch_id-partition overwrite makes at-least-once replay
+    idempotent (same discipline as ``streaming_semantic_verdicts``).
+
+    Returns a ``DataStreamWriter`` — caller picks trigger and
+    ``.start()``s it."""
+    from ..operators.dedup import minhash_verified_verdicts_for_batch
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", "text")
+        if batch.isEmpty():
+            return
+        verdicts = minhash_verified_verdicts_for_batch(
+            spark, batch, index_table, corpus_docs
+        )
+        verdicts.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={int(batch_id)}"
+        )
+
+    return docs_stream.writeStream.foreachBatch(handle)
+
+
 def streaming_bloom_verdicts(spark, docs_stream: DataFrame, index_table: str) -> DataFrame:
     """Streaming membership dedup against a PERSISTED Bloom filter
     (``operators/dedup.py::persist_bloom_filter``) — the fully

@@ -1390,3 +1390,94 @@ def test_streaming_sketches_merge_to_batch_equivalent(spark, tmp_path):
         int(r.register): int(r.max_rank)
         for r in read_hll(spark, out).toPandas().itertuples(index=False)
     } == want_hll
+
+
+def test_streaming_minhash_verdicts_equal_batch_incremental(spark, tmp_path):
+    """The minhash family's in-stream FULL verdict tier: a micro-batch
+    flowing through streaming_minhash_verdicts (foreachBatch over the
+    shared probe+verify kernel) equals the batch
+    incremental_verified_dedup(index_table=…) at the same boundary —
+    including the honest rejection of a deterministic banded false
+    positive (superset-collision at Jaccard 1/2 streams out 'new')."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        incremental_verified_dedup,
+        minhash_signature_affine_py,
+        persist_minhash_index,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.streaming.dedup import (
+        streaming_minhash_verdicts,
+    )
+
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    base = "alpha " * 5
+    sa = minhash_signature_affine_py(base.strip())
+    collider = next(
+        base + f"tok{i}"
+        for i in range(20000)
+        if any(
+            sa[b * rows_per_band : (b + 1) * rows_per_band]
+            == minhash_signature_affine_py(base + f"tok{i}")[
+                b * rows_per_band : (b + 1) * rows_per_band
+            ]
+            for b in range(MINHASH_BANDS)
+        )
+    )
+
+    existing_rows = [(0, base.strip()), (10, "b b b b b b")]
+    batch_rows = [
+        (300, collider),                                    # candidate, J=1/2
+        (310, "b b b b b b"),                               # true dup
+        (320, "wholly unrelated text with plenty of words"),
+    ]
+    existing = spark.createDataFrame(existing_rows, "doc_id long, text string")
+    persist_minhash_index(
+        spark, existing, "t_smv_idx", str(tmp_path / "smvidx"), n_storage_buckets=4
+    )
+    try:
+        spark.createDataFrame(
+            [(d, t, "en", "s", 1) for d, t in existing_rows + batch_rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        want = (
+            incremental_verified_dedup(
+                spark, str(tmp_path), boundary=100, index_table="t_smv_idx"
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(want["verdict"]) == ["new", "near_dup", "new"]
+
+        src = str(tmp_path / "in")
+        spark.createDataFrame(
+            [(d, t, "2024-01-01 00:00:00") for d, t in batch_rows],
+            "doc_id long, text string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(src)
+        out_dir = str(tmp_path / "verdicts")
+        q = (
+            streaming_minhash_verdicts(
+                spark, stream, "t_smv_idx", existing, out_dir
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.read.parquet(out_dir)
+            .select("doc_id", "verdict")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_smv_idx")

@@ -1936,3 +1936,87 @@ def test_verified_near_dedup_rejects_lsh_false_positive(spark, tmp_path):
     assert out.loc[1, "cluster_id"] == 1  # no weld
     assert bool(out.loc[10, "keep"]) and not bool(out.loc[11, "keep"])
     assert out.loc[11, "cluster_id"] == 10  # true dups still contract
+
+
+def test_incremental_verified_dedup_rejects_candidate(spark, tmp_path):
+    """Ingest-side verify: a banded false positive straddling the
+    boundary is 'near_dup_candidate' to the probe-only operator but an
+    honest 'new' to the verified one; a genuine exact duplicate of an
+    existing doc still verifies to 'near_dup'. Same deterministic
+    superset-collision search as the corpus-level test."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        minhash_signature_affine_py,
+    )
+
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    base = "alpha " * 5
+    sa = minhash_signature_affine_py(base.strip())
+    collider = None
+    for i in range(20000):
+        cand = base + f"tok{i}"
+        sb = minhash_signature_affine_py(cand)
+        if any(
+            sa[b * rows_per_band : (b + 1) * rows_per_band]
+            == sb[b * rows_per_band : (b + 1) * rows_per_band]
+            for b in range(MINHASH_BANDS)
+        ):
+            collider = cand
+            break
+    assert collider is not None
+
+    rows = [
+        (0, base.strip(), "en", "s", 1),        # existing
+        (10, "b b b b b b", "en", "s", 1),      # existing
+        (300, collider, "en", "s", 1),          # new: candidate, J=1/2
+        (310, "b b b b b b", "en", "s", 1),     # new: true dup of 10
+        (320, "wholly unrelated text with plenty of words", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    probe = (
+        dedup.incremental_minhash_dedup(spark, sf).toPandas().set_index("doc_id")
+    )
+    assert probe.loc[300, "verdict"] == "near_dup_candidate"
+
+    out = (
+        dedup.incremental_verified_dedup(spark, sf).toPandas().set_index("doc_id")
+    )
+    assert out.loc[300, "verdict"] == "new"       # rejected candidate
+    assert out.loc[310, "verdict"] == "near_dup"  # true dup verifies
+    assert out.loc[320, "verdict"] == "new"
+
+
+def test_incremental_verified_dedup_index_mode_identical(spark, tmp_path):
+    """incremental_verified_dedup(index_table=…) — the production
+    O(batch) form probing the persisted bucketed index with partner
+    text fetched by id — must be byte-identical to the in-memory
+    boundary-split oracle path on the same corpus."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    dedup.persist_minhash_index(
+        spark, docs, "t_ivd_idx", str(tmp_path / "ividx"), n_storage_buckets=4
+    )
+    try:
+        want = (
+            dedup.incremental_verified_dedup(spark, sf)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got = (
+            dedup.incremental_verified_dedup(spark, sf, index_table="t_ivd_idx")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert (want["verdict"] == "near_dup").any()  # non-vacuous
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivd_idx")

@@ -418,6 +418,9 @@ def test_session_late_operators_plan_shapes(spark):
     plans = {
         "quality_aware": plan_str(dedup.quality_aware_dedup(spark, SF_DIR)),
         "verified": plan_str(dedup.verified_near_dedup(spark, SF_DIR)),
+        "incr_verified": plan_str(
+            dedup.incremental_verified_dedup(spark, SF_DIR)
+        ),
         "temperature": plan_str(curation.temperature_mixture(spark, SF_DIR)),
         "coverage": plan_str(curation.vocab_coverage(spark, SF_DIR)),
     }
