@@ -672,6 +672,10 @@ def minhash_verified_verdicts_for_batch(
         .filter(F.col("doc_o") < F.col("doc_n"))
         .select("doc_n", "doc_o")
         .distinct()
+        # O(candidates) rows, referenced by three downstream branches
+        # (partner fetch, intersection, verdict) — materialized once so
+        # the pruned index scan runs ONCE per batch, not once per branch
+        .localCheckpoint(eager=True)
     )
     partners = (
         cand.select(F.col("doc_o").alias("doc_id"))
@@ -705,6 +709,9 @@ def minhash_verified_verdicts_for_batch(
         )
         .select(F.col("doc_n").alias("doc_id"))
         .distinct()
+        # <= batch-size ids, referenced twice (verdict + anti-join) —
+        # materialized so the shingle-verify subtree runs once
+        .localCheckpoint(eager=True)
     )
     alln = batch.select("doc_id").distinct()
     dups = verified.select("doc_id", F.lit("near_dup").alias("verdict"))
