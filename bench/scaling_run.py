@@ -422,6 +422,26 @@ operators measured at 1× and 10×:
 | HLL wall / registers / rel. error | 1.9 s / 256 / 2.6% | 2.0 s / **256** / 0.07% | flat wall, constant 256-row state, estimator well inside the 1.04/√m envelope at both levels |
 
 Regenerate with: `python bench/scale_sketch_run.py`.
+
+## Round-6: the verified near-dedup tier, measured (sf0.1, local[32])
+
+What the exact-Jaccard verify costs and what it buys, on the driver
+corpus (5,000 docs, idle machine):
+
+| path | wall | outcome |
+| --- | --- | --- |
+| near_dedup_corpus (candidates trusted) | 4.49 s | **248 docs dropped** on 260 raw candidate pairs |
+| verified_near_dedup (exact 9·∩ ≥ 4·(A+B) per edge) | 6.15 s | **237 docs dropped** — 11 of the unverified drops (4.4%) were NOT genuine ≥ 0.8 duplicates |
+| incremental probe-only, 500-doc batch vs 4,500-doc index | 5.13 s | 45 `near_dup_candidate` |
+| incremental VERIFIED, same batch, `index_table=` kernel | 5.23 s | **41 near_dup / 4 rejected** — the verify adds ~0.1 s because it explodes only candidate edges; 9% of candidates were not real dups |
+| incremental VERIFIED, in-memory boundary split (oracle path) | 7.18 s | identical verdicts — the index-probing form wins because only the batch is hashed |
+
+The kernel's plan materializes its two O(batch) control-plane frames
+(`localCheckpoint`), collapsing 38 exchanges / 6 pruned index scans
+per micro-batch to 3 exchanges / 1 scan (plan-probed; the
+streaming twin `streaming_minhash_verdicts` reuses the kernel
+unchanged and its in-stream verdicts equal the batch operator —
+pytest-asserted).
 """
 
     n_turns = levels[LEVELS[-1]]["turns"]
