@@ -1065,6 +1065,45 @@ def near_dedup_corpus(
     ).orderBy("doc_id")
 
 
+def _verified_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    n: int = SHINGLE_WORDS,
+) -> DataFrame:
+    """(doc_a, doc_b) LSH candidate pairs that SURVIVE the exact integer
+    Jaccard criterion — the edge builder shared by
+    ``verified_near_dedup`` and ``quality_aware_dedup(verified=True)``.
+    The intersection count explodes only the candidate list by the left
+    doc's shingles (candidates × shingles/doc, never all-pairs)."""
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(spark, sf_dir, n_perms=n_perms, bands=bands)
+    sh = word_shingles(docs, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(9) * F.col("n_inter") >= F.lit(4) * (F.col("n_a") + F.col("n_b"))
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
 def verified_near_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -1096,30 +1135,7 @@ def verified_near_dedup(
     vanish from the intersection count, and 9·0 >= 4·(n_a+n_b) is
     unsatisfiable for non-empty shingle sets)."""
     docs = _docs(spark, sf_dir)
-    cand = minhash_lsh_pairs(spark, sf_dir, n_perms=n_perms, bands=bands)
-    sh = word_shingles(docs, n=n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    verified = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            F.lit(9) * F.col("n_inter") >= F.lit(4) * (F.col("n_a") + F.col("n_b"))
-        )
-        .select("doc_a", "doc_b")
-    )
+    verified = _verified_pairs(spark, sf_dir, n_perms=n_perms, bands=bands, n=n)
     cc = connected_components(verified)
     joined = docs.select("doc_id").join(cc, F.col("doc_id") == cc["node"], "left")
     return joined.select(
@@ -1136,6 +1152,7 @@ def quality_aware_dedup(
     sf_dir: str,
     n_perms: int = MINHASH_PERMS,
     bands: int = MINHASH_BANDS,
+    verified: bool = False,
 ) -> DataFrame:
     """Near-dedup with QUALITY-AWARE representative selection: each
     near-dup cluster keeps its highest-quality member instead of the
@@ -1152,13 +1169,24 @@ def quality_aware_dedup(
     ``near_dedup_corpus``, then TWO bounded hash aggregates on
     cluster_id (max quality; min doc_id among the argmax set) and two
     cluster-keyed equi-joins — never a window over the corpus, and the
-    representative table is cluster-count-sized (AQE broadcasts it)."""
+    representative table is cluster-count-sized (AQE broadcasts it).
+
+    ``verified=True`` clusters over the exact-Jaccard-verified edge set
+    (``_verified_pairs``, the ``verified_near_dedup`` discipline)
+    instead of raw band collisions — an LSH false positive then cannot
+    weld unrelated docs into one cluster and sacrifice one to the
+    other's quality score. The driver oracle pins the default (raw
+    candidates, the ``near_dedup_corpus`` twin); the verified variant
+    is pinned by the planted-collision pytest."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.length("text").cast("long").alias("quality")
     )
-    cc = connected_components(
-        minhash_lsh_pairs(spark, sf_dir, n_perms=n_perms, bands=bands)
+    edges = (
+        _verified_pairs(spark, sf_dir, n_perms=n_perms, bands=bands)
+        if verified
+        else minhash_lsh_pairs(spark, sf_dir, n_perms=n_perms, bands=bands)
     )
+    cc = connected_components(edges)
     lab = docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
         "doc_id",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),

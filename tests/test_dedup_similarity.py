@@ -1937,6 +1937,19 @@ def test_verified_near_dedup_rejects_lsh_false_positive(spark, tmp_path):
     assert bool(out.loc[10, "keep"]) and not bool(out.loc[11, "keep"])
     assert out.loc[11, "cluster_id"] == 10  # true dups still contract
 
+    # quality-aware selection over VERIFIED edges: no weld either, and
+    # the false-positive pair can no longer sacrifice one member to the
+    # other's (longer) quality score
+    qa = (
+        dedup.quality_aware_dedup(spark, sf, verified=True)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(qa.loc[0, "keep"]) and bool(qa.loc[1, "keep"])
+    # unverified quality-aware DOES weld them (collider is longer, wins)
+    qa_raw = dedup.quality_aware_dedup(spark, sf).toPandas().set_index("doc_id")
+    assert not bool(qa_raw.loc[0, "keep"]) and qa_raw.loc[0, "kept_doc"] == 1
+
 
 def test_incremental_verified_dedup_rejects_candidate(spark, tmp_path):
     """Ingest-side verify: a banded false positive straddling the
