@@ -525,6 +525,37 @@ def _q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_knn(spark, sf_dir, nprobe=2)
 
 
+def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc leakage report over a planted THREE-CLASS eval set
+    (non-vacuous at every SF): suffix paraphrases of every 13th doc
+    (shared 8-grams survive AND the embedding stays near — 'both' for
+    typical lengths), WORD-REVERSED copies of every 17th doc (reversal
+    destroys every 8-gram of a non-palindromic ≥8-word doc while the
+    bag-of-tokens embedding is IDENTICAL — cosine exactly 10⁶,
+    'semantic_only'; the class n-gram matching cannot catch), and one
+    unrelated sentence ('clean'). Reversal and concatenation are exact
+    in both engines, so every class boundary is deterministic."""
+    _pin_session(spark)
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    para = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" " + SEM_EVAL_SUFFIX)).alias("text"),
+    )
+    rev = docs.filter(
+        (F.col("doc_id") % 17 == 0) & (F.col("doc_id") % 13 != 0)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+    )
+    clean = spark.createDataFrame(
+        [(-1, EVAL_SENTENCE)], "doc_id long, text string"
+    )
+    ev = para.unionByName(rev).unionByName(clean)
+    return curation.contamination_report(spark, sf_dir, eval_docs=ev)
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination vs a one-sentence synthetic eval set.
     The generated corpus shares no 8-grams with the sentence, so (per
@@ -1660,6 +1691,70 @@ ORDER BY d.doc_id
 """
 
 
+def _contamination_report_sql() -> str:
+    """SQL twin of the per-eval contamination report over the planted
+    three-class eval frame: the shared embedding/centering/auto-family
+    CTE builders (corpus frame + suffixed eval frame), per-eval max
+    cosine on band candidates, an 8-gram existence check against the
+    corpus shingles, and the CASE verdict."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
+        TEXT_NEAR_DUP_THRESHOLD_E6,
+    )
+
+    return f"""
+WITH {_embed_sums_cte()},
+evald AS (
+  SELECT doc_id, text || ' {SEM_EVAL_SUFFIX}' AS text
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+  FROM documents WHERE doc_id % 17 = 0 AND doc_id % 13 <> 0
+  UNION ALL SELECT CAST(-1 AS BIGINT), '{EVAL_SENTENCE}'),
+{_embed_sums_cte(src="evald", suffix="_e")},
+{_text_center_ctes()},
+{_cent_ue_ctes("_e")},
+{_text_lsh_auto_cte()},
+{_text_lsh_sig_bands_cte(src="cent_e", suffix="_e")},
+cand AS (
+  SELECT DISTINCT c.vec_id AS c_doc, e.vec_id AS eval_vec
+  FROM bands c JOIN bands_e e ON c.band = e.band AND c.key = e.key),
+scored AS (
+  SELECT c.eval_vec, {_cos_e6('a', 'b')} AS score_e6
+  FROM cand c JOIN ue a ON a.vec_id = c.c_doc
+              JOIN ue_e b ON b.vec_id = c.eval_vec),
+sem AS (
+  SELECT eval_vec, max(score_e6) AS max_cosine_e6
+  FROM scored WHERE score_e6 >= {TEXT_NEAR_DUP_THRESHOLD_E6}
+  GROUP BY eval_vec),
+evw AS (SELECT doc_id AS eval_id, string_split(text, ' ') AS w FROM evald),
+evg AS (
+  SELECT DISTINCT eval_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+                               i -> array_to_string(w[i:i+7], ' '))) AS g
+  FROM evw),
+dw AS (SELECT string_split(text, ' ') AS w FROM documents),
+dg AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+                               i -> array_to_string(w[i:i+7], ' '))) AS g
+  FROM dw),
+lex AS (SELECT DISTINCT e.eval_id FROM evg e JOIN dg d ON d.g = e.g),
+base AS (
+  SELECT ev.eval_id,
+         (ev.eval_id IN (SELECT eval_id FROM lex)) AS lexical_hit,
+         (s.eval_vec IS NOT NULL) AS semantic_hit,
+         COALESCE(s.max_cosine_e6, 0) AS max_cosine_e6
+  FROM (SELECT DISTINCT doc_id AS eval_id FROM evald) ev
+  LEFT JOIN sem s ON s.eval_vec = ev.eval_id)
+SELECT eval_id, lexical_hit, semantic_hit, max_cosine_e6,
+       CASE WHEN lexical_hit AND semantic_hit THEN 'both'
+            WHEN lexical_hit THEN 'lexical_only'
+            WHEN semantic_hit THEN 'semantic_only'
+            ELSE 'clean' END AS verdict
+FROM base ORDER BY eval_id
+"""
+
+
 def _incremental_text_domain_sql() -> str:
     """SQL twin of embedding.incremental_text_domain_dedup: per-domain
     centers computed from the PRE-boundary split (csum GROUP BY domain
@@ -2354,12 +2449,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round was audited fully green in BOTH r4 and r5
     # (rows+schema+hash).
     # Late round-6 additions (verified_near_dedup,
-    # incremental_verified_dedup, quality_aware_dedup,
-    # temperature_mixture, vocab_coverage) join the head; they displace
-    # dedup_conversations, median_chars_by_source, blocks_table,
-    # curation_funnel and quantize_embeddings — each green in r1-r5
+    # incremental_verified_dedup, contamination_report,
+    # quality_aware_dedup, temperature_mixture, vocab_coverage) join
+    # the head; they displace dedup_conversations,
+    # median_chars_by_source, blocks_table, curation_funnel,
+    # quantize_embeddings and near_dedup_corpus — each green in r1-r5
     # windows multiple times (multi-green, unchanged plans).
-    # Window = first 50 of 108; every tail entry has >= 2 green driver
+    # Window = first 50 of 109; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -2378,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW this round: zero driver signal
         "verified_near_dedup": _wrap(dedup.verified_near_dedup),
         "incremental_verified_dedup": _wrap(dedup.incremental_verified_dedup),
+        "contamination_report": _q_contamination_report,
         "quality_aware_dedup": _wrap(dedup.quality_aware_dedup),
         "temperature_mixture": _wrap(curation.temperature_mixture),
         "vocab_coverage": _wrap(curation.vocab_coverage),
@@ -3313,6 +3410,7 @@ FROM t ORDER BY doc_id
         "encode_documents": _encode_documents_sql(),
         "semantic_dedup_text_corpus": _semantic_text_sql(),
         "semantic_decontaminate": _semantic_decontaminate_sql(),
+        "contamination_report": _contamination_report_sql(),
         "incremental_text_semantic_dedup": _incremental_text_semantic_sql(),
         "knn_text": _knn_text_sql(),
         "knn_text_ivf": _knn_text_ivf_sql(),

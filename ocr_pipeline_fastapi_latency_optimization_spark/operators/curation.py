@@ -1298,6 +1298,120 @@ def semantic_decontaminate(
     )
 
 
+def contamination_report(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_docs: DataFrame,
+    threshold_e6: int | None = None,
+    docs: DataFrame | None = None,
+    n: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """Per-EVAL-document leakage report — the transpose of the two
+    decontamination operators (which flag TRAINING docs): for each eval
+    item, does the corpus contain LEXICAL leakage (shares ≥ 1 word
+    ``n``-gram) and/or SEMANTIC leakage (embedding cosine ≥ threshold
+    to some corpus doc), plus the combined class verdict
+    (both / lexical_only / semantic_only / clean). The two detectors
+    have disjoint blind spots — word-order edits destroy every 8-gram
+    while the bag-of-tokens embedding is unchanged (semantic_only), and
+    a short verbatim quote inside an otherwise-unrelated doc keeps one
+    8-gram alive while the whole-doc embedding dilutes it
+    (lexical_only) — so a benchmark owner needs BOTH columns to decide
+    which eval items to re-collect.
+
+    Scale shape: the eval side is benchmark-sized on both detectors —
+    the gram check streams corpus shingles against the eval gram set
+    (AQE broadcasts the tiny side) with a per-eval distinct, and the
+    semantic side embeds the corpus once (one map-side-combined
+    shuffle; checkpointed) and bands the eval under the corpus's
+    center + auto-sized family (the probe-adopts-the-corpus-family
+    rule), pure-JVM integer-sum cosine on surviving candidates only.
+    One corpus scan per detector, O(candidates) verify."""
+    from .dedup import word_shingles
+    from .embedding import (
+        TEXT_NEAR_DUP_THRESHOLD_E6,
+        _resolve_text_family,
+        _sums_cosine_e6,
+        _sums_with_norm,
+        centered_band_buckets,
+        embed_sums,
+        embed_totals,
+    )
+
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    if threshold_e6 is None:
+        threshold_e6 = TEXT_NEAR_DUP_THRESHOLD_E6
+    ev = eval_docs.select(
+        F.col(eval_docs.columns[0]).alias("eval_id"), F.col("text")
+    )
+
+    evg = word_shingles(
+        ev.select(F.col("eval_id").alias("doc_id"), "text"), n=n
+    ).select(F.col("doc_id").alias("eval_id"), "shingle")
+    lex = (
+        word_shingles(docs.select("doc_id", "text"), n=n)
+        .select("shingle")
+        .join(evg, "shingle")
+        .select("eval_id")
+        .distinct()
+        .withColumn("lex_hit", F.lit(True))
+    )
+
+    sums = embed_sums(docs).localCheckpoint(eager=True)
+    planes_list, bands = _resolve_text_family(None, None, sums.count())
+    totals = embed_totals(sums)
+    corpus_bands = centered_band_buckets(
+        sums, totals, planes_list=planes_list, bands=bands
+    )
+    ev_sums = embed_sums(ev.select(F.col("eval_id").alias("doc_id"), "text"))
+    ev_bands = centered_band_buckets(
+        ev_sums, totals, planes_list=planes_list, bands=bands
+    ).select(F.col("vec_id").alias("eval_vec"), "band", "key")
+    cands = (
+        corpus_bands.join(ev_bands, ["band", "key"])
+        .select(F.col("vec_id").alias("c_doc"), "eval_vec")
+        .distinct()
+    )
+    wc = _sums_with_norm(sums).alias("sa")
+    we = _sums_with_norm(ev_sums).alias("sb")
+    sem = (
+        cands.join(wc, F.col("c_doc") == F.col("sa.doc_id"))
+        .join(we, F.col("eval_vec") == F.col("sb.doc_id"))
+        .select("eval_vec", _sums_cosine_e6("sa", "sb").alias("score_e6"))
+        .filter(F.col("score_e6") >= F.lit(int(threshold_e6)))
+        .groupBy("eval_vec")
+        .agg(F.max("score_e6").alias("max_cosine_e6"))
+    )
+    return (
+        ev.select("eval_id")
+        .distinct()
+        .join(lex, "eval_id", "left")
+        .join(
+            sem.select(F.col("eval_vec").alias("eval_id"), "max_cosine_e6"),
+            "eval_id",
+            "left",
+        )
+        .select(
+            "eval_id",
+            F.coalesce("lex_hit", F.lit(False)).alias("lexical_hit"),
+            F.col("max_cosine_e6").isNotNull().alias("semantic_hit"),
+            F.coalesce("max_cosine_e6", F.lit(0).cast("long")).alias(
+                "max_cosine_e6"
+            ),
+        )
+        .withColumn(
+            "verdict",
+            F.expr(
+                "CASE WHEN lexical_hit AND semantic_hit THEN 'both' "
+                "WHEN lexical_hit THEN 'lexical_only' "
+                "WHEN semantic_hit THEN 'semantic_only' "
+                "ELSE 'clean' END"
+            ),
+        )
+        .orderBy("eval_id")
+    )
+
+
 # --- DSIR-style hashed n-gram importance weighting -------------------
 #
 # Data Selection with Importance Resampling (Xie et al., 2023,

@@ -897,3 +897,47 @@ def test_vocab_coverage_hand_computed(spark, tmp_path):
         (95, 5, 19, 20),
         (99, 6, 20, 20),
     ]
+
+
+def test_contamination_report_four_classes(spark, tmp_path):
+    """The per-eval report's class boundaries on controlled leakage:
+    an exact copy hits BOTH detectors; a word-reversed copy has cosine
+    1.0 (identical token bag; the e6 quantization floors the
+    sqrt-roundtrip to 999999) but zero shared 8-grams —
+    semantic_only, the paraphrase class n-gram matching cannot catch;
+    an 8-word verbatim quote diluted by 12 unrelated words keeps one
+    8-gram alive while the whole-doc cosine falls below threshold —
+    lexical_only, the quote class embeddings cannot catch; unrelated
+    text is clean."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        contamination_report,
+    )
+
+    d0 = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (0, d0, "en", "s", 1),
+        (1, "completely different corpus filler text here today", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    evals = [
+        (100, d0),                                              # both
+        (101, " ".join(f"w{i}" for i in reversed(range(20)))),  # semantic_only
+        (102, " ".join(f"w{i}" for i in range(8))
+              + " " + " ".join(f"zz{i}" for i in range(12))),   # lexical_only
+        (103, "nothing shared with anything at all honestly"),  # clean
+    ]
+    ev = spark.createDataFrame(evals, "eval_id long, text string")
+    out = (
+        contamination_report(spark, str(tmp_path), eval_docs=ev)
+        .toPandas()
+        .set_index("eval_id")
+    )
+    assert out.loc[100, "verdict"] == "both"
+    assert out.loc[100, "max_cosine_e6"] >= 999999  # floor(1e6*x/(sqrt(x)*sqrt(x)))
+    assert out.loc[101, "verdict"] == "semantic_only"
+    assert out.loc[101, "max_cosine_e6"] >= 999999  # identical token bag
+    assert out.loc[102, "verdict"] == "lexical_only"
+    assert out.loc[103, "verdict"] == "clean"
