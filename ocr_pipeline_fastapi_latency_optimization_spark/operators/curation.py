@@ -1349,7 +1349,12 @@ def contamination_report(
         ev.select(F.col("eval_id").alias("doc_id"), "text"), n=n
     ).select(F.col("doc_id").alias("eval_id"), "shingle")
     lex = (
-        word_shingles(docs.select("doc_id", "text"), n=n)
+        # distinct=False: the consumer is an existence check per
+        # eval_id — duplicate corpus shingles cannot change the
+        # distinct eval set, and skipping the per-(doc, shingle)
+        # dedup removes a corpus-wide shuffle (the SQL twin's dg CTE
+        # is likewise non-distinct)
+        word_shingles(docs.select("doc_id", "text"), n=n, distinct=False)
         .select("shingle")
         .join(evg, "shingle")
         .select("eval_id")
