@@ -941,3 +941,34 @@ def test_contamination_report_four_classes(spark, tmp_path):
     assert out.loc[101, "max_cosine_e6"] >= 999999  # identical token bag
     assert out.loc[102, "verdict"] == "lexical_only"
     assert out.loc[103, "verdict"] == "clean"
+
+
+def test_vocab_coverage_matches_brute_force_rank_walk(spark):
+    """Independent third implementation (the twin-SQL incident guard:
+    both engines once shared a first-qualifying-row bug, so an oracle
+    match alone proves nothing about the math): brute-force pandas —
+    sort token counts desc, cumulative sum, first rank reaching
+    ceil(total*p/100) — must agree with the histogram-walk operator on
+    the real sf0.001 corpus for every p."""
+    import pandas as pd
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        vocab_coverage,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = vocab_coverage(spark, sf).toPandas().set_index("p")
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    toks = pd.Series(
+        [t for text in docs["text"] for t in text.split(" ") if t != ""]
+    )
+    counts = toks.value_counts().sort_values(ascending=False).to_numpy()
+    total = int(counts.sum())
+    cum = counts.cumsum()
+    for p in (50, 90, 95, 99):
+        thresh = -(-total * p // 100)  # ceil
+        brute = int((cum >= thresh).argmax()) + 1  # first rank covering
+        assert out.loc[p, "vocab_size"] == brute, (p, brute)
+        assert out.loc[p, "threshold_occ"] == thresh
+        assert out.loc[p, "total_occ"] == total
