@@ -701,13 +701,15 @@ def _minhash_buckets_sql() -> str:
         MINHASH_BANDS,
         MINHASH_PERMS,
         _MASK31,
+        _MERSENNE31,
         _affine_consts,
     )
 
     consts = _affine_consts(MINHASH_PERMS)
     rows = MINHASH_PERMS // MINHASH_BANDS
+    M31 = _MERSENNE31  # Carter-Wegman modulus, shared with the Spark side
     mins = ", ".join(
-        f"min({a} * b + {b_}) AS h{p}" for p, (a, b_) in enumerate(consts)
+        f"min(({a} * b + {b_}) % {M31}) AS h{p}" for p, (a, b_) in enumerate(consts)
     )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "

@@ -426,15 +426,15 @@ Regenerate with: `python bench/scale_sketch_run.py`.
 ## Round-6: the verified near-dedup tier, measured (sf0.1, local[32])
 
 What the exact-Jaccard verify costs and what it buys, on the driver
-corpus (5,000 docs, idle machine):
+corpus (5,000 docs, idle machine, AFTER the modulus fix below):
 
 | path | wall | outcome |
 | --- | --- | --- |
-| near_dedup_corpus (candidates trusted) | 4.49 s | **248 docs dropped** on 260 raw candidate pairs |
-| verified_near_dedup (exact 9·∩ ≥ 4·(A+B) per edge) | 6.15 s | **237 docs dropped** — 11 of the unverified drops (4.4%) were NOT genuine ≥ 0.8 duplicates |
-| incremental probe-only, 500-doc batch vs 4,500-doc index | 5.13 s | 45 `near_dup_candidate` |
-| incremental VERIFIED, same batch, `index_table=` kernel | 5.23 s | **41 near_dup / 4 rejected** — the verify adds ~0.1 s because it explodes only candidate edges; 9% of candidates were not real dups |
-| incremental VERIFIED, in-memory boundary split (oracle path) | 7.18 s | identical verdicts — the index-probing form wins because only the batch is hashed |
+| near_dedup_corpus (candidates trusted) | 4.79 s | 244 docs dropped on 255 raw candidate pairs |
+| verified_near_dedup (exact 9·∩ ≥ 4·(A+B) per edge) | 6.89 s | 244 docs dropped — this corpus's planted dups are genuine (J≈0.97), so rejection changes nothing HERE; the scale rung's sub-threshold plants (below) show the rejected class live |
+| incremental probe-only, 500-doc batch vs 4,500-doc index | 3.65 s | 42 `near_dup_candidate` |
+| incremental VERIFIED, same batch, `index_table=` kernel | 5.11 s | 42 near_dup — verify is O(candidate edges) |
+| incremental VERIFIED, in-memory boundary split (oracle path) | 6.16 s | identical verdicts — the index-probing form wins because only the batch is hashed |
 
 The kernel's plan materializes its two O(batch) control-plane frames
 (`localCheckpoint`), collapsing 38 exchanges / 6 pruned index scans
@@ -442,6 +442,50 @@ per micro-batch to 3 exchanges / 1 scan (plan-probed; the
 streaming twin `streaming_minhash_verdicts` reuses the kernel
 unchanged and its in-stream verdicts equal the batch operator —
 pytest-asserted).
+
+## Round-6: the MinHash modulus fix (found BY the verified rung)
+
+Building the verified-dedup scale rung planted a J≈0.97 pair whose
+signatures agreed on ZERO of 32 permutations — mathematically
+impossible for real MinHash. Root cause: the affine family
+`h_p(s) = A[p]·base + B[p]` had NO modulus, and a monotone map picks
+the same argmin shingle for every permutation — the entire signature
+was a function of ONE shingle, banded LSH degenerated to single-hash
+behavior (collision probability = J instead of the bands/rows
+S-curve), and both engine twins replicated the same math so every
+oracle stayed green (the same shared-bug class the vocab-coverage
+hand test caught). Fix: Carter-Wegman `mod 2³¹−1` in all three
+evaluators (Spark pmod, DuckDB literal %, Python oracle) — measured
+before/after on the rung's planted sets:
+
+| measure | broken (no mod) | fixed (mod 2³¹−1) |
+| --- | --- | --- |
+| J≈0.97 pair: matching permutations | 0/32 | 32/32 |
+| J≈0.52 pair: matching permutations | n/a (argmin monotone) | 18/32 (E≈16.6 ✓) |
+| planted true-pair recall, 1k/10k docs | 0/2, 19/20 | **2/2, 20/20** |
+| 500-doc ingest probe: true dups found | 245/250, 243/250 | **250/250 at both levels** |
+
+The broken family was silently missing ~2 % of true ingest dups.
+Full suite + all 111 contract replicas green after the fix (the twins
+moved in lockstep); a module-load assert now rejects any future
+degenerate multiplier.
+
+## Round-6: verified-dedup rung (1x/10x corpus, idle local[32])
+
+`bench/scale_verified_run.py` — synthetic unrelated corpus, per 500
+docs one planted TRUE pair (J≈0.97) and one planted SUB-THRESHOLD
+candidate (J≈0.52: real band-collision odds, must be REJECTED), plus a
+fixed 500-doc ingest batch (250 true dups + 250 novel) probed against
+a persisted index of each level's corpus:
+
+| measure | 1x (5k docs) | 10x (50k docs) | reading |
+| --- | --- | --- | --- |
+| raw candidates / verified / rejected | 22 / 10 / 12 | 186 / 100 / 86 | candidates track TRUE overlap (linear ∝ plants), never C(N,2); the rejected class is live and N-proportional — exactly what the verify tier exists for |
+| planted true-pair recall | **10/10** | **100/100** | the fixed family's S-curve at J≈0.97 (the broken no-mod family read 0/2 and 19/20 on the smoke corpus — this rung is what caught it) |
+| verified_near_dedup wall | 14.3 s | 50.0 s | 3.5× wall for 10× docs — candidate-bounded, not quadratic |
+| 500-doc ingest probe wall / verdicts | 10.8 s / 250+250 | **9.96 s** / 250+250 | probe FLAT across the index decade (pruned scan + O(matched) partner fetch) with exact verdicts at both levels |
+
+Regenerate with: `python bench/scale_verified_run.py`.
 """
 
     n_turns = levels[LEVELS[-1]]["turns"]

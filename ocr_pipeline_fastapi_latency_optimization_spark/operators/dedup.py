@@ -271,13 +271,23 @@ def _hash60(col: Column, salt: str, fn: str) -> Column:
 
 
 # Affine-permutation MinHash: ONE base hash per shingle, then
-# h_p(s) = A[p]·(base(s) mod 2^31) + B[p] — the classic universal-hashing
-# construction. Replaces P string hashes per shingle with P multiply-adds
-# on longs. Operands stay < 2^31 so products stay < 2^63: no overflow,
-# which matters because Spark 4's ANSI mode would throw on a wrapping
-# multiply. Bit-replicable in plain Python by construction.
+# h_p(s) = (A[p]·(base(s) mod 2^31) + B[p]) mod (2^31 − 1) — the
+# Carter-Wegman universal family over the Mersenne prime. The modulus
+# is LOAD-BEARING: without it a·x+b is MONOTONE in x, every
+# "permutation" picks the same argmin shingle, the whole signature is a
+# function of ONE shingle, and banded LSH degenerates to single-hash
+# behavior (collision probability = J instead of the bands/rows
+# S-curve) — a shared-math bug both engine twins replicated until the
+# verified-dedup scale rung caught a J≈0.97 planted pair with ZERO
+# matching permutations. Replaces P string hashes per shingle with P
+# multiply-add-mods on longs. Operands stay < 2^31 so products stay
+# < 2^62: no overflow, which matters because Spark 4's ANSI mode would
+# throw on a wrapping multiply. Bit-replicable in plain Python by
+# construction. (None of the 32 default A constants ≡ 0 mod the prime
+# — asserted below — so no permutation is constant.)
 _AFFINE_SEED = 0x9E3779B97F4A7C15
 _MASK31 = 0x7FFFFFFF
+_MERSENNE31 = (1 << 31) - 1
 
 
 def _affine_consts(n: int, seed: int = _AFFINE_SEED):
@@ -298,6 +308,15 @@ def _affine_consts(n: int, seed: int = _AFFINE_SEED):
     return consts
 
 
+# a multiplier ≡ 0 mod the prime would make that permutation constant
+# (h = b for every shingle) — impossible for the default stream, kept
+# as a module-load invariant so a future seed/width change cannot
+# silently ship a degenerate permutation
+assert all(
+    a % _MERSENNE31 != 0 for a, _ in _affine_consts(MINHASH_PERMS)
+), "degenerate affine multiplier in the MinHash permutation family"
+
+
 def _affine_base_py(digest60: int) -> int:
     return digest60 & _MASK31
 
@@ -312,7 +331,8 @@ def _affine_base(col: Column, fn: str) -> Column:
 
 def _affine_hashes(base31: Column, n_perms: int):
     return [
-        base31 * F.lit(a) + F.lit(b) for a, b in _affine_consts(n_perms)
+        F.pmod(base31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+        for a, b in _affine_consts(n_perms)
     ]
 
 
@@ -849,7 +869,7 @@ def minhash_signature_affine_py(
     for a, b in consts:
         best = None
         for base in bases:
-            h = a * base + b
+            h = (a * base + b) % _MERSENNE31
             best = h if best is None or h < best else best
         out.append(best)
     return out
@@ -1071,14 +1091,33 @@ def _verified_pairs(
     n_perms: int = MINHASH_PERMS,
     bands: int = MINHASH_BANDS,
     n: int = SHINGLE_WORDS,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) LSH candidate pairs that SURVIVE the exact integer
     Jaccard criterion — the edge builder shared by
     ``verified_near_dedup`` and ``quality_aware_dedup(verified=True)``.
     The intersection count explodes only the candidate list by the left
-    doc's shingles (candidates × shingles/doc, never all-pairs)."""
-    docs = _docs(spark, sf_dir)
-    cand = minhash_lsh_pairs(spark, sf_dir, n_perms=n_perms, bands=bands)
+    doc's shingles (candidates × shingles/doc, never all-pairs). The
+    candidate stage is ``minhash_lsh_pairs``' join without its display
+    ``orderBy`` (every consumer here aggregates — a range-partition
+    sort before the verify would be a wasted exchange)."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    sig = minhash_signatures(docs, n_perms=n_perms, hash_fn="md5_affine")
+    buckets = minhash_band_buckets(sig, n_perms=n_perms, bands=bands)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
     sh = word_shingles(docs, n=n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
@@ -1110,6 +1149,7 @@ def verified_near_dedup(
     n_perms: int = MINHASH_PERMS,
     bands: int = MINHASH_BANDS,
     n: int = SHINGLE_WORDS,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """The production-true MinHash pipeline: LSH candidates → EXACT
     n-gram-Jaccard verify on the candidate pairs only → star-contraction
@@ -1134,8 +1174,10 @@ def verified_near_dedup(
     Pairs sharing ZERO shingles never reach the threshold test (they
     vanish from the intersection count, and 9·0 >= 4·(n_a+n_b) is
     unsatisfiable for non-empty shingle sets)."""
-    docs = _docs(spark, sf_dir)
-    verified = _verified_pairs(spark, sf_dir, n_perms=n_perms, bands=bands, n=n)
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    verified = _verified_pairs(
+        spark, sf_dir, n_perms=n_perms, bands=bands, n=n, docs=docs
+    )
     cc = connected_components(verified)
     joined = docs.select("doc_id").join(cc, F.col("doc_id") == cc["node"], "left")
     return joined.select(
