@@ -2033,3 +2033,45 @@ def test_incremental_verified_dedup_index_mode_identical(spark, tmp_path):
         assert (want["verdict"] == "near_dup").any()  # non-vacuous
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivd_idx")
+
+
+@pytest.mark.parametrize("hash_fn", ["md5_affine", "affine"])
+def test_minhash_permutations_estimate_jaccard(spark, hash_fn):
+    """THE regression guard for the missing-modulus bug class: MinHash's
+    defining property is P(h_p(A) == h_p(B)) = J per permutation, so a
+    J=0.5 pair must agree on roughly half the 32 slots. The broken
+    monotone family (no mod) was BIMODAL — 0/32 or 32/32 depending on
+    whether the single global argmin shingle was shared — so a mid-J
+    band [8, 24] separates the families decisively on frozen data.
+    Also pins the S-curve ends: identical shingle sets agree 32/32;
+    near-disjoint sets (J ~ 0.02) agree on almost none."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        MINHASH_PERMS,
+        minhash_signatures,
+    )
+
+    # token streams with controlled shingle overlap: doc B shares the
+    # first half of doc A's 200 tokens (J ~ (100-4)/(2*196-96) ~ 0.48*)
+    a_toks = [f"a{i}" for i in range(200)]
+    b_toks = a_toks[:100] + [f"b{i}" for i in range(100)]
+    c_toks = [f"c{i}" for i in range(200)]  # disjoint
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(a_toks)),
+            (1, " ".join(b_toks)),
+            (2, " ".join(c_toks)),
+            (3, " ".join(a_toks)),  # identical to 0
+        ],
+        "doc_id long, text string",
+    )
+    sig = {
+        r["doc_id"]: [r[f"h{p}"] for p in range(MINHASH_PERMS)]
+        for r in minhash_signatures(docs, hash_fn=hash_fn).collect()
+    }
+
+    def agree(x, y):
+        return sum(1 for u, v in zip(sig[x], sig[y]) if u == v)
+
+    assert agree(0, 3) == MINHASH_PERMS          # J = 1
+    assert 8 <= agree(0, 1) <= 24, agree(0, 1)   # J ~ 0.5: unimodal mid-band
+    assert agree(0, 2) <= 2, agree(0, 2)         # J ~ 0: near-zero
