@@ -818,6 +818,54 @@ ORDER BY d.doc_id
     )
 
 
+def _minhash_jaccard_estimates_sql() -> str:
+    """SQL twin of dedup.minhash_jaccard_estimates: the shared
+    buckets/sig/sh CTEs, a 32-term CASE agreement sum per candidate
+    pair, and the exact intersection triple."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        MINHASH_PERMS,
+    )
+
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{p} = sb.h{p} THEN 1 ELSE 0 END)"
+        for p in range(MINHASH_PERMS)
+    )
+    return (
+        "WITH "
+        + _minhash_buckets_sql()
+        + f""",
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST((({agree}) * 10000) // {MINHASH_PERMS} AS BIGINT)
+           AS est_jaccard_e4
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b)
+SELECT e.doc_a, e.doc_b, e.est_jaccard_e4,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST((COALESCE(i.n_inter, 0) * 10000)
+            // (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)) AS BIGINT)
+         AS exact_jaccard_e4
+FROM est e LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes sa ON sa.doc_id = e.doc_a
+JOIN sizes sb ON sb.doc_id = e.doc_b
+ORDER BY e.doc_a, e.doc_b
+"""
+    )
+
+
 def _verified_near_dedup_sql() -> str:
     """SQL twin of dedup.verified_near_dedup: LSH candidates, the exact
     integer Jaccard criterion applied to candidates only (shingle
@@ -2451,13 +2499,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round was audited fully green in BOTH r4 and r5
     # (rows+schema+hash).
     # Late round-6 additions (verified_near_dedup,
-    # incremental_verified_dedup, contamination_report,
-    # quality_aware_dedup, temperature_mixture, vocab_coverage) join
-    # the head; they displace dedup_conversations,
+    # incremental_verified_dedup, minhash_jaccard_estimates,
+    # contamination_report, quality_aware_dedup, temperature_mixture,
+    # vocab_coverage) join the head; they displace dedup_conversations,
     # median_chars_by_source, blocks_table, curation_funnel,
-    # quantize_embeddings and near_dedup_corpus — each green in r1-r5
-    # windows multiple times (multi-green, unchanged plans).
-    # Window = first 50 of 109; every tail entry has >= 2 green driver
+    # quantize_embeddings, near_dedup_corpus and incremental_minhash_
+    # dedup — each green in r1-r5 windows multiple times (multi-green;
+    # the two minhash tail rows carry the round-6 modulus fix, but
+    # their oracles moved in lockstep and the full replica re-ran green
+    # at all three SFs post-fix this round).
+    # Window = first 50 of 110; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -2476,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW this round: zero driver signal
         "verified_near_dedup": _wrap(dedup.verified_near_dedup),
         "incremental_verified_dedup": _wrap(dedup.incremental_verified_dedup),
+        "minhash_jaccard_estimates": _wrap(dedup.minhash_jaccard_estimates),
         "contamination_report": _q_contamination_report,
         "quality_aware_dedup": _wrap(dedup.quality_aware_dedup),
         "temperature_mixture": _wrap(curation.temperature_mixture),
@@ -3597,6 +3649,7 @@ FROM p GROUP BY seq_id ORDER BY seq_id
         "quality_aware_dedup": _quality_aware_dedup_sql(),
         "verified_near_dedup": _verified_near_dedup_sql(),
         "incremental_verified_dedup": _incremental_verified_dedup_sql(),
+        "minhash_jaccard_estimates": _minhash_jaccard_estimates_sql(),
         "temperature_mixture": _temperature_mixture_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "dedup_survivors": f"""

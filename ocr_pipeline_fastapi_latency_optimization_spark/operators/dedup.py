@@ -1085,6 +1085,97 @@ def near_dedup_corpus(
     ).orderBy("doc_id")
 
 
+def minhash_jaccard_estimates(
+    spark: SparkSession,
+    sf_dir: str,
+    n_perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    n: int = SHINGLE_WORDS,
+) -> DataFrame:
+    """Per candidate pair, the MinHash ESTIMATE of Jaccard next to the
+    exact evidence: ``est_jaccard_e4 = ⌊agreeing permutations · 10⁴ /
+    P⌋`` (the defining estimator E[agree/P] = J — the property the
+    round-6 modulus fix restored; the broken monotone family read 0 or
+    10⁴ and nothing between) and the exact integer triple (|∩|, |A|,
+    |B|) from the candidates-only shingle join. The estimate is what a
+    production pipeline uses to SKIP the exact verify on clear cases
+    (est ≫ or ≪ threshold) and spend the shingle join only on the
+    margin; emitting both from one plan makes the trade auditable.
+
+    Scale shape: signatures are computed once (the same one-shuffle
+    min-agg as the LSH path), the agreement count is a single parsed
+    32-term JVM expression per pair (no Python, no explode — the py4j
+    lesson: one F.expr string, not 32 Column ops), and the exact triple
+    reuses the candidates-only intersection join."""
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signatures(docs, n_perms=n_perms, hash_fn="md5_affine")
+    buckets = minhash_band_buckets(sig, n_perms=n_perms, bands=bands)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{p}").alias(f"ha{p}") for p in range(n_perms)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{p}").alias(f"hb{p}") for p in range(n_perms)],
+    )
+    agree = " + ".join(
+        f"(CASE WHEN ha{p} = hb{p} THEN 1 ELSE 0 END)" for p in range(n_perms)
+    )
+    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.expr(f"(({agree}) * 10000) div {n_perms}").alias("est_jaccard_e4"),
+    )
+    sh = word_shingles(docs, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard_e4",
+            F.coalesce("n_inter", F.lit(0).cast("long")).alias("n_inter"),
+            "n_a",
+            "n_b",
+            F.expr("(coalesce(n_inter, 0) * 10000) div (n_a + n_b - coalesce(n_inter, 0))").alias(
+                "exact_jaccard_e4"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _verified_pairs(
     spark: SparkSession,
     sf_dir: str,

@@ -2075,3 +2075,23 @@ def test_minhash_permutations_estimate_jaccard(spark, hash_fn):
     assert agree(0, 3) == MINHASH_PERMS          # J = 1
     assert 8 <= agree(0, 1) <= 24, agree(0, 1)   # J ~ 0.5: unimodal mid-band
     assert agree(0, 2) <= 2, agree(0, 2)         # J ~ 0: near-zero
+
+
+def test_minhash_jaccard_estimates_track_exact(spark):
+    """The estimate column must behave like an estimator: on the real
+    sf0.001 candidate pairs, every |est − exact| stays inside ~3.5σ of
+    the P=32 binomial (σ·10⁴ ≈ 900 at J≈0.5, tighter near 1), and the
+    exact triple matches the Jaccard identity. The broken pre-fix
+    family put est at exactly 10⁴ for every candidate (all-or-nothing
+    collisions), which this bound rejects on the measured data."""
+    sf = "/root/testdata/sf0.001"
+    out = dedup.minhash_jaccard_estimates(spark, sf).toPandas()
+    assert len(out) > 0
+    diff = (out.est_jaccard_e4 - out.exact_jaccard_e4).abs()
+    assert diff.max() <= 3200, out[diff > 3200].to_string()
+    # est is not all-or-nothing: at least one candidate sits strictly
+    # between the extremes (the degenerate family could not produce it)
+    assert ((out.est_jaccard_e4 > 0) & (out.est_jaccard_e4 < 10000)).any()
+    # Jaccard identity on the exact triple
+    recomputed = (out.n_inter * 10000) // (out.n_a + out.n_b - out.n_inter)
+    assert (recomputed == out.exact_jaccard_e4).all()
