@@ -1200,12 +1200,10 @@ def semantic_decontaminate(
         TEXT_NEAR_DUP_THRESHOLD_E6,
         _center_literals_frame,
         _index_family,
-        _resolve_text_family,
         _sums_cosine_e6,
         _sums_with_norm,
         centered_band_buckets,
         embed_sums,
-        embed_totals,
         require_text_center,
     )
 
@@ -1248,33 +1246,21 @@ def semantic_decontaminate(
         # corpus re-embed
         cand_ids = cands.select(F.col("c_doc").alias("doc_id")).distinct()
         c_sums = embed_sums(docs.join(cand_ids, "doc_id", "left_semi"))
+        wc = _sums_with_norm(c_sums).alias("sa")
+        we = _sums_with_norm(ev_sums).alias("sb")
+        scores = (
+            cands.join(wc, F.col("c_doc") == F.col("sa.doc_id"))
+            .join(we, F.col("eval_vec") == F.col("sb.doc_id"))
+            .select("c_doc", _sums_cosine_e6("sa", "sb").alias("score_e6"))
+        )
     else:
-        sums = embed_sums(docs).localCheckpoint(eager=True)
-        planes_list, bands = _resolve_text_family(None, None, sums.count())
-        totals = embed_totals(sums)
-        corpus_bands = centered_band_buckets(
-            sums, totals, planes_list=planes_list, bands=bands
+        # the shared in-memory kernel (family + centering handshake
+        # lives once, reused by contamination_report's per-eval view)
+        scores = _semantic_candidate_scores(spark, docs, ev).select(
+            "c_doc", "score_e6"
         )
-        ev_sums = embed_sums(ev)
-        ev_bands = centered_band_buckets(
-            ev_sums, totals, planes_list=planes_list, bands=bands
-        ).select(
-            F.col("vec_id").alias("eval_vec"), "band", "key"
-        )
-
-        cands = (
-            corpus_bands.join(ev_bands, ["band", "key"])
-            .select(F.col("vec_id").alias("c_doc"), F.col("eval_vec"))
-            .distinct()
-        )
-        c_sums = sums
-    wc = _sums_with_norm(c_sums).alias("sa")
-    we = _sums_with_norm(ev_sums).alias("sb")
     hits = (
-        cands.join(wc, F.col("c_doc") == F.col("sa.doc_id"))
-        .join(we, F.col("eval_vec") == F.col("sb.doc_id"))
-        .select("c_doc", _sums_cosine_e6("sa", "sb").alias("score_e6"))
-        .filter(F.col("score_e6") >= F.lit(int(threshold_e6)))
+        scores.filter(F.col("score_e6") >= F.lit(int(threshold_e6)))
         .groupBy("c_doc")
         .agg(
             F.count("*").alias("n_eval_near"),
@@ -1295,6 +1281,51 @@ def semantic_decontaminate(
             F.col("c_doc").isNotNull().alias("contaminated"),
         )
         .orderBy("doc_id")
+    )
+
+
+def _semantic_candidate_scores(spark, docs, ev):
+    """(c_doc, eval_vec, score_e6) for every band-collision candidate
+    between the corpus and a benchmark-sized eval frame — the shared
+    in-memory kernel of ``semantic_decontaminate`` (per-training-doc
+    aggregate) and ``contamination_report`` (per-eval aggregate), so
+    the family-resolution/centering handshake lives ONCE: corpus sums
+    computed once and checkpointed, centering statistic and auto-sized
+    LSH family taken from the CORPUS (the eval side adopts both), eval
+    embedded + banded with the identical kernel, one (band, key)
+    equi-join (AQE broadcasts the benchmark-sized eval side), pure-JVM
+    integer-sum cosine on surviving candidates only. ``ev`` must carry
+    (doc_id, text)."""
+    from .embedding import (
+        _resolve_text_family,
+        _sums_cosine_e6,
+        _sums_with_norm,
+        centered_band_buckets,
+        embed_sums,
+        embed_totals,
+    )
+
+    sums = embed_sums(docs).localCheckpoint(eager=True)
+    planes_list, bands = _resolve_text_family(None, None, sums.count())
+    totals = embed_totals(sums)
+    corpus_bands = centered_band_buckets(
+        sums, totals, planes_list=planes_list, bands=bands
+    )
+    ev_sums = embed_sums(ev)
+    ev_bands = centered_band_buckets(
+        ev_sums, totals, planes_list=planes_list, bands=bands
+    ).select(F.col("vec_id").alias("eval_vec"), "band", "key")
+    cands = (
+        corpus_bands.join(ev_bands, ["band", "key"])
+        .select(F.col("vec_id").alias("c_doc"), "eval_vec")
+        .distinct()
+    )
+    wc = _sums_with_norm(sums).alias("sa")
+    we = _sums_with_norm(ev_sums).alias("sb")
+    return (
+        cands.join(wc, F.col("c_doc") == F.col("sa.doc_id"))
+        .join(we, F.col("eval_vec") == F.col("sb.doc_id"))
+        .select("c_doc", "eval_vec", _sums_cosine_e6("sa", "sb").alias("score_e6"))
     )
 
 
@@ -1328,15 +1359,7 @@ def contamination_report(
     rule), pure-JVM integer-sum cosine on surviving candidates only.
     One corpus scan per detector, O(candidates) verify."""
     from .dedup import word_shingles
-    from .embedding import (
-        TEXT_NEAR_DUP_THRESHOLD_E6,
-        _resolve_text_family,
-        _sums_cosine_e6,
-        _sums_with_norm,
-        centered_band_buckets,
-        embed_sums,
-        embed_totals,
-    )
+    from .embedding import TEXT_NEAR_DUP_THRESHOLD_E6
 
     docs = docs if docs is not None else _docs(spark, sf_dir)
     if threshold_e6 is None:
@@ -1362,27 +1385,10 @@ def contamination_report(
         .withColumn("lex_hit", F.lit(True))
     )
 
-    sums = embed_sums(docs).localCheckpoint(eager=True)
-    planes_list, bands = _resolve_text_family(None, None, sums.count())
-    totals = embed_totals(sums)
-    corpus_bands = centered_band_buckets(
-        sums, totals, planes_list=planes_list, bands=bands
-    )
-    ev_sums = embed_sums(ev.select(F.col("eval_id").alias("doc_id"), "text"))
-    ev_bands = centered_band_buckets(
-        ev_sums, totals, planes_list=planes_list, bands=bands
-    ).select(F.col("vec_id").alias("eval_vec"), "band", "key")
-    cands = (
-        corpus_bands.join(ev_bands, ["band", "key"])
-        .select(F.col("vec_id").alias("c_doc"), "eval_vec")
-        .distinct()
-    )
-    wc = _sums_with_norm(sums).alias("sa")
-    we = _sums_with_norm(ev_sums).alias("sb")
     sem = (
-        cands.join(wc, F.col("c_doc") == F.col("sa.doc_id"))
-        .join(we, F.col("eval_vec") == F.col("sb.doc_id"))
-        .select("eval_vec", _sums_cosine_e6("sa", "sb").alias("score_e6"))
+        _semantic_candidate_scores(
+            spark, docs, ev.select(F.col("eval_id").alias("doc_id"), "text")
+        )
         .filter(F.col("score_e6") >= F.lit(int(threshold_e6)))
         .groupBy("eval_vec")
         .agg(F.max("score_e6").alias("max_cosine_e6"))

@@ -397,11 +397,21 @@ def minhash_lsh_pairs(
     (doc_a < doc_b) candidate pairs — at scale these feed the exact
     Jaccard verifier instead of an all-pairs join.
 
-    Default hash is ``md5_affine``: ONE md5 per shingle + P multiply-add
-    permutations (~3.5× faster than P md5s) while staying bit-replicable
-    both in plain Python (pytest oracle) and DuckDB SQL (driver oracle)."""
+    Default hash is ``md5_affine``: ONE md5 per shingle + P Carter-
+    Wegman multiply-add-mods (~3.5× faster than P md5s) while staying
+    bit-replicable both in plain Python (pytest oracle) and DuckDB SQL
+    (driver oracle)."""
     sig = minhash_signatures(_docs(spark, sf_dir), n_perms=n_perms, hash_fn=hash_fn)
     buckets = minhash_band_buckets(sig, n_perms=n_perms, bands=bands)
+    return _lsh_candidate_pairs(buckets).orderBy("doc_a", "doc_b")
+
+
+def _lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) band-bucket collision pairs — THE
+    candidate self-join, shared by every consumer (pairs query,
+    verified edges, Jaccard estimates) so a banding change cannot
+    diverge between them. No orderBy: only the user-facing pairs query
+    sorts; the verify/estimate consumers aggregate."""
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -415,7 +425,46 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _jaccard_verified_edges(
+    cand: DataFrame,
+    sh_left: DataFrame,
+    sh_right: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> DataFrame:
+    """Candidate edges (``left``, ``right``) surviving the exact
+    integer criterion ``9·|∩| >= 4·(|A|+|B|)`` (⇔ Jaccard >= 0.8) —
+    THE verify subtree, shared by the corpus, boundary-split, and
+    index-probing paths so the threshold and shingle semantics cannot
+    diverge. ``sh_left``/``sh_right`` are (doc_id, shingle) frames for
+    each side (the same frame for within-corpus verifies). Cost is
+    candidates × shingles/doc: the edge list is exploded by the left
+    side's shingles and equi-joined on (right doc, shingle) — never
+    all-pairs. Zero-intersection candidates drop out of the count and
+    cannot satisfy the threshold for non-empty sets."""
+    inter = (
+        cand.join(
+            sh_left.select(F.col("doc_id").alias(left), "shingle"), left
+        )
+        .join(
+            sh_right.select(F.col("doc_id").alias(right), "shingle"),
+            [right, "shingle"],
+        )
+        .groupBy(left, right)
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sh_left.groupBy("doc_id").agg(F.count("*").alias("n_a"))
+    sb = sh_right.groupBy("doc_id").agg(F.count("*").alias("n_b"))
+    return (
+        inter.join(sa.select(F.col("doc_id").alias(left), "n_a"), left)
+        .join(sb.select(F.col("doc_id").alias(right), "n_b"), right)
+        .filter(
+            F.lit(9) * F.col("n_inter") >= F.lit(4) * (F.col("n_a") + F.col("n_b"))
+        )
+        .select(left, right)
     )
 
 
@@ -657,10 +706,20 @@ def minhash_verified_verdicts_for_batch(
     an id equi-join against ``corpus_docs`` — O(matched partners),
     never O(corpus) — and the shingle verify explodes candidate edges
     only. The strictly-earlier guard (index doc < batch doc) makes an
-    already-appended copy of a batch doc never its own partner, so
-    replay after an index append cannot flip verdicts (the same guard
-    class as the streaming semantic probe). Returns (doc_id, verdict)
-    unordered — callers sort or partition as they need."""
+    already-appended copy of a batch doc never its own PARTNER (the
+    same guard class as the streaming semantic probe). What the guard
+    does NOT cover: if the index is advanced with batch N's accepted
+    docs BETWEEN the verdict write and the checkpoint commit, a replay
+    of batch N can pair a doc with its same-batch SIBLING and flip a
+    'new' to 'near_dup' — at-least-once ingest must append to the
+    index downstream of the checkpoint commit (the order the
+    append/watermark machinery assumes), not inside the uncommitted
+    window. Sub-shingle batch docs (< SHINGLE_WORDS words) have no
+    signature and are ABSENT from the output — the whole MinHash
+    family's documented domain (see ``incremental_minhash_dedup``);
+    route them through exact ``incremental_dedup``. Returns
+    (doc_id, verdict) unordered — callers sort or partition as they
+    need."""
     from ..sources.catalog import check_index_params, prune_index_scan
 
     check_index_params(
@@ -702,30 +761,13 @@ def minhash_verified_verdicts_for_batch(
         .distinct()
         .join(corpus_docs.select("doc_id", "text"), "doc_id")
     )
-    sh_n = word_shingles(batch, n=n)
-    sh_o = word_shingles(partners, n=n)
-    inter = (
-        cand.join(sh_n.select(F.col("doc_id").alias("doc_n"), "shingle"), "doc_n")
-        .join(
-            sh_o.select(F.col("doc_id").alias("doc_o"), "shingle"),
-            ["doc_o", "shingle"],
-        )
-        .groupBy("doc_n", "doc_o")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sizes_n = sh_n.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sizes_o = sh_o.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     verified = (
-        inter.join(
-            sizes_n.select(F.col("doc_id").alias("doc_n"), F.col("n_sh").alias("n_a")),
-            "doc_n",
-        )
-        .join(
-            sizes_o.select(F.col("doc_id").alias("doc_o"), F.col("n_sh").alias("n_b")),
-            "doc_o",
-        )
-        .filter(
-            F.lit(9) * F.col("n_inter") >= F.lit(4) * (F.col("n_a") + F.col("n_b"))
+        _jaccard_verified_edges(
+            cand,
+            word_shingles(batch, n=n),
+            word_shingles(partners, n=n),
+            left="doc_n",
+            right="doc_o",
         )
         .select(F.col("doc_n").alias("doc_id"))
         .distinct()
@@ -733,7 +775,11 @@ def minhash_verified_verdicts_for_batch(
         # materialized so the shingle-verify subtree runs once
         .localCheckpoint(eager=True)
     )
-    alln = batch.select("doc_id").distinct()
+    # verdict universe = docs WITH a signature (bucket rows), exactly
+    # like the in-memory boundary path and the SQL twin — building it
+    # from the raw batch would emit rows for sub-shingle docs the rest
+    # of the family omits, silently breaking byte-identity
+    alln = newb.select("doc_id").distinct()
     dups = verified.select("doc_id", F.lit("near_dup").alias("verdict"))
     fresh = alln.join(verified, "doc_id", "left_anti").select(
         "doc_id", F.lit("new").alias("verdict")
@@ -800,28 +846,8 @@ def incremental_verified_dedup(
         .distinct()
     )
     sh = word_shingles(docs, n=n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_n"), "shingle"), "doc_n")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_o"), "shingle"),
-            ["doc_o", "shingle"],
-        )
-        .groupBy("doc_n", "doc_o")
-        .agg(F.count("*").alias("n_inter"))
-    )
     verified = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_n"), F.col("n_sh").alias("n_a")),
-            "doc_n",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_o"), F.col("n_sh").alias("n_b")),
-            "doc_o",
-        )
-        .filter(
-            F.lit(9) * F.col("n_inter") >= F.lit(4) * (F.col("n_a") + F.col("n_b"))
-        )
+        _jaccard_verified_edges(cand, sh, sh, left="doc_n", right="doc_o")
         .select(F.col("doc_n").alias("doc_id"))
         .distinct()
     )
@@ -1110,20 +1136,7 @@ def minhash_jaccard_estimates(
     docs = _docs(spark, sf_dir)
     sig = minhash_signatures(docs, n_perms=n_perms, hash_fn="md5_affine")
     buckets = minhash_band_buckets(sig, n_perms=n_perms, bands=bands)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = _lsh_candidate_pairs(buckets)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{p}").alias(f"ha{p}") for p in range(n_perms)],
@@ -1189,49 +1202,14 @@ def _verified_pairs(
     ``verified_near_dedup`` and ``quality_aware_dedup(verified=True)``.
     The intersection count explodes only the candidate list by the left
     doc's shingles (candidates × shingles/doc, never all-pairs). The
-    candidate stage is ``minhash_lsh_pairs``' join without its display
-    ``orderBy`` (every consumer here aggregates — a range-partition
+    candidate stage is the shared ``_lsh_candidate_pairs`` (no display
+    ``orderBy`` — every consumer here aggregates; a range-partition
     sort before the verify would be a wasted exchange)."""
     docs = docs if docs is not None else _docs(spark, sf_dir)
     sig = minhash_signatures(docs, n_perms=n_perms, hash_fn="md5_affine")
     buckets = minhash_band_buckets(sig, n_perms=n_perms, bands=bands)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
     sh = word_shingles(docs, n=n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            F.lit(9) * F.col("n_inter") >= F.lit(4) * (F.col("n_a") + F.col("n_b"))
-        )
-        .select("doc_a", "doc_b")
-    )
+    return _jaccard_verified_edges(_lsh_candidate_pairs(buckets), sh, sh)
 
 
 def verified_near_dedup(

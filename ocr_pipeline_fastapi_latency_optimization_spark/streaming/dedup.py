@@ -292,7 +292,14 @@ def streaming_minhash_verdicts(
     O(matched), candidate edges verified — a banded false positive
     honestly streams out as 'new'. The persisted index is the only
     state; the batch_id-partition overwrite makes at-least-once replay
-    idempotent (same discipline as ``streaming_semantic_verdicts``).
+    idempotent (same discipline as ``streaming_semantic_verdicts``)
+    PROVIDED the index is only advanced with a batch's accepted docs
+    AFTER that batch's checkpoint commits — an append inside the
+    uncommitted window would let a replay pair a doc with its
+    same-batch sibling and flip its verdict (see the kernel's
+    docstring). Sub-shingle docs (< SHINGLE_WORDS words) are absent
+    from the verdict stream — the MinHash family's documented domain;
+    route them through the exact-fp ``streaming_dedup``.
 
     Returns a ``DataStreamWriter`` — caller picks trigger and
     ``.start()``s it."""

@@ -1392,7 +1392,7 @@ def test_streaming_sketches_merge_to_batch_equivalent(spark, tmp_path):
     } == want_hll
 
 
-def test_streaming_minhash_verdicts_equal_batch_incremental(spark, tmp_path):
+def test_streaming_minhash_verdicts_equal_batch_incremental(spark, tmp_path, band_collider):
     """The minhash family's in-stream FULL verdict tier: a micro-batch
     flowing through streaming_minhash_verdicts (foreachBatch over the
     shared probe+verify kernel) equals the batch
@@ -1403,32 +1403,15 @@ def test_streaming_minhash_verdicts_equal_batch_incremental(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
-        MINHASH_BANDS,
-        MINHASH_PERMS,
         incremental_verified_dedup,
-        minhash_signature_affine_py,
         persist_minhash_index,
     )
     from ocr_pipeline_fastapi_latency_optimization_spark.streaming.dedup import (
         streaming_minhash_verdicts,
     )
 
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    base = "alpha " * 5
-    sa = minhash_signature_affine_py(base.strip())
-    collider = next(
-        base + f"tok{i}"
-        for i in range(20000)
-        if any(
-            sa[b * rows_per_band : (b + 1) * rows_per_band]
-            == minhash_signature_affine_py(base + f"tok{i}")[
-                b * rows_per_band : (b + 1) * rows_per_band
-            ]
-            for b in range(MINHASH_BANDS)
-        )
-    )
-
-    existing_rows = [(0, base.strip()), (10, "b b b b b b")]
+    base, collider = band_collider
+    existing_rows = [(0, base), (10, "b b b b b b")]
     batch_rows = [
         (300, collider),                                    # candidate, J=1/2
         (310, "b b b b b b"),                               # true dup

@@ -1886,39 +1886,20 @@ def test_quality_aware_dedup_keeps_longest(spark, tmp_path):
     assert (per_cluster == 1).all()
 
 
-def test_verified_near_dedup_rejects_lsh_false_positive(spark, tmp_path):
+def test_verified_near_dedup_rejects_lsh_false_positive(spark, tmp_path, band_collider):
     """The verify stage's reason to exist: a SUPERSET doc (one extra
     shingle) whose band sub-signature collides with its base doc is an
     LSH candidate at Jaccard exactly 1/2 — near_dedup_corpus welds the
     two into a cluster and drops one; verified_near_dedup's exact
     integer Jaccard test (9·|∩| >= 4·(|A|+|B|)) rejects the edge and
     keeps BOTH, while a true exact-duplicate pair still contracts. The
-    colliding token is searched deterministically with the same
-    pure-Python affine oracle the Spark expressions replicate."""
-    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
-        MINHASH_BANDS,
-        MINHASH_PERMS,
-        minhash_signature_affine_py,
-    )
-
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    base = "alpha " * 5
-    sa = minhash_signature_affine_py(base.strip())
-    collider = None
-    for i in range(20000):
-        cand = base + f"tok{i}"
-        sb = minhash_signature_affine_py(cand)
-        if any(
-            sa[b * rows_per_band : (b + 1) * rows_per_band]
-            == sb[b * rows_per_band : (b + 1) * rows_per_band]
-            for b in range(MINHASH_BANDS)
-        ):
-            collider = cand
-            break
-    assert collider is not None, "no banded collision in the search space"
+    colliding token comes from the shared session fixture (searched
+    once with the same pure-Python affine oracle the Spark expressions
+    replicate)."""
+    base, collider = band_collider
 
     rows = [
-        (0, base.strip(), "en", "s", 1),
+        (0, base, "en", "s", 1),
         (1, collider, "en", "s", 1),          # candidate, Jaccard 1/2
         (10, "b b b b b b", "en", "s", 1),    # exact-dup pair: true dup
         (11, "b b b b b b", "en", "s", 1),
@@ -1951,36 +1932,16 @@ def test_verified_near_dedup_rejects_lsh_false_positive(spark, tmp_path):
     assert not bool(qa_raw.loc[0, "keep"]) and qa_raw.loc[0, "kept_doc"] == 1
 
 
-def test_incremental_verified_dedup_rejects_candidate(spark, tmp_path):
+def test_incremental_verified_dedup_rejects_candidate(spark, tmp_path, band_collider):
     """Ingest-side verify: a banded false positive straddling the
     boundary is 'near_dup_candidate' to the probe-only operator but an
     honest 'new' to the verified one; a genuine exact duplicate of an
-    existing doc still verifies to 'near_dup'. Same deterministic
-    superset-collision search as the corpus-level test."""
-    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
-        MINHASH_BANDS,
-        MINHASH_PERMS,
-        minhash_signature_affine_py,
-    )
-
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    base = "alpha " * 5
-    sa = minhash_signature_affine_py(base.strip())
-    collider = None
-    for i in range(20000):
-        cand = base + f"tok{i}"
-        sb = minhash_signature_affine_py(cand)
-        if any(
-            sa[b * rows_per_band : (b + 1) * rows_per_band]
-            == sb[b * rows_per_band : (b + 1) * rows_per_band]
-            for b in range(MINHASH_BANDS)
-        ):
-            collider = cand
-            break
-    assert collider is not None
+    existing doc still verifies to 'near_dup'. Collider from the shared
+    session fixture."""
+    base, collider = band_collider
 
     rows = [
-        (0, base.strip(), "en", "s", 1),        # existing
+        (0, base, "en", "s", 1),                # existing
         (10, "b b b b b b", "en", "s", 1),      # existing
         (300, collider, "en", "s", 1),          # new: candidate, J=1/2
         (310, "b b b b b b", "en", "s", 1),     # new: true dup of 10
@@ -2008,29 +1969,40 @@ def test_incremental_verified_dedup_index_mode_identical(spark, tmp_path):
     """incremental_verified_dedup(index_table=…) — the production
     O(batch) form probing the persisted bucketed index with partner
     text fetched by id — must be byte-identical to the in-memory
-    boundary-split oracle path on the same corpus."""
+    boundary-split oracle path on the same corpus, INCLUDING a batch
+    doc too short to shingle (< SHINGLE_WORDS words): the whole MinHash
+    family omits it from the verdict universe, and the kernel must too
+    (the review caught it emitting a spurious 'new' row there)."""
     import pandas as pd
 
     sf = "/root/testdata/sf0.001"
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    base = spark.read.parquet(f"{sf}/documents.parquet")
+    short = spark.createDataFrame(
+        [(900000, "too short", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    base.unionByName(short).write.parquet(f"{tmp_path}/documents.parquet")
+    sf2 = str(tmp_path)
+    docs = spark.read.parquet(f"{sf2}/documents.parquet")
     dedup.persist_minhash_index(
         spark, docs, "t_ivd_idx", str(tmp_path / "ividx"), n_storage_buckets=4
     )
     try:
         want = (
-            dedup.incremental_verified_dedup(spark, sf)
+            dedup.incremental_verified_dedup(spark, sf2)
             .toPandas()
             .sort_values("doc_id")
             .reset_index(drop=True)
         )
         got = (
-            dedup.incremental_verified_dedup(spark, sf, index_table="t_ivd_idx")
+            dedup.incremental_verified_dedup(spark, sf2, index_table="t_ivd_idx")
             .toPandas()
             .sort_values("doc_id")
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want)
         assert (want["verdict"] == "near_dup").any()  # non-vacuous
+        assert 900000 not in set(want["doc_id"])  # outside the family's domain
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivd_idx")
 
