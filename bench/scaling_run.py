@@ -500,6 +500,21 @@ ambient envelope (and the modulus is correctness-load-bearing either
 way), `verified_near_dedup` 4.39 s, and `semantic_text_dedup`
 **3.85 s vs the r5 record 8.78 s** — the round's pure-JVM verify +
 auto-sized family win confirmed end-to-end on the final build.
+
+## Round-6: the 10x rung re-run under the CORRECTED MinHash family
+
+`bench/scale10_run.py` post-modulus (same 1.43 M-turn corpus, 90 %
+planted exact copies):
+
+| measure | r4 record (degenerate family) | post-fix | reading |
+| --- | --- | --- | --- |
+| fused extract | 70,228 t/s | **72,467 t/s**, all 10 per-copy checksums pass | extraction untouched by the fix |
+| minhash index build | 76.3 s, max bucket width **7,110** | 154.0 s, 1,138,796 buckets, max width **40** | the old family's buckets were artificially COARSE — one argmin shingle per band welded thousands of unrelated docs into mega-buckets, so the cheap build was buying a broken index (every mega-bucket is a candidate-pair bomb and a probe false-positive source). The corrected 32-permutation signatures cost ~2x on this adversarial corpus and dissolve the mega-buckets: width 40 = copy groups plus genuine shingle-sharers, exactly the banding S-curve's design point. Part of the wall delta is the finer bucket space itself (1.1 M distinct agg groups vs the welded few) plus ambient drift. |
+
+The trade is the modulus fix's cost side, recorded next to its
+correctness side (the fix table above): a 2x adversarial-corpus index
+build bought back ~2 % missed true dups, per-pair S-curve behavior,
+and the end of mega-bucket welds.
 """
 
     n_turns = levels[LEVELS[-1]]["turns"]
