@@ -515,6 +515,14 @@ The trade is the modulus fix's cost side, recorded next to its
 correctness side (the fix table above): a 2x adversarial-corpus index
 build bought back ~2 % missed true dups, per-pair S-curve behavior,
 and the end of mega-bucket welds.
+
+Provenance note: the round-6 pruned-probe measurements on the 100x rung
+above predate the modulus fix; the pruning mechanism (sorted row-group
+skipping / hashed set test on the batch's touched keys) is
+family-agnostic, and post-fix probe flatness is re-evidenced by the
+verified-dedup rung (10.8 -> 9.96 s across an index decade, exact
+verdicts at both levels). The corrected family's FINER buckets (no
+argmin welds) only improve pruning selectivity.
 """
 
     n_turns = levels[LEVELS[-1]]["turns"]
