@@ -818,6 +818,32 @@ ORDER BY d.doc_id
     )
 
 
+def _blocklist_filter_sql() -> str:
+    """SQL twin of curation.blocklist_filter over the default sandbox
+    list — the list is interpolated from the module constant so the
+    twins cannot desynchronize if it moves."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        DEFAULT_BLOCKLIST,
+    )
+
+    inlist = ", ".join(f"'{w}'" for w in sorted(set(DEFAULT_BLOCKLIST)))
+    return f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(w, x -> list_contains([{inlist}], x)))
+                  AS BIGINT) AS n_blocked
+      FROM t)
+SELECT doc_id, n_tokens, n_blocked,
+       CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((n_blocked * 10000) // n_tokens AS BIGINT) END
+         AS blocked_ratio_e4,
+       (n_blocked = 0) AS keep
+FROM c ORDER BY doc_id
+"""
+
+
 def _minhash_jaccard_estimates_sql() -> str:
     """SQL twin of dedup.minhash_jaccard_estimates: the shared
     buckets/sig/sh CTEs, a 32-term CASE agreement sum per candidate
@@ -2500,15 +2526,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (rows+schema+hash).
     # Late round-6 additions (verified_near_dedup,
     # incremental_verified_dedup, minhash_jaccard_estimates,
-    # contamination_report, quality_aware_dedup, temperature_mixture,
+    # blocklist_filter, contamination_report, quality_aware_dedup,
+    # temperature_mixture,
     # vocab_coverage) join the head; they displace dedup_conversations,
     # median_chars_by_source, blocks_table, curation_funnel,
     # quantize_embeddings, near_dedup_corpus and incremental_minhash_
-    # dedup — each green in r1-r5 windows multiple times (multi-green;
+    # dedup and near_dup_cosine — each green in r1-r5 windows multiple
+    # times (multi-green;
     # the two minhash tail rows carry the round-6 modulus fix, but
     # their oracles moved in lockstep and the full replica re-ran green
     # at all three SFs post-fix this round).
-    # Window = first 50 of 110; every tail entry has >= 2 green driver
+    # Window = first 50 of 111; every tail entry has >= 2 green driver
     # rows except the by-design pytest-only extract_synthetic and the
     # by-design oracle-less approx_stats.
     from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
@@ -2528,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verified_near_dedup": _wrap(dedup.verified_near_dedup),
         "incremental_verified_dedup": _wrap(dedup.incremental_verified_dedup),
         "minhash_jaccard_estimates": _wrap(dedup.minhash_jaccard_estimates),
+        "blocklist_filter": _wrap(curation.blocklist_filter),
         "contamination_report": _q_contamination_report,
         "quality_aware_dedup": _wrap(dedup.quality_aware_dedup),
         "temperature_mixture": _wrap(curation.temperature_mixture),
@@ -3650,6 +3679,7 @@ FROM p GROUP BY seq_id ORDER BY seq_id
         "verified_near_dedup": _verified_near_dedup_sql(),
         "incremental_verified_dedup": _incremental_verified_dedup_sql(),
         "minhash_jaccard_estimates": _minhash_jaccard_estimates_sql(),
+        "blocklist_filter": _blocklist_filter_sql(),
         "temperature_mixture": _temperature_mixture_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "dedup_survivors": f"""

@@ -1284,6 +1284,59 @@ def semantic_decontaminate(
     )
 
 
+# sandbox stand-in for the policy word list (C4 ships an external
+# "bad words" file; the operator takes any list) — two tokens that
+# genuinely occur in the synthetic corpus so driver rows are non-vacuous
+DEFAULT_BLOCKLIST = ("dup", "slow")
+
+
+def blocklist_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    blocklist: tuple | None = None,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """C4-style word-blocklist gate: per document the token count, the
+    count of blocklisted tokens, an integer hit ratio, and the C4 keep
+    rule (ANY hit drops — the published filter is binary; the ratio
+    column is for the softer production variants that threshold
+    instead). Matching is exact token equality — case/Unicode
+    normalization belongs to the upstream text normalizer, not here,
+    so both engines compare identical bytes.
+
+    Scale shape: fully NARROW — the list is inlined as one parsed
+    ``IN (…)`` predicate inside an array filter (a single F.expr
+    string, the py4j lesson), so there is no explode, no join, and no
+    shuffle except the display sort; per-row cost is tokens × list
+    size, fine for policy lists up to a few thousand words (beyond
+    that, production switches to a broadcast map join on exploded
+    tokens — the decontaminate shape)."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    bl = tuple(sorted(set(blocklist if blocklist is not None else DEFAULT_BLOCKLIST)))
+    if not bl or any(("'" in w) or (" " in w) or (w == "") for w in bl):
+        raise ValueError(f"blocklist must be non-empty simple tokens: {bl!r}")
+    inlist = ", ".join(f"'{w}'" for w in bl)
+    toks = "filter(split(text, ' '), t -> t <> '')"
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                f"CAST(size(filter({toks}, t -> t IN ({inlist}))) AS BIGINT)"
+            ).alias("n_blocked"),
+        )
+        .withColumn(
+            "blocked_ratio_e4",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (n_blocked * 10000) div n_tokens END"
+            ),
+        )
+        .withColumn("keep", F.col("n_blocked") == 0)
+        .orderBy("doc_id")
+    )
+
+
 def _semantic_candidate_scores(spark, docs, ev):
     """(c_doc, eval_vec, score_e6) for every band-collision candidate
     between the corpus and a benchmark-sized eval frame — the shared

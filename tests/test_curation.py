@@ -972,3 +972,42 @@ def test_vocab_coverage_matches_brute_force_rank_walk(spark):
         assert out.loc[p, "vocab_size"] == brute, (p, brute)
         assert out.loc[p, "threshold_occ"] == thresh
         assert out.loc[p, "total_occ"] == total
+
+
+def test_blocklist_filter_c4_rule(spark, tmp_path):
+    """Any-hit drops (the published C4 rule), the integer ratio counts
+    every occurrence, empty docs are keep=True with ratio 0, matching
+    is exact bytes (no case folding here — that belongs upstream), and
+    invalid lists raise."""
+    import pytest as _pytest
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        blocklist_filter,
+    )
+
+    rows = [
+        (0, "clean text entirely fine", "en", "s", 1),
+        (1, "one bad apple here", "en", "s", 1),
+        (2, "bad bad bad fine", "en", "s", 1),
+        (3, "", "en", "s", 1),
+        (4, "BAD is not bad here", "en", "s", 1),  # case-sensitive: 1 hit
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = (
+        blocklist_filter(spark, str(tmp_path), blocklist=("bad",))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[0, "keep"]) and out.loc[0, "n_blocked"] == 0
+    assert not bool(out.loc[1, "keep"]) and out.loc[1, "n_blocked"] == 1
+    assert out.loc[2, "n_blocked"] == 3
+    assert out.loc[2, "blocked_ratio_e4"] == 7500  # 3 of 4 tokens
+    assert bool(out.loc[3, "keep"]) and out.loc[3, "blocked_ratio_e4"] == 0
+    assert out.loc[4, "n_blocked"] == 1  # 'BAD' does not match 'bad'
+
+    with _pytest.raises(ValueError, match="simple tokens"):
+        blocklist_filter(spark, str(tmp_path), blocklist=("two words",))
+    with _pytest.raises(ValueError, match="simple tokens"):
+        blocklist_filter(spark, str(tmp_path), blocklist=())

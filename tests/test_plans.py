@@ -423,6 +423,7 @@ def test_session_late_operators_plan_shapes(spark):
         ),
         "temperature": plan_str(curation.temperature_mixture(spark, SF_DIR)),
         "coverage": plan_str(curation.vocab_coverage(spark, SF_DIR)),
+        "blocklist": plan_str(curation.blocklist_filter(spark, SF_DIR)),
     }
     for name, p in plans.items():
         assert "EvalPython" not in p and "InPandas" not in p, (name, p)
@@ -430,3 +431,6 @@ def test_session_late_operators_plan_shapes(spark):
     assert plans["coverage"].count("Window (") == 1, plans["coverage"]
     assert "Window" not in plans["quality_aware"], plans["quality_aware"]
     assert "Window" not in plans["verified"], plans["verified"]
+    # blocklist is fully narrow: no join, no aggregate exchange — the
+    # only allowed Exchange is the display sort's range partitioning
+    assert plans["blocklist"].count("Exchange (") <= 1, plans["blocklist"]
