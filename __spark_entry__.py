@@ -2105,8 +2105,9 @@ def _export_shards_sql() -> str:
     prefix-sum/grouping verbatim (module constants, not literals — the
     INGEST_BOUNDARY precedent), then the contiguous shard grouping and
     the order-independent content checksum (HUGEINT sum of the 60-bit
-    md5 prefix per sequence stat row — canonically equal to Spark's
-    decimal(38,0) sum)."""
+    md5 prefix per sequence stat row, emitted as VARCHAR — an
+    int128-range value only survives a pandas-path hash exactly as
+    text; Spark emits the same digits from its decimal(38,0) sum)."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.chunking import (
         PACK_CONTEXT,
         SHARD_SEQS,
@@ -2138,7 +2139,7 @@ SELECT seq_id // {SHARD_SEQS} AS shard_id,
        CAST(sum(n_docs) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        min(first_doc) AS first_doc, max(last_doc) AS last_doc,
-       sum({fp}) AS content_fp
+       CAST(sum({fp}) AS VARCHAR) AS content_fp
 FROM seqs GROUP BY shard_id ORDER BY shard_id
 """
 
@@ -2216,7 +2217,7 @@ WITH {_dsir_ctes()},
 tot AS (SELECT CAST(sum(avg_e4) AS BIGINT) AS w_total,
                CAST(count(*) AS BIGINT) AS n_docs FROM dsir)
 SELECT doc_id, avg_e4,
-       ({u}) % 10000 AS u_e4,
+       CAST(({u}) % 10000 AS BIGINT) AS u_e4,
        CAST(({u}) % 10000 AS HUGEINT) * CAST(w_total AS HUGEINT)
          < CAST({DSIR_RESAMPLE_RATE_E4} AS HUGEINT)
            * CAST(avg_e4 AS HUGEINT) * CAST(n_docs AS HUGEINT) AS kept
@@ -2235,7 +2236,7 @@ def _global_shuffle_sql() -> str:
 
     key = _hex60_sql(f"md5('{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR))")
     return f"""
-WITH g AS (SELECT doc_id, ({key}) AS ord_key FROM documents)
+WITH g AS (SELECT doc_id, CAST(({key}) AS BIGINT) AS ord_key FROM documents)
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY ord_key, doc_id) - 1 AS BIGINT) AS pos,
        ord_key, doc_id
 FROM g ORDER BY pos
@@ -2915,7 +2916,7 @@ WITH tok AS (
   SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
   FROM documents),
 hh AS (SELECT {h} AS h FROM tok),
-rw AS (SELECT h % {m} AS register, h // {m} AS w FROM hh),
+rw AS (SELECT CAST(h % {m} AS BIGINT) AS register, h // {m} AS w FROM hh),
 rk AS (
   SELECT register,
          CASE WHEN w = 0 THEN {HLL_WBITS + 1}

@@ -9,6 +9,12 @@ time reported separately and excluded from query timings).
 
 Scaling evidence (local[8] vs local[32]) lives in bench/scaling_run.py →
 BENCH/BASELINE.md.
+
+Every run also reports `control_turns_per_sec` (the same extraction
+kernel under plain multiprocessing, no Spark, measured in-session before
+the JVM starts) and `turns_per_sec_normalized` = Spark rate / control
+rate — the host-independent number to diff across rounds on a VM whose
+ambient load drifts ±30% (round-6 verdict #3).
 """
 
 from __future__ import annotations
@@ -32,6 +38,51 @@ def _force(df) -> int:
     """Materialize a plan without collecting it (noop sink)."""
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+# --- ambient normalizer (round-6 verdict #3) -------------------------------
+# The recorded best-window baselines stopped reproducing on this shared VM
+# (driver 23.8k t/s vs the 92.4k record on git-identical extract code), so
+# every bench run now carries a ~5 s NO-SPARK control: the same extraction
+# kernel under plain multiprocessing.Pool at the same worker count.
+# turns_per_sec / control_turns_per_sec is host-independent — ambient
+# contention moves numerator and denominator together. The control runs
+# BEFORE the SparkSession exists (fork() with a live JVM is unsafe).
+
+def _ctl_setup():
+    global _CTL_ROWS
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.transcripts import (
+        gen_transcripts,
+    )
+
+    pdf = gen_transcripts(n_convs=60, mean_turns=10, seed=3)
+    _CTL_ROWS = list(zip(pdf["text"], pdf["turn_idx"]))
+
+
+def _ctl_work(reps: int) -> int:
+    from ocr_pipeline_fastapi_latency_optimization_spark.functions.extract import (
+        extract_turn_full,
+    )
+
+    n = 0
+    for _ in range(reps):
+        for t, i in _CTL_ROWS:
+            extract_turn_full(t, int(i))
+            n += 1
+    return n
+
+
+def control_rate(workers: int, reps: int = 3) -> float:
+    """Aggregate no-framework turns/sec at ``workers`` processes —
+    the same kernel + fan-out as bench/scaling_run.py's mp_control."""
+    import multiprocessing as mp
+
+    with mp.Pool(workers, initializer=_ctl_setup) as pool:
+        pool.map(_ctl_work, [1] * workers)  # warm: imports + JIT, untimed
+        t0 = time.time()
+        counts = pool.map(_ctl_work, [reps] * workers * 2)
+        wall = time.time() - t0
+    return sum(counts) / wall
 
 
 def main() -> None:
@@ -60,10 +111,18 @@ def main() -> None:
         read_transcripts,
     )
 
-    spark = get_spark(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
-
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+
+    # ambient control BEFORE the JVM exists (fork safety); best-of-2
+    # like the scaling runner — the control is as contention-exposed
+    # as the Spark numbers it normalizes
+    t0 = time.time()
+    ctl = max(control_rate(CPUS) for _ in range(2))
+    extras["control_turns_per_sec"] = round(ctl, 1)
+    extras["control_sec"] = round(time.time() - t0, 3)
+
+    spark = get_spark(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
 
     # --- corpus (generated once, reused across rounds) ---
     t0 = time.time()
@@ -100,6 +159,11 @@ def main() -> None:
     # (fused single-stage plan — zero shuffles)
     timed("extract_transcripts", lambda: _force(extract_pipeline(corpus)))
     extras["turns_per_sec"] = round(n_turns / timings["extract_transcripts"], 1)
+    # host-independent ratio: Spark extraction rate / no-Spark control
+    # rate measured in the same session (see control_rate above)
+    extras["turns_per_sec_normalized"] = round(
+        extras["turns_per_sec"] / extras["control_turns_per_sec"], 4
+    )
 
     # 1b. the explicit JN1 join-shaped plan, for comparison (runs the
     # extract stage twice — one per join side; see operators/extraction.py)

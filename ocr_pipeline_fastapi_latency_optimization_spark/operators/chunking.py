@@ -337,7 +337,10 @@ def export_shards(
             F.sum("n_tokens").cast("long").alias("n_tokens"),
             F.min("first_doc").alias("first_doc"),
             F.max("last_doc").alias("last_doc"),
-            F.sum(row_fp).cast("decimal(38,0)").alias("content_fp"),
+            # string, not decimal(38,0): an int128-range checksum survives
+            # a pandas/Arrow result path exactly only as text (decimal and
+            # HUGEINT both degrade to float64 and lose exactness past 2^53)
+            F.sum(row_fp).cast("decimal(38,0)").cast("string").alias("content_fp"),
         )
         .orderBy("shard_id")
     )

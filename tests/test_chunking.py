@@ -249,7 +249,7 @@ def test_export_shards_manifest_matches_written_data(spark, tmp_path):
             F.sum("n_tokens").cast("long").alias("n_tokens"),
             F.min("first_doc").alias("first_doc"),
             F.max("last_doc").alias("last_doc"),
-            F.sum(re_fp).cast("decimal(38,0)").alias("content_fp"),
+            F.sum(re_fp).cast("decimal(38,0)").cast("string").alias("content_fp"),
         )
         .orderBy("shard_id")
         .toPandas()
