@@ -1175,44 +1175,46 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _ivf_oracle_sql(
-    nprobe: int = 1, pre_ctes: str = "", src: str = "embeddings",
-    id_col: str = "vec_id",
+def _kmeans_cos_sql(v_emb: str, v_nrm: str, c_emb: str, c_nrm: str) -> str:
+    """Quantized-cosine fragment shared by the unrolled k-means twins —
+    same zero-guard + e6 floor as similarity.cosine_e6."""
+    dot = (
+        f"list_sum(list_transform(list_zip({v_emb}, {c_emb}), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    return (
+        f"CASE WHEN {v_nrm} * {c_nrm} = 0 THEN 0 "
+        f"ELSE CAST(floor({dot} / ({v_nrm} * {c_nrm}) * 1000000.0) AS BIGINT) END"
+    )
+
+
+def _kmeans_aa_ctes(
+    pre_ctes: str = "", src: str = "embeddings", id_col: str = "vec_id",
+    n_centroids: int | None = None,
 ) -> str:
-    """DuckDB twin of similarity.ivf_knn(train=True): unrolled sampled
-    k-means passes (same seeds, same per-row-quantized means, same
-    empty-cluster carry-over), then bucket-probe top-k. ``nprobe > 1``
-    fans each query out to its n best centroids (the recall lever) while
-    corpus vectors stay in exactly one bucket — candidates never
-    duplicate, mirroring similarity.ivf_knn. ``pre_ctes``/``src``/
-    ``id_col`` feed a COMPUTED embedding CTE (the text twin) through the
-    identical machinery."""
+    """Unrolled sampled-k-means CTE chain (same seeds, same
+    per-row-quantized means, same empty-cluster carry-over as
+    similarity.kmeans_centroids) ending in ``aa(vec_id, embedding, nrm,
+    centroid_id, rn)`` — EVERY vector ranked against every refined
+    centroid (rn = 1 is the argmax ``_assign`` returns; rn ≤ n is the
+    soft top-n membership). Shared by the IVF probe twins and the
+    unlabeled clustered-centering dedup twin. Returned WITHOUT a
+    leading ``WITH`` so callers pick plain vs RECURSIVE."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
-        DEFAULT_K,
-        DEFAULT_QUERIES,
         IVF_CENTROIDS,
         KMEANS_PASSES,
         KMEANS_SAMPLE_MOD,
         LSH_DIM,
     )
 
-    def cos(v_emb: str, v_nrm: str, c_emb: str, c_nrm: str) -> str:
-        dot = (
-            f"list_sum(list_transform(list_zip({v_emb}, {c_emb}), "
-            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
-        )
-        return (
-            f"CASE WHEN {v_nrm} * {c_nrm} = 0 THEN 0 "
-            f"ELSE CAST(floor({dot} / ({v_nrm} * {c_nrm}) * 1000000.0) AS BIGINT) END"
-        )
-
-    cnrm = "sqrt(list_sum(list_transform(c_emb, x -> x * x)))"
+    cos = _kmeans_cos_sql
+    if n_centroids is None:
+        n_centroids = IVF_CENTROIDS
     parts = [
-        f"""
-WITH {pre_ctes}e AS (SELECT {id_col} AS vec_id, embedding, {_COS_NORM} AS nrm FROM {src}),
+        f"""{pre_ctes}e AS (SELECT {id_col} AS vec_id, embedding, {_COS_NORM} AS nrm FROM {src}),
 s AS (SELECT * FROM e WHERE vec_id % {KMEANS_SAMPLE_MOD} = 0),
 c0 AS (SELECT vec_id AS centroid_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb, nrm AS c_nrm
-       FROM e WHERE vec_id < {IVF_CENTROIDS})"""
+       FROM e WHERE vec_id < {n_centroids})"""
     ]
     prev = "c0"
     for p in range(1, KMEANS_PASSES + 1):
@@ -1240,14 +1242,41 @@ c{p} AS (
         )
         prev = f"c{p}"
     assign_score = cos("v.embedding", "v.nrm", "c.c_emb", "c.c_nrm")
-    probe_score = cos("q.embedding", "q.nrm", "b.embedding", "b.nrm")
     parts.append(
         f""",
 aa AS (
   SELECT v.vec_id, v.embedding, v.nrm, c.centroid_id,
          row_number() OVER (PARTITION BY v.vec_id
                             ORDER BY {assign_score} DESC, c.centroid_id ASC) AS rn
-  FROM e v CROSS JOIN {prev} c),
+  FROM e v CROSS JOIN {prev} c)"""
+    )
+    return "".join(parts)
+
+
+def _ivf_oracle_sql(
+    nprobe: int = 1, pre_ctes: str = "", src: str = "embeddings",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of similarity.ivf_knn(train=True): unrolled sampled
+    k-means passes (same seeds, same per-row-quantized means, same
+    empty-cluster carry-over), then bucket-probe top-k. ``nprobe > 1``
+    fans each query out to its n best centroids (the recall lever) while
+    corpus vectors stay in exactly one bucket — candidates never
+    duplicate, mirroring similarity.ivf_knn. ``pre_ctes``/``src``/
+    ``id_col`` feed a COMPUTED embedding CTE (the text twin) through the
+    identical machinery."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
+        DEFAULT_K,
+        DEFAULT_QUERIES,
+    )
+
+    probe_score = _kmeans_cos_sql("q.embedding", "q.nrm", "b.embedding", "b.nrm")
+    parts = [
+        "\nWITH ",
+        _kmeans_aa_ctes(pre_ctes=pre_ctes, src=src, id_col=id_col),
+    ]
+    parts.append(
+        f""",
 buckets AS (SELECT vec_id, embedding, nrm, centroid_id AS bucket FROM aa WHERE rn = 1),
 q AS (SELECT vec_id AS query_id, embedding, nrm, centroid_id AS bucket
       FROM aa WHERE vec_id < {DEFAULT_QUERIES} AND rn <= {int(nprobe)}),
@@ -1692,6 +1721,89 @@ csum AS (SELECT domain, CAST(count(*) AS BIGINT) AS n, {tsums}
          FROM dsum GROUP BY domain),
 cent AS (SELECT s.doc_id, s.domain, [{carr}] AS embedding
          FROM dsum s JOIN csum USING (domain)),
+ue0 AS (SELECT doc_id AS vec_id, [{rarr}] AS embedding FROM esum),
+ue AS (SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM ue0),
+{lsh},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.domain = b.domain AND a.band = b.band AND a.key = b.key
+   AND a.vec_id < b.vec_id),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN ue a ON a.vec_id = c.id_a JOIN ue b ON b.vec_id = c.id_b
+  WHERE {_cos_e6('a', 'b')} >= {TEXT_NEAR_DUP_THRESHOLD_E6}),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e2.d AS node, reach.r FROM reach JOIN sym e2 ON e2.s = reach.node),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+       (cc.node IS NULL OR cc.node = cc.cluster_id) AS keep
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _semantic_text_clustered_sql() -> str:
+    """SQL twin of embedding.semantic_dedup_text_clustered: UNLABELED
+    multi-domain dedup — the shared unrolled-k-means CTE chain
+    (``_kmeans_aa_ctes`` over the 2⁻³⁰-scaled text embeddings, the
+    knn_text_ivf convention) derives coarse domains; centering
+    statistics come from each document's PRIMARY (rn = 1) cluster,
+    banding rows from its soft top-``DEDUP_SOFT_ASSIGN`` clusters;
+    then the identical per-domain machinery as the labeled twin
+    (largest-primary-cluster family sizing, within-domain candidates,
+    exact raw-cosine verify, recursive components)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
+        DEDUP_CLUSTERS,
+        DEDUP_SOFT_ASSIGN,
+        EMBED_DIM,
+        TEXT_NEAR_DUP_THRESHOLD_E6,
+        _IVF_SCALE,
+    )
+
+    arr = ", ".join(
+        f"CAST(s{d} AS DOUBLE) / {_IVF_SCALE!r}" for d in range(EMBED_DIM)
+    )
+    pre = f"""{_embed_sums_cte()},
+emb_arr AS (SELECT doc_id, [{arr}] AS embedding FROM esum),
+"""
+    kmeans = _kmeans_aa_ctes(
+        pre_ctes=pre, src="emb_arr", id_col="doc_id",
+        n_centroids=DEDUP_CLUSTERS,
+    )
+    tsums = ", ".join(
+        f"coalesce(sum(s{d}), 0) AS t{d}" for d in range(EMBED_DIM)
+    )
+    carr = ", ".join(
+        f"(CAST(greatest(n, 1) AS DOUBLE) * CAST(s{d} AS DOUBLE) "
+        f"- CAST(t{d} AS DOUBLE))"
+        for d in range(EMBED_DIM)
+    )
+    rarr = ", ".join(f"CAST(s{d} AS DOUBLE)" for d in range(EMBED_DIM))
+    lsh = _text_lsh_auto_cte_general(
+        nb_sql=(
+            "SELECT coalesce(max(c), 0) AS n FROM "
+            "(SELECT count(*) AS c FROM prim GROUP BY domain)"
+        ),
+        carry=", domain",
+    )
+    return f"""
+WITH RECURSIVE {kmeans},
+asg AS (SELECT vec_id AS doc_id, centroid_id AS domain
+        FROM aa WHERE rn <= {DEDUP_SOFT_ASSIGN}),
+prim AS (SELECT vec_id AS doc_id, centroid_id AS domain
+         FROM aa WHERE rn = 1),
+csum AS (SELECT p.domain, CAST(count(*) AS BIGINT) AS n, {tsums}
+         FROM esum es JOIN prim p USING (doc_id) GROUP BY p.domain),
+dsoft AS (SELECT es.*, a.domain FROM esum es JOIN asg a USING (doc_id)),
+cent AS (SELECT ds.doc_id, ds.domain, [{carr}] AS embedding
+         FROM dsoft ds JOIN csum USING (domain)),
 ue0 AS (SELECT doc_id AS vec_id, [{rarr}] AS embedding FROM esum),
 ue AS (SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM ue0),
 {lsh},
@@ -2553,7 +2665,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     return {
-        # --- NEW this round: zero driver signal
+        # --- NEW round 7 (zero driver signal), then the four round-6
+        # twins fixed this round (hll_register_sketch, export_shards,
+        # dsir_resample, global_shuffle stay in-window below for their
+        # first post-fix green)
+        "semantic_dedup_text_clustered": _wrap(
+            embedding.semantic_dedup_text_clustered
+        ),
+        # --- NEW round 6: zero driver signal
         "verified_near_dedup": _wrap(dedup.verified_near_dedup),
         "incremental_verified_dedup": _wrap(dedup.incremental_verified_dedup),
         "minhash_jaccard_estimates": _wrap(dedup.minhash_jaccard_estimates),
@@ -3470,6 +3589,7 @@ FROM t ORDER BY doc_id
         "semantic_dedup_corpus": _semantic_dedup_sql(),
         "incremental_cosine_dedup": _incremental_cosine_sql(),
         "embed_documents": _embed_documents_sql(),
+        "semantic_dedup_text_clustered": _semantic_text_clustered_sql(),
         "semantic_dedup_text_by_domain": _semantic_text_by_domain_sql(),
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
         "winnowing_overlap": _winnowing_sql(),

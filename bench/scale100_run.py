@@ -180,7 +180,9 @@ def main() -> None:
             pb = minhash_band_buckets(sig)
             idx = spark.table(name)
             if pruned:
-                pb = pb.localCheckpoint(eager=True)
+                # lazy — the prune-key collect materializes it, the
+                # production call-site shape (round-6 verdict #6)
+                pb = pb.localCheckpoint(eager=False)
                 idx = prune_index_scan(idx, pb, key_col="bucket")
             idx = idx.select("band", "bucket").distinct()
             return pb.join(idx, ["band", "bucket"], "left_semi").count()
@@ -210,6 +212,51 @@ def main() -> None:
         / timings["probe_vs_10x_index_unpruned"],
         2,
     )
+
+    # ---- 2b. the scan-dominated decade (round-6 verdict #6): 40M-row
+    # index, SYNTHESIZED from the 100x index by 10 doc_id-offset copies
+    # (the (band, bucket) key space is fixed by the hash family, so a
+    # 10x corpus deepens buckets exactly like this — same layout, same
+    # bucketing, 13s to write vs ~35min to re-hash). At 4M rows the
+    # probe is fixed-cost-dominated and pruning is a wash minus one
+    # collect job; at 40M the unpruned scan+distinct dominates and the
+    # pruned probe wins while staying flat across all three decades.
+    from ocr_pipeline_fastapi_latency_optimization_spark.sources.catalog import (
+        INDEX_ROWGROUP_BYTES,
+        write_bucketed_table,
+    )
+
+    idx100 = spark.table("t_scale_idx_100")
+    off = 100 * 10_000_000  # past every 100x doc_id
+    tdim = spark.range(10).select(F.col("id").alias("copy"))
+    big1000 = idx100.crossJoin(F.broadcast(tdim)).select(
+        (F.col("doc_id") + F.col("copy") * off).alias("doc_id"),
+        "band",
+        "bucket",
+    )
+    spark.sql("DROP TABLE IF EXISTS t_scale_idx_1000")
+    t0 = time.time()
+    write_bucketed_table(
+        big1000,
+        "t_scale_idx_1000",
+        "/tmp/spark_graft_scale_idx_1000",
+        ["band", "bucket"],
+        32,
+        sort_cols=["band", "bucket"],
+        rowgroup_bytes=INDEX_ROWGROUP_BYTES,
+    )
+    timings["index_build_1000x_synth"] = round(time.time() - t0, 3)
+    name = "t_scale_idx_1000"  # retarget the probe closure
+    for label, pdocs in (("", probe_docs), ("_trickle", trickle)):
+        for pruned in (False, True):
+            tag = ("" if pruned else "_unpruned") + label
+            probe(pruned, pdocs)
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                probe(pruned, pdocs)
+                runs.append(time.time() - t0)
+            timings[f"probe_vs_1000x_index{tag}"] = round(sorted(runs)[1], 3)
 
     # ---- 3. salted stitch under a 10^5-turn skew conversation ----
     skew_turn = F.concat(

@@ -352,6 +352,40 @@ savings are real wall time), `extract_join_mode` 1.65–1.73 s
 0.3 s across all four windows (its per-domain totals collect is
 control-plane noise).
 
+## Round-7: the probe crossover, measured (r6 verdict #6)
+
+Two changes this round: (1) every pruned-probe call-site's batch
+`localCheckpoint` went eager→LAZY, so the prune-key collect is the one
+materializing job (one fewer batch pass per probe); (2) the rung
+gained a third index decade — 40 M rows, SYNTHESIZED from the 100×
+index by 10 doc_id-offset copies (the (band,bucket) key space is fixed
+by the hash family, so a 10× corpus deepens buckets exactly like this;
+13 s to write vs ~35 min to re-hash). Quiet-machine medians (load
+< 1 at launch, median-of-5 at 10×/100× via the standalone probe
+re-measure, median-of-3 at 1000×):
+
+| probe (SAME 500-doc batch) | 10× (400 k rows) | 100× (4 M) | 1000× (40 M) |
+| --- | --- | --- | --- |
+| bulk PRUNED (hashed-set form) | 1.77 s | 1.76 s | **1.89 s — flat across THREE decades** |
+| bulk unpruned full scan | 1.42 s | 1.46 s | 3.42 s |
+| trickle 10-doc PRUNED (pushed per-band In) | 1.33 s | 1.45 s | 1.61 s |
+| trickle 10-doc unpruned | 1.00 s | 1.31 s | 1.40 s |
+
+The crossover the round-6 analysis predicted at ~10⁷ rows is now
+MEASURED: at 4 M rows the probe is fixed-cost-dominated (batch
+hashing + one job ≈ 1.4 s) and pruning's extra collect job loses
+~0.3 s; at 40 M rows the unpruned scan+distinct dominates and the
+pruned bulk probe wins 1.8× (1.89 vs 3.42 s). Production read: below
+the crossover the bucketed Exchange-free semi-join is already optimal
+— `prune_index_scan`'s 64 k-pair cap + full-scan fallback keeps both
+regimes on their better path. Trickle probes still sit ~0.2 s above
+unpruned at every sandbox size: the pushed-In's row-group skipping
+cannot beat a scan this cheap until the index outgrows page cache
+(uniformly hashed keys give no block locality; same conclusion as
+round 6). Main-rung numbers this run: extract 71.6 k turns/sec at
+14.27 M turns (flat, all 100 per-copy checksums equal), skew stitch
+1.54 s with the 10⁵-turn conversation exact.
+
 ## Round-6: pruned index probes on the 100× rung (r5 verdict #2)
 
 `bench/scale100_run.py` re-run on round-6 code (ambient load 2–8,

@@ -1225,13 +1225,14 @@ def semantic_decontaminate(
         totals = _center_literals_frame(spark, props)
         ev_sums = embed_sums(ev)
         # materialized once: the eval buckets feed the prune-key
-        # collect AND the probe join (O(eval) rows)
+        # collect AND the probe join (O(eval) rows). Lazy: the collect
+        # is the materializing job — no separate eager pass (verdict #6)
         ev_bands = (
             centered_band_buckets(
                 ev_sums, totals, planes_list=planes_list, bands=bands
             )
             .select(F.col("vec_id").alias("eval_vec"), "band", "key")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         corpus_bands = prune_index_scan(
             spark.table(index_table),

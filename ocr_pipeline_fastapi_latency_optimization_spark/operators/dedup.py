@@ -633,10 +633,13 @@ def incremental_minhash_dedup(
         new_docs = _docs(spark, sf_dir).filter(F.col("doc_id") >= boundary)
         sig = minhash_signatures(new_docs, n_perms=n_perms, hash_fn=hash_fn)
         # materialized once: the batch buckets feed the prune-key
-        # collect AND the probe join (O(batch) rows)
+        # collect AND the probe join (O(batch) rows). Lazy checkpoint:
+        # the prune-key collect right below is the materializing job,
+        # so the probe pays ONE batch pass, not a separate eager
+        # checkpoint job first (round-6 verdict #6)
         new = minhash_band_buckets(
             sig, n_perms=n_perms, bands=bands
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # consumption-side boundary guard (round-4 ADVICE #2 analog): an
         # index accidentally built over the full corpus would make every
         # new doc collide with its own index rows — keep doc_id in the
@@ -734,8 +737,10 @@ def minhash_verified_verdicts_for_batch(
     )
     batch = batch.select("doc_id", "text")
     sig = minhash_signatures(batch, n_perms=n_perms, hash_fn=hash_fn)
+    # lazy: the prune-key collect inside prune_index_scan materializes
+    # the checkpoint — one batch pass, no separate eager job (verdict #6)
     newb = minhash_band_buckets(sig, n_perms=n_perms, bands=bands).localCheckpoint(
-        eager=True
+        eager=False
     )
     idx = prune_index_scan(
         spark.table(index_table), newb, band_col="band", key_col="bucket"
@@ -1713,6 +1718,11 @@ def incremental_winnowing_overlap(
         docs.filter(F.col("doc_id") >= boundary), k, w
     )
     if index_table is not None:
+        # lazily checkpointed: the prune-key collect below materializes
+        # the batch fingerprints once; the nf_new aggregate and the
+        # probe join reuse the cache instead of re-running the gram
+        # expression per consumer (round-6 verdict #6)
+        new_fp = new_fp.localCheckpoint(eager=False)
         from ..sources.catalog import check_index_params, prune_index_scan
 
         check_index_params(

@@ -939,10 +939,11 @@ def incremental_text_domain_dedup(
             new_docs.select("doc_id", F.col(domain_col).alias("domain")),
             "doc_id",
         )
+        # lazy: the prune-key collect is the materializing job (verdict #6)
         new = domain_centered_band_buckets(
             new_sums_dom, totals_dom=totals, planes_list=planes_list,
             bands=bands,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         existing = prune_index_scan(spark.table(index_table), new).filter(
             F.col("vec_id") < boundary
         )
@@ -1068,10 +1069,11 @@ def incremental_text_semantic_dedup(
         totals = _center_literals_frame(spark, props)
         new_sums = embed_sums(docs.filter(F.col("doc_id") >= boundary))
         # materialized once: the batch buckets feed the prune-key
-        # collect AND the probe join (O(batch) rows)
+        # collect AND the probe join (O(batch) rows). Lazy: the collect
+        # is the materializing job — no separate eager pass (verdict #6)
         new = centered_band_buckets(
             new_sums, totals, planes_list=planes_list, bands=bands
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # prune_index_scan (round-5 verdict #2): scan only the batch's
         # touched (band, key) set - byte-identical output
         from ..sources.catalog import prune_index_scan
@@ -1239,6 +1241,21 @@ def semantic_dedup_text_by_domain(
     buckets = domain_centered_band_buckets(
         sums_dom, planes_list=planes_list, bands=bands
     )
+    return _domain_banded_keep_verdicts(docs, sums, buckets, threshold_e6)
+
+
+def _domain_banded_keep_verdicts(
+    docs: DataFrame, sums: DataFrame, buckets: DataFrame, threshold_e6: int
+) -> DataFrame:
+    """Shared tail of the domain-centered dedup family: within-domain
+    band collisions → exact raw-cosine verify → star contraction →
+    per-document (doc_id, cluster_id, keep). ``buckets`` is any
+    (vec_id, domain, band, key) frame — labeled sources
+    (``semantic_dedup_text_by_domain``) and derived k-means clusters
+    (``semantic_dedup_text_clustered``) feed the identical verdict
+    plan."""
+    from .dedup import connected_components
+
     a = buckets.alias("a")
     b = buckets.alias("b")
     cands = (
@@ -1272,6 +1289,78 @@ def semantic_dedup_text_by_domain(
     ).orderBy("doc_id")
 
 
+DEDUP_CLUSTERS = 8
+DEDUP_SOFT_ASSIGN = 2
+
+
+def semantic_dedup_text_clustered(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_e6: int = TEXT_NEAR_DUP_THRESHOLD_E6,
+    n_clusters: int = DEDUP_CLUSTERS,
+    soft_assign: int = DEDUP_SOFT_ASSIGN,
+    planes_list=None,
+    bands: int | None = None,
+) -> DataFrame:
+    """UNLABELED multi-domain semantic text dedup (round-6 verdict #5):
+    when the corpus is a disjoint-vocabulary mixture but carries no
+    domain label, derive coarse domains with one deterministic sampled
+    k-means pass over the integer embedding sums (the trained-IVF
+    kernel, ``similarity.kmeans_centroids`` — seeds are the first
+    ``n_clusters`` vectors, means per-row e6-quantized, so the DuckDB
+    twin's unrolled passes reproduce the exact same centroids), then
+    run the per-domain centered dedup with the derived labels.
+
+    Centering statistics come from each document's PRIMARY (argmax)
+    cluster only — each document contributes to exactly one center.
+    Banding is SOFT: each document is banded under its ``soft_assign``
+    nearest clusters (centered on each cluster's own mean), so a
+    near-dup pair that straddles a k-means boundary still co-occurs in
+    at least one shared cluster unless their top-2 sets are disjoint —
+    which needs TWO independent argmax flips on near-identical vectors.
+    The exact raw-cosine verify unchanged: soft assignment can only add
+    candidates, never a wrong verdict. Embeddings are scaled by 2⁻³⁰
+    (exact, cosine-neutral — the knn_text_ivf convention) so k-means'
+    per-row e6 quantization stays inside ANSI long sums. Family is
+    AUTO-sized from the largest primary-cluster population (the
+    per-domain bucket-width constraint). Output shape matches the
+    labeled path: (doc_id, cluster_id, keep) over every document."""
+    from .similarity import _assign_topn, kmeans_centroids
+
+    docs = _docs(spark, sf_dir)
+    sums = embed_sums(docs).localCheckpoint(eager=True)
+    emb = _sums_to_array(sums).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x / F.lit(_IVF_SCALE)).alias(
+            "embedding"
+        ),
+    )
+    cents = kmeans_centroids(emb, n_centroids=n_clusters)
+    # ≤ soft_assign rows per doc; K-row broadcast scoring, no window
+    asg = _assign_topn(emb, cents, n=soft_assign).localCheckpoint(eager=True)
+    primary = asg.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("doc_id"), F.col("centroid_id").alias("domain")
+    )
+    totals = domain_totals(sums.join(primary, "doc_id"))
+    n_max = (
+        primary.groupBy("domain").count().agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    planes_list, bands = _resolve_text_family(
+        planes_list, bands, 0 if n_max is None else int(n_max)
+    )
+    soft = asg.select(
+        F.col("vec_id").alias("doc_id"), F.col("centroid_id").alias("domain")
+    )
+    buckets = domain_centered_band_buckets(
+        sums.join(soft, "doc_id"),
+        totals_dom=totals,
+        planes_list=planes_list,
+        bands=bands,
+    )
+    return _domain_banded_keep_verdicts(docs, sums, buckets, threshold_e6)
+
+
 def text_semantic_verdicts_for_batch(
     spark: SparkSession,
     batch_docs: DataFrame,
@@ -1303,9 +1392,10 @@ def text_semantic_verdicts_for_batch(
     require_text_center(props, index_table)
     totals = _center_literals_frame(spark, props)
     new_sums = embed_sums(batch_docs)
+    # lazy: the prune-key collect is the materializing job (verdict #6)
     new = centered_band_buckets(
         new_sums, totals, planes_list=planes_list, bands=bands
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     existing = prune_index_scan(spark.table(index_table), new).select(
         F.col("vec_id").alias("evec"),
         F.col("band").alias("eband"),
