@@ -1791,27 +1791,30 @@ emb_arr AS (SELECT doc_id, [{arr}] AS embedding FROM esum),
             "SELECT coalesce(max(c), 0) AS n FROM "
             "(SELECT count(*) AS c FROM prim GROUP BY domain)"
         ),
-        carry=", domain",
+        carry=", domain, rn",
     )
     return f"""
 WITH RECURSIVE {kmeans},
-asg AS (SELECT vec_id AS doc_id, centroid_id AS domain
+asg AS (SELECT vec_id AS doc_id, centroid_id AS domain, rn
         FROM aa WHERE rn <= {DEDUP_SOFT_ASSIGN}),
 prim AS (SELECT vec_id AS doc_id, centroid_id AS domain
          FROM aa WHERE rn = 1),
 csum AS (SELECT p.domain, CAST(count(*) AS BIGINT) AS n, {tsums}
          FROM esum es JOIN prim p USING (doc_id) GROUP BY p.domain),
-dsoft AS (SELECT es.*, a.domain FROM esum es JOIN asg a USING (doc_id)),
-cent AS (SELECT ds.doc_id, ds.domain, [{carr}] AS embedding
+dsoft AS (SELECT es.*, a.domain, a.rn FROM esum es JOIN asg a USING (doc_id)),
+cent AS (SELECT ds.doc_id, ds.domain, ds.rn, [{carr}] AS embedding
          FROM dsoft ds JOIN csum USING (domain)),
 ue0 AS (SELECT doc_id AS vec_id, [{rarr}] AS embedding FROM esum),
 ue AS (SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM ue0),
 {lsh},
 cand AS (
+  -- primary-anchored: at least one side in its argmax cluster (the
+  -- secondary x secondary blowup cut, BENCH/BASELINE.md round 7)
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bands a JOIN bands b
     ON a.domain = b.domain AND a.band = b.band AND a.key = b.key
-   AND a.vec_id < b.vec_id),
+   AND a.vec_id < b.vec_id
+  WHERE a.rn = 1 OR b.rn = 1),
 pairs AS (
   SELECT c.id_a, c.id_b
   FROM cand c JOIN ue a ON a.vec_id = c.id_a JOIN ue b ON b.vec_id = c.id_b
@@ -2433,14 +2436,13 @@ ORDER BY score_e4 DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
-def _lm_bigram_score_sql() -> str:
-    """SQL twin of curation.lm_bigram_score — same add-one-smoothed
-    integer bigram conditionals, same mean-probability score (see the
-    operator docstring for why ln() is excluded). Numeric struct
+def _lm_score_ctes() -> str:
+    """The add-one-smoothed bigram-LM CTE chain ending in
+    ``per(doc_id, n_bigrams, lm_score_e6)`` — shared by the
+    lm_bigram_score twin and the CCNet-bucket twin. Numeric struct
     indexing in the zip lambda and 1-based inclusive slices per the
     DuckDB gotchas; sums cast back to BIGINT before comparison."""
-    return """
-WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+    return """t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
            FROM documents),
 bg AS (SELECT doc_id,
               unnest(list_transform(list_zip(w[1:len(w) - 1], w[2:len(w)]),
@@ -2457,11 +2459,154 @@ sc AS (SELECT doc_id, cnt, cnt * (((c2 + 1) * 1000000) // (c1 + v)) AS s
        FROM pdb JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vc),
 per AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
                CAST(sum(s) // sum(cnt) AS BIGINT) AS lm_score_e6
-        FROM sc GROUP BY doc_id)
+        FROM sc GROUP BY doc_id)"""
+
+
+def _lm_bigram_score_sql() -> str:
+    """SQL twin of curation.lm_bigram_score — same add-one-smoothed
+    integer bigram conditionals, same mean-probability score (see the
+    operator docstring for why ln() is excluded)."""
+    return f"""
+WITH {_lm_score_ctes()}
 SELECT d.doc_id, CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        CAST(coalesce(per.lm_score_e6, 0) AS BIGINT) AS lm_score_e6
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 ORDER BY d.doc_id
+"""
+
+
+def _ccnet_buckets_sql() -> str:
+    """SQL twin of curation.ccnet_perplexity_buckets: the shared
+    bigram-LM chain, a per-(lang, score) histogram (bounded by the e6
+    score grid, never corpus size), cumulative-desc windows over the
+    histogram only, exact order-statistic value thresholds (ties share
+    the boundary bucket), and the head/middle/tail CASE."""
+    return f"""
+WITH {_lm_score_ctes()},
+base AS (SELECT d.doc_id, d.lang,
+                CAST(coalesce(per.lm_score_e6, 0) AS BIGINT) AS lm_score_e6
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+hist AS (SELECT lang, lm_score_e6, CAST(count(*) AS BIGINT) AS c
+         FROM base GROUP BY lang, lm_score_e6),
+cum AS (SELECT lang, lm_score_e6,
+               sum(c) OVER (PARTITION BY lang ORDER BY lm_score_e6 DESC) AS cumd,
+               sum(c) OVER (PARTITION BY lang) AS n
+        FROM hist),
+thr AS (SELECT lang,
+               max(CASE WHEN (n // 3) > 0 AND cumd >= (n // 3)
+                        THEN lm_score_e6 END) AS t_head,
+               max(CASE WHEN ((2 * n) // 3) > 0 AND cumd >= ((2 * n) // 3)
+                        THEN lm_score_e6 END) AS t_mid
+        FROM cum GROUP BY lang)
+SELECT b.doc_id, b.lang, b.lm_score_e6,
+       CASE WHEN b.lm_score_e6 >= coalesce(t_head, 1000001) THEN 'head'
+            WHEN b.lm_score_e6 >= coalesce(t_mid, 1000001) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM base b JOIN thr USING (lang) ORDER BY b.doc_id
+"""
+
+
+def _token_budget_plan_sql() -> str:
+    """SQL twin of curation.token_budget_plan: per-source token counts
+    against the shared VALUES share table, then the pure-integer epoch
+    plan (target, epochs_e4, repeat cap, granted, deficit)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        BUDGET_TOKENS,
+        MAX_EPOCHS_E4,
+    )
+
+    b, m = int(BUDGET_TOKENS), int(MAX_EPOCHS_E4)
+    return f"""
+WITH sh(source, share_e4) AS (VALUES {_mixture_values_sql()}),
+cnt AS (SELECT d.source, sh.share_e4,
+               CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+                    AS BIGINT) AS tokens_available
+        FROM documents d JOIN sh USING (source)
+        GROUP BY d.source, sh.share_e4),
+plan0 AS (SELECT source, tokens_available,
+                 CAST((CAST({b} AS BIGINT) * share_e4) // 10000 AS BIGINT) AS target_tokens,
+                 CAST(CASE WHEN tokens_available > 0
+                           THEN (((CAST({b} AS BIGINT) * share_e4) // 10000) * 10000)
+                                // tokens_available
+                           ELSE 0 END AS BIGINT) AS epochs_e4
+          FROM cnt),
+plan1 AS (SELECT source, tokens_available, target_tokens, epochs_e4,
+                 CAST(least(epochs_e4, {m}) AS BIGINT) AS capped_epochs_e4,
+                 CAST((tokens_available * least(epochs_e4, {m})) // 10000
+                      AS BIGINT) AS granted_tokens
+          FROM plan0)
+SELECT source, tokens_available, target_tokens, epochs_e4, capped_epochs_e4,
+       granted_tokens,
+       CAST(greatest(target_tokens - granted_tokens, 0) AS BIGINT)
+         AS deficit_tokens
+FROM plan1 ORDER BY source
+"""
+
+
+# planted multilingual rows for the script-composition query (the
+# fixture corpus is ASCII-only — these make every class non-vacuous at
+# every SF; negative ids can never collide with corpus docs). Shared by
+# the Spark wrapper and the SQL twin, so the frames are identical by
+# construction. -4 is digit-dominant, -5 matches no class ('none').
+SCRIPT_PLANTED = [
+    (-1, "مرحبا بالعالم هذا نص عربي"),
+    (-2, "привет мир это русский текст"),
+    (-3, "你好世界这是中文文本"),
+    (-4, "abc 123 456789"),
+    (-5, "!!! ??? ..."),
+]
+
+
+def _q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition over the corpus plus the planted
+    multilingual rows (SCRIPT_PLANTED) — Arabic/Cyrillic/CJK/digit
+    dominance and the all-zero 'none' class all exercised at every
+    SF."""
+    _pin_session(spark)
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    planted = spark.createDataFrame(SCRIPT_PLANTED, "doc_id long, text string")
+    return curation.script_mix_report(
+        spark, sf_dir, docs=docs.unionByName(planted)
+    )
+
+
+def _script_mix_sql() -> str:
+    """SQL twin of the script-composition query: identical planted
+    frame (interpolated from SCRIPT_PLANTED), identical BMP character
+    classes (interpolated from SCRIPT_RANGES — literal characters, so
+    Java regex and RE2 see the same class), counts via
+    length(regexp_replace(…, 'g')), dominant via the same fixed-order
+    tie-break CASE."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        SCRIPT_RANGES,
+        _SCRIPT_ORDER,
+    )
+
+    planted = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}')" for i, t in SCRIPT_PLANTED
+    )
+    counts = ",\n       ".join(
+        f"CAST(length(regexp_replace(text, '[^{rng}]', '', 'g')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, rng in SCRIPT_RANGES.items()
+    )
+    mx = "greatest(" + ", ".join(f"n_{n}" for n in _SCRIPT_ORDER) + ")"
+    dom = "CASE WHEN " + mx + " = 0 THEN 'none' " + " ".join(
+        f"WHEN n_{n} = {mx} THEN '{n}'" for n in _SCRIPT_ORDER
+    ) + " END"
+    cols = ", ".join(f"n_{n}" for n in _SCRIPT_ORDER)
+    return f"""
+WITH d2 AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT * FROM (VALUES {planted}) v(doc_id, text)),
+c AS (SELECT doc_id,
+       {counts}
+      FROM d2)
+SELECT doc_id, {cols}, {dom} AS dominant
+FROM c ORDER BY doc_id
 """
 
 
@@ -2672,6 +2817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_text_clustered": _wrap(
             embedding.semantic_dedup_text_clustered
         ),
+        "ccnet_perplexity_buckets": _wrap(curation.ccnet_perplexity_buckets),
+        "token_budget_plan": _wrap(curation.token_budget_plan),
+        "script_mix_report": _q_script_mix,
         # --- NEW round 6: zero driver signal
         "verified_near_dedup": _wrap(dedup.verified_near_dedup),
         "incremental_verified_dedup": _wrap(dedup.incremental_verified_dedup),
@@ -3590,6 +3738,9 @@ FROM t ORDER BY doc_id
         "incremental_cosine_dedup": _incremental_cosine_sql(),
         "embed_documents": _embed_documents_sql(),
         "semantic_dedup_text_clustered": _semantic_text_clustered_sql(),
+        "ccnet_perplexity_buckets": _ccnet_buckets_sql(),
+        "token_budget_plan": _token_budget_plan_sql(),
+        "script_mix_report": _script_mix_sql(),
         "semantic_dedup_text_by_domain": _semantic_text_by_domain_sql(),
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
         "winnowing_overlap": _winnowing_sql(),

@@ -251,6 +251,17 @@ def main() -> None:
         "semantic_text_dedup_domain",
         lambda: _force(embedding.semantic_dedup_text_by_domain(spark, SF_DIR)),
     )
+    # the round-7 UNLABELED variant (k-means-derived domains, anchored
+    # soft-2 membership — adds the training + assignment passes)
+    timed(
+        "semantic_text_dedup_clustered",
+        lambda: _force(embedding.semantic_dedup_text_clustered(spark, SF_DIR)),
+    )
+    # CCNet-style head/middle/tail LM-score bucketing (round-7)
+    timed(
+        "ccnet_perplexity_buckets",
+        lambda: _force(curation.ccnet_perplexity_buckets(spark, SF_DIR)),
+    )
     # semantic eval-set decontamination: every 13th doc suffix-planted
     # as a paraphrase-analog eval doc (same construction as the driver
     # wrapper) probed against the full corpus

@@ -210,6 +210,146 @@ def main() -> None:
         n_floor10d / max(n_floor1, 1), 1
     )
 
+    # 2c. UNLABELED multi-domain centering (round-6 verdict #5): on the
+    # disjoint-vocabulary corpus (10 domains, no labels), k-means-derived
+    # coarse clusters + per-cluster centering (the
+    # semantic_dedup_text_clustered machinery, over-provisioned k=16 for
+    # 10 true domains — production sets k >= expected domain count and
+    # soft top-2 banding absorbs the split) must hold candidates within
+    # ~2x of the LABELED per-domain run, with ground-truth recall
+    # unchanged. Ground truth: each copy is a uniform relabeling of the
+    # sf0.1 corpus, so its 25-pair Jaccard set is preserved per copy.
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
+        _assign_topn,
+        kmeans_centroids,
+    )
+
+    def dcands(buckets):
+        a2, b2 = buckets.alias("a"), buckets.alias("b")
+        return (
+            a2.join(
+                b2,
+                (F.col("a.domain") == F.col("b.domain"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+            )
+            .distinct()
+        )
+
+    # labeled arm: the copy id IS the domain label
+    dom10d = sums10d.withColumn(
+        "domain", F.floor(F.col("doc_id") / COPY_STRIDE).cast("long")
+    )
+    lab_family = E._resolve_text_family(None, None, n1)  # largest domain
+    t0 = time.time()
+    lab_buckets = E.domain_centered_band_buckets(
+        dom10d, planes_list=lab_family[0], bands=lab_family[1]
+    )
+    n_lab = dcands(lab_buckets).count()
+    timings["candidates_labeled_domain_10x_distinct"] = round(
+        time.time() - t0, 3
+    )
+    # unlabeled arm: the operator's own derivation (k-means primary
+    # centering + soft top-2 banding), k over-provisioned to 16
+    K_UNLABELED = 16
+    t0 = time.time()
+    emb_s = E._sums_to_array(sums10d).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x / F.lit(E._IVF_SCALE)
+        ).alias("embedding"),
+    )
+    cents = kmeans_centroids(emb_s, n_centroids=K_UNLABELED)
+    asg = _assign_topn(emb_s, cents, n=E.DEDUP_SOFT_ASSIGN).localCheckpoint(
+        eager=True
+    )
+    primary = asg.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("doc_id"), F.col("centroid_id").alias("domain")
+    )
+    totals_c = E.domain_totals(sums10d.join(primary, "doc_id"))
+    n_max_c = (
+        primary.groupBy("domain").count().agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    clu_family = E._resolve_text_family(None, None, int(n_max_c))
+    soft = asg.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("centroid_id").alias("domain"),
+        "rn",
+    )
+    clu_buckets = E.domain_centered_band_buckets(
+        sums10d.join(soft, "doc_id"),
+        totals_dom=totals_c,
+        planes_list=clu_family[0],
+        bands=clu_family[1],
+        carry=("rn",),
+    )
+    # primary-anchored pairing — the operator's shipped semantics (the
+    # unanchored soft join measured 29.5M candidates vs 11.0M anchored
+    # at identical recall; see BENCH/BASELINE.md round 7)
+    a2, b2 = clu_buckets.alias("a"), clu_buckets.alias("b")
+    clu_cands = (
+        a2.join(
+            b2,
+            (F.col("a.domain") == F.col("b.domain"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & ((F.col("a.rn") == 1) | (F.col("b.rn") == 1)),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_clu = clu_cands.count()
+    timings["candidates_clustered_10x_distinct"] = round(time.time() - t0, 3)
+    out["cand_labeled_domain_10x_distinct"] = n_lab
+    out["cand_clustered_unlabeled_10x_distinct"] = n_clu
+    out["clustered_vs_labeled_ratio"] = round(n_clu / max(n_lab, 1), 2)
+    out["clustered_max_primary"] = int(n_max_c)
+    out["clustered_family"] = f"{len(clu_family[0])}p/{clu_family[1]}b"
+
+    # recall: verify the unlabeled arm's candidates exactly, then count
+    # the per-copy relabeled ground-truth pairs that survive
+    wn_d = E._sums_with_norm(sums10d)
+    va = wn_d.alias("na")
+    vb = wn_d.alias("nb")
+    clu_verified = (
+        clu_cands.join(va, F.col("id_a") == F.col("na.doc_id"))
+        .join(vb, F.col("id_b") == F.col("nb.doc_id"))
+        .select("id_a", "id_b", E._sums_cosine_e6("na", "nb").alias("s"))
+        .filter(F.col("s") >= E.TEXT_NEAR_DUP_THRESHOLD_E6)
+    )
+    jac_d = dedup.ngram_jaccard_pairs(spark, SF_DIR)
+    truth_d = jac_d.crossJoin(F.broadcast(cdim)).select(
+        (F.col("doc_a") + F.col("copy") * COPY_STRIDE).alias("id_a"),
+        (F.col("doc_b") + F.col("copy") * COPY_STRIDE).alias("id_b"),
+    )
+    n_truth_d = truth_d.count()
+    got_truth_d = clu_verified.join(
+        truth_d, ["id_a", "id_b"], "left_semi"
+    ).count()
+    out["clustered_ground_truth_recall"] = f"{got_truth_d}/{n_truth_d}"
+    # labeled-arm recall on the same corpus, same verify, for parity
+    lab_verified = (
+        dcands(lab_buckets)
+        .join(va, F.col("id_a") == F.col("na.doc_id"))
+        .join(vb, F.col("id_b") == F.col("nb.doc_id"))
+        .select("id_a", "id_b", E._sums_cosine_e6("na", "nb").alias("s"))
+        .filter(F.col("s") >= E.TEXT_NEAR_DUP_THRESHOLD_E6)
+    )
+    got_truth_lab = lab_verified.join(
+        truth_d, ["id_a", "id_b"], "left_semi"
+    ).count()
+    out["labeled_ground_truth_recall"] = f"{got_truth_lab}/{n_truth_d}"
+    assert got_truth_d >= got_truth_lab, out
+
     t0 = time.time()
     n_default = cands(None, E.TEXT_LSH_BANDS).count()
     timings["candidates_frozen_floor_10x"] = round(time.time() - t0, 3)

@@ -418,6 +418,41 @@ the naive per-band pushed In at bulk sizes EVALUATED slower than the
 scan it pruned (3.0 s vs 1.0 s at 4 M rows) and `Column.isin()` burned
 ~3 s of py4j literals — both fixed before this table was recorded.
 
+## Round-7: UNLABELED multi-domain centering (r6 verdict #5)
+
+The round-6 rung measured global centering degrading on a 10-disjoint-
+vocabulary mixture (23.0 M candidates at 50 k docs) with the labeled
+domain family at 6.3 M — but only when labels exist. Round 7 adds the
+unlabeled lever (`semantic_dedup_text_clustered`): coarse domains from
+one deterministic sampled k-means pass over the 2^-30-scaled text
+embeddings (k = 16 over-provisioned for 10 true domains; seeds are the
+first k vectors), PRIMARY-cluster centering, soft top-2 banding
+membership, and — the decisive design point, measured not guessed —
+PRIMARY-ANCHORED pairing. Same corpus construction as the round-6
+rung (50 k docs, 10 disjoint vocabularies, ground truth = 10×255
+relabeled Jaccard pairs), exact-cosine verify at the text threshold:
+
+| arm | candidates | ground-truth recall |
+| --- | --- | --- |
+| labeled per-domain (round-6 baseline) | 6.32 M | 2541/2550 |
+| k-means hard argmax only | 4.88 M | 2507/2550 — 34 boundary pairs LOST |
+| k-means soft top-2, unanchored | 29.5 M | 2542/2550 |
+| **k-means soft top-2, primary-anchored (shipped)** | **11.0 M** | **2541/2550** |
+
+Anchored soft-2 lands at **1.74× the labeled run with recall equal**
+— inside the verdict's ~2× bar. The unanchored blowup is structural,
+not noise: a secondary row is centered by a FOREIGN cluster's mean, so
+secondary×secondary collisions recreate exactly the uncentered-skew
+quadratic the domain family exists to kill; requiring one primary side
+keeps the boundary-recall benefit (the 34 pairs hard assignment loses)
+at fixed extra cost. The k-means separation itself is imperfect by
+design (16 clusters over 10 domains, single-domain seeds; contingency:
+clusters span 1-4 domains) — per-cluster centering absorbs small
+mixtures, which is the whole point of deriving it from data. DuckDB
+twin: the unrolled k-means chain factored out of the IVF oracle
+(`_kmeans_aa_ctes`) + the carry-column adaptive-family CTEs; replica
+green at sf0.01, dtype-parity included.
+
 ## Round-6: text rung under the AUTO-SIZED default family
 
 Round 6 made the family width DERIVE from corpus size

@@ -1739,3 +1739,190 @@ def cluster_safe_split(
     return joined.select(
         "doc_id", cluster.alias("cluster_id"), split.alias("split")
     ).orderBy("doc_id")
+
+
+# --- CCNet-style perplexity bucketing -----------------------------------
+
+
+def ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """CCNet's head/middle/tail split, integer-exact: per LANGUAGE,
+    bucket documents into thirds by the corpus-trained LM score
+    (``lm_bigram_score`` — the mean-probability analog of KenLM
+    perplexity; HIGH score = well-modeled = head, mirroring CCNet's
+    low-perplexity head). The thresholds are EXACT order statistics,
+    computed the 100 TB way (the ``quality_threshold_filter``
+    discipline): a per-(lang, score) histogram — bounded at ≤10⁶+1 bins
+    per language because the score lives on the e6 grid, NOT corpus
+    size — a cumulative window over the histogram only, and a broadcast
+    join back. head = score ≥ the (n div 3)-th highest score, middle =
+    ≥ the (2n div 3)-th, else tail; ties share the boundary bucket
+    (value thresholds, so both engines bucket identically). Languages
+    with fewer than 3 documents degrade deterministically (k = 0 ⇒
+    that boundary is empty ⇒ docs fall through toward tail)."""
+    from pyspark.sql import Window as W
+
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    scored = lm_bigram_score(spark, sf_dir, docs=docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    hist = scored.groupBy("lang", "lm_score_e6").agg(F.count("*").alias("c"))
+    wp = W.partitionBy("lang")
+    cum = hist.withColumn(
+        "cumd", F.sum("c").over(wp.orderBy(F.col("lm_score_e6").desc()))
+    ).withColumn("n", F.sum("c").over(wp))
+    thr = cum.groupBy("lang").agg(
+        F.expr(
+            "max(CASE WHEN (n div 3) > 0 AND cumd >= (n div 3) "
+            "THEN lm_score_e6 END)"
+        ).alias("t_head"),
+        F.expr(
+            "max(CASE WHEN ((2 * n) div 3) > 0 AND cumd >= ((2 * n) div 3) "
+            "THEN lm_score_e6 END)"
+        ).alias("t_mid"),
+    )
+    bucket = (
+        F.when(
+            F.col("lm_score_e6") >= F.coalesce(F.col("t_head"), F.lit(1000001)),
+            F.lit("head"),
+        )
+        .when(
+            F.col("lm_score_e6") >= F.coalesce(F.col("t_mid"), F.lit(1000001)),
+            F.lit("middle"),
+        )
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .select("doc_id", "lang", "lm_score_e6", bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
+# --- token-budget epoch planning ----------------------------------------
+
+BUDGET_TOKENS = 1_000_000
+MAX_EPOCHS_E4 = 40_000  # repeat data at most 4 epochs (Muennighoff et al.)
+
+
+def token_budget_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    budget_tokens: int = BUDGET_TOKENS,
+    shares_e4: dict | None = None,
+    max_epochs_e4: int = MAX_EPOCHS_E4,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Epoch planning under a token budget: given target per-source
+    SHARES of a ``budget_tokens`` training stream and the corpus's
+    actual per-source token counts, derive — all in integer arithmetic,
+    so both engines agree bit-for-bit — each source's
+
+    * ``target_tokens`` = budget·share div 10⁴,
+    * ``epochs_e4``   = how many passes of the source the target needs
+      (target·10⁴ div available),
+    * ``capped_epochs_e4`` = min(epochs_e4, the repeat ceiling — data
+      repeated beyond ~4 epochs stops helping, the published
+      data-constrained-scaling rule),
+    * ``granted_tokens``   = available·capped div 10⁴, and
+    * ``deficit_tokens``   = target − granted (what the mixture must
+      re-source or the budget must absorb).
+
+    The whole plan is one bounded per-source aggregate (map-side
+    combined token count) against a broadcast share table — the
+    planning step upstream of ``dataset_mixture``/``export_shards``;
+    its output is human-review-sized at any corpus scale."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    shares = shares_e4 or MIXTURE_SHARES_E4
+    bad = {s: v for s, v in shares.items() if int(v) <= 0}
+    if bad or sum(int(v) for v in shares.values()) > 10000:
+        raise ValueError(
+            f"shares_e4 must be positive and sum to <= 10000: {shares}"
+        )
+    if budget_tokens <= 0 or max_epochs_e4 <= 0:
+        raise ValueError(
+            f"budget_tokens and max_epochs_e4 must be positive: "
+            f"{budget_tokens}, {max_epochs_e4}"
+        )
+    shares_df = spark.createDataFrame(
+        sorted((s, int(v)) for s, v in shares.items()),
+        "source string, share_e4 long",
+    )
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit("")))
+    counts = (
+        docs.join(F.broadcast(shares_df), "source")
+        .groupBy("source", "share_e4")
+        .agg(F.sum(toks.cast("long")).alias("tokens_available"))
+    )
+    return counts.select(
+        "source",
+        "tokens_available",
+        F.expr(f"({int(budget_tokens)} * share_e4) div 10000").alias(
+            "target_tokens"
+        ),
+        F.expr(
+            f"CASE WHEN tokens_available > 0 THEN "
+            f"((({int(budget_tokens)} * share_e4) div 10000) * 10000) "
+            f"div tokens_available ELSE 0 END"
+        ).alias("epochs_e4"),
+    ).select(
+        "source",
+        "tokens_available",
+        "target_tokens",
+        "epochs_e4",
+        F.expr(f"least(epochs_e4, {int(max_epochs_e4)})").alias(
+            "capped_epochs_e4"
+        ),
+        F.expr(
+            f"(tokens_available * least(epochs_e4, {int(max_epochs_e4)})) "
+            f"div 10000"
+        ).alias("granted_tokens"),
+    ).withColumn(
+        "deficit_tokens",
+        F.expr("greatest(target_tokens - granted_tokens, 0)"),
+    ).orderBy("source")
+
+
+# --- unicode-script composition ------------------------------------------
+
+# BMP-only ranges: a Java regex char class counts UTF-16 code units and
+# an RE2 class counts codepoints — identical only inside the BMP, so the
+# classes stop at U+FFFF by construction (same engine-parity rule as the
+# BPE ASCII guard).
+SCRIPT_RANGES = {
+    "latin": "A-Za-z",
+    "arabic": "؀-ۿ",
+    "cyrillic": "Ѐ-ӿ",
+    "cjk": "一-鿿",
+    "digit": "0-9",
+}
+_SCRIPT_ORDER = ["latin", "arabic", "cyrillic", "cjk", "digit"]
+
+
+def script_mix_report(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Per-document unicode-script composition — the multilingual
+    triage signal (wrong-script content in a language shard, mixed-
+    script spam, digit-heavy boilerplate): counts of Latin / Arabic /
+    Cyrillic / CJK / digit codepoints plus a deterministic dominant
+    class (max count, ties broken by the fixed class order, 'none' when
+    every class is 0). One narrow whole-stage-codegen expression chain —
+    length(regexp_replace(…)) per class — zero shuffles at any corpus
+    size. Ranges are BMP-only for cross-engine parity (see
+    SCRIPT_RANGES)."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    sel = [F.col("doc_id")]
+    for name, rng in SCRIPT_RANGES.items():
+        sel.append(
+            F.length(
+                F.regexp_replace(F.col("text"), f"[^{rng}]", "")
+            ).cast("long").alias(f"n_{name}")
+        )
+    counted = docs.select(*sel)
+    mx = F.greatest(*[F.col(f"n_{n}") for n in _SCRIPT_ORDER])
+    dom = F.when(mx == 0, F.lit("none"))
+    for name in _SCRIPT_ORDER:
+        dom = dom.when(F.col(f"n_{name}") == mx, F.lit(name))
+    return counted.withColumn("dominant", dom).orderBy("doc_id")

@@ -1167,6 +1167,7 @@ def domain_centered_band_buckets(
     planes_list=None,
     bands: int = TEXT_LSH_BANDS,
     dim: int = EMBED_DIM,
+    carry: tuple = (),
 ) -> DataFrame:
     """(vec_id, domain, band, key) — centered banding with a PER-DOMAIN
     center: ``sums_dom`` carries a ``domain`` column and each document
@@ -1188,19 +1189,26 @@ def domain_centered_band_buckets(
         f"- CAST(t{d} AS DOUBLE)"
         for d in range(dim)
     )
+    extra = [F.col(c) for c in carry]
     centered = sums_dom.join(F.broadcast(totals), "domain").select(
         F.col("doc_id").alias("vec_id"),
         "domain",
+        *extra,
         F.expr(f"array({terms})").alias("embedding"),
     )
     return centered.select(
         "vec_id",
         "domain",
+        *extra,
         F.posexplode(
             _text_band_keys_udf(planes_list, bands)(F.col("embedding"))
         ),
     ).select(
-        "vec_id", "domain", F.col("pos").alias("band"), F.col("col").alias("key")
+        "vec_id",
+        "domain",
+        *extra,
+        F.col("pos").alias("band"),
+        F.col("col").alias("key"),
     )
 
 
@@ -1245,7 +1253,11 @@ def semantic_dedup_text_by_domain(
 
 
 def _domain_banded_keep_verdicts(
-    docs: DataFrame, sums: DataFrame, buckets: DataFrame, threshold_e6: int
+    docs: DataFrame,
+    sums: DataFrame,
+    buckets: DataFrame,
+    threshold_e6: int,
+    anchored: bool = False,
 ) -> DataFrame:
     """Shared tail of the domain-centered dedup family: within-domain
     band collisions → exact raw-cosine verify → star contraction →
@@ -1253,19 +1265,28 @@ def _domain_banded_keep_verdicts(
     (vec_id, domain, band, key) frame — labeled sources
     (``semantic_dedup_text_by_domain``) and derived k-means clusters
     (``semantic_dedup_text_clustered``) feed the identical verdict
-    plan."""
+    plan. ``anchored=True`` (the soft-membership case — buckets carry
+    an ``rn`` column) admits a pair only when at least one side sits in
+    its PRIMARY (rn = 1) cluster: secondary rows are centered by a
+    foreign cluster's mean, so secondary×secondary collisions recreate
+    the uncentered-skew blowup (measured 29.5 M vs 11.0 M candidates on
+    the 50 k-doc rung with recall identical — BENCH/BASELINE.md round
+    7); anchoring keeps the boundary-recall benefit without the
+    quadratic term."""
     from .dedup import connected_components
 
     a = buckets.alias("a")
     b = buckets.alias("b")
+    cond = (
+        (F.col("a.domain") == F.col("b.domain"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    if anchored:
+        cond = cond & ((F.col("a.rn") == 1) | (F.col("b.rn") == 1))
     cands = (
-        a.join(
-            b,
-            (F.col("a.domain") == F.col("b.domain"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
@@ -1318,6 +1339,13 @@ def semantic_dedup_text_clustered(
     near-dup pair that straddles a k-means boundary still co-occurs in
     at least one shared cluster unless their top-2 sets are disjoint —
     which needs TWO independent argmax flips on near-identical vectors.
+    Pairing is PRIMARY-ANCHORED (at least one side in its argmax
+    cluster): secondary rows are centered by a foreign mean, and
+    letting them pair among themselves recreates the uncentered-skew
+    blowup — the rung measured 29.5 M unanchored vs 11.0 M anchored
+    candidates at identical recall (labeled run: 6.3 M / same recall;
+    hard argmax-only: 4.9 M but 34/2550 ground-truth pairs LOST to
+    boundary flips — anchored soft-2 is the measured sweet spot).
     The exact raw-cosine verify unchanged: soft assignment can only add
     candidates, never a wrong verdict. Embeddings are scaled by 2⁻³⁰
     (exact, cosine-neutral — the knn_text_ivf convention) so k-means'
@@ -1350,15 +1378,20 @@ def semantic_dedup_text_clustered(
         planes_list, bands, 0 if n_max is None else int(n_max)
     )
     soft = asg.select(
-        F.col("vec_id").alias("doc_id"), F.col("centroid_id").alias("domain")
+        F.col("vec_id").alias("doc_id"),
+        F.col("centroid_id").alias("domain"),
+        "rn",
     )
     buckets = domain_centered_band_buckets(
         sums.join(soft, "doc_id"),
         totals_dom=totals,
         planes_list=planes_list,
         bands=bands,
+        carry=("rn",),
     )
-    return _domain_banded_keep_verdicts(docs, sums, buckets, threshold_e6)
+    return _domain_banded_keep_verdicts(
+        docs, sums, buckets, threshold_e6, anchored=True
+    )
 
 
 def text_semantic_verdicts_for_batch(

@@ -1011,3 +1011,156 @@ def test_blocklist_filter_c4_rule(spark, tmp_path):
         blocklist_filter(spark, str(tmp_path), blocklist=("two words",))
     with _pytest.raises(ValueError, match="simple tokens"):
         blocklist_filter(spark, str(tmp_path), blocklist=())
+
+
+def test_ccnet_buckets_hand_fixture(spark, tmp_path):
+    """Hand-computed head/middle/tail: one language with 6 docs at 4
+    distinct LM scores (ties across the boundary share the boundary
+    bucket), one language with 2 docs (k_head = 0 -> empty head, k_mid
+    = 1 -> the top doc lands middle, the other tail)."""
+    rows = []
+    # lang 'aa': base doc of repeated well-modeled bigrams scores high;
+    # progressively noisier docs score lower. We don't hand-compute the
+    # LM itself — we hand-compute the BUCKETING from the scores the
+    # operator reports (the LM math is pinned by the lm_bigram twin).
+    rows.append((0, "x y " * 30, "aa", "s", 1))
+    rows.append((1, "x y " * 30, "aa", "s", 1))
+    rows.append((2, "x y " * 15 + "q1 q2 q3 q4", "aa", "s", 1))
+    rows.append((3, "x y " * 15 + "q5 q6 q7 q8", "aa", "s", 1))
+    rows.append((4, "r1 r2 r3 r4 r5 r6", "aa", "s", 1))
+    rows.append((5, "r7 r8 r9 r10 r11 r12", "aa", "s", 1))
+    # lang 'bb': 2 docs -> n//3 = 0
+    rows.append((6, "x y x y x y", "bb", "s", 1))
+    rows.append((7, "z1 z2 z3", "bb", "s", 1))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = (
+        curation.ccnet_perplexity_buckets(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == 8
+    aa = out[out["lang"] == "aa"].sort_values(
+        "lm_score_e6", ascending=False
+    )
+    scores = aa["lm_score_e6"].tolist()
+    # docs 0/1 are identical -> identical top scores; n=6 -> k_head=2,
+    # k_mid=4: t_head = 2nd highest = the tied top score -> BOTH ties
+    # are head; t_mid = 4th highest
+    t_head = sorted(scores, reverse=True)[1]
+    t_mid = sorted(scores, reverse=True)[3]
+    for doc_id, row in out[out["lang"] == "aa"].iterrows():
+        want = (
+            "head" if row["lm_score_e6"] >= t_head
+            else "middle" if row["lm_score_e6"] >= t_mid
+            else "tail"
+        )
+        assert row["bucket"] == want, (doc_id, row.to_dict(), t_head, t_mid)
+    assert set(out.loc[[0, 1], "bucket"]) == {"head"}
+    # lang 'bb': k_head=0 -> no head; k_mid=1 -> top doc middle
+    bb = out[out["lang"] == "bb"]
+    assert "head" not in set(bb["bucket"])
+    top_bb = bb["lm_score_e6"].max()
+    for _, row in bb.iterrows():
+        assert row["bucket"] == (
+            "middle" if row["lm_score_e6"] >= top_bb else "tail"
+        )
+
+
+def test_token_budget_plan_hand_numbers(spark, tmp_path):
+    """Integer-exact epoch plan on hand-sized sources: src0 is scarce
+    (epoch cap binds -> deficit), src1 is abundant (uncapped, deficit
+    only the floor residue), untargeted sources are absent."""
+    rows = [
+        (0, "a b c d e", "en", "src0", 1),        # 5 tokens
+        (1, " ".join(["t"] * 200), "en", "src1", 1),  # 200 tokens
+        (2, "x y", "en", "src9", 1),              # untargeted
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = (
+        curation.token_budget_plan(
+            spark,
+            str(tmp_path),
+            budget_tokens=1000,
+            shares_e4={"src0": 4000, "src1": 3000},
+            max_epochs_e4=40000,
+        )
+        .toPandas()
+        .set_index("source")
+    )
+    assert set(out.index) == {"src0", "src1"}
+    s0 = out.loc["src0"]
+    # target = 1000*4000//10000 = 400; epochs = 400*1e4//5 = 800000 ->
+    # capped at 4 epochs; granted = 5*40000//10000 = 20; deficit 380
+    assert s0["tokens_available"] == 5
+    assert s0["target_tokens"] == 400
+    assert s0["epochs_e4"] == 800000
+    assert s0["capped_epochs_e4"] == 40000
+    assert s0["granted_tokens"] == 20
+    assert s0["deficit_tokens"] == 380
+    s1 = out.loc["src1"]
+    # target = 300; epochs = 300*1e4//200 = 15000 (1.5 epochs, under
+    # cap); granted = 200*15000//10000 = 300; deficit 0
+    assert s1["tokens_available"] == 200
+    assert s1["target_tokens"] == 300
+    assert s1["epochs_e4"] == 15000
+    assert s1["capped_epochs_e4"] == 15000
+    assert s1["granted_tokens"] == 300
+    assert s1["deficit_tokens"] == 0
+    with pytest.raises(ValueError):
+        curation.token_budget_plan(
+            spark, str(tmp_path), budget_tokens=0
+        )
+    with pytest.raises(ValueError):
+        curation.token_budget_plan(
+            spark, str(tmp_path), shares_e4={"a": 9000, "b": 2000}
+        )
+
+
+def test_script_mix_report_planted_scripts(spark, tmp_path):
+    """Planted per-script rows: counts equal an independent Python
+    codepoint-range count, dominance follows max-count with the fixed
+    tie-break order, all-zero rows report 'none'."""
+    texts = {
+        0: "hello world 42",
+        1: "مرحبا بالعالم",
+        2: "привет мир",
+        3: "你好世界",
+        4: "abc 123456",   # digits 6 > latin 3
+        5: "!!! ???",       # none
+        6: "ab12",          # tie 2=2 -> latin wins the fixed order
+    }
+    rows = [(i, t, "en", "s", 1) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = (
+        curation.script_mix_report(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+
+    def pycount(t, lo, hi):
+        return sum(1 for ch in t if lo <= ord(ch) <= hi)
+
+    ranges = {
+        "n_latin": [(0x41, 0x5A), (0x61, 0x7A)],
+        "n_arabic": [(0x600, 0x6FF)],
+        "n_cyrillic": [(0x400, 0x4FF)],
+        "n_cjk": [(0x4E00, 0x9FFF)],
+        "n_digit": [(0x30, 0x39)],
+    }
+    for i, t in texts.items():
+        for col, rs in ranges.items():
+            want = sum(pycount(t, lo, hi) for lo, hi in rs)
+            assert out.loc[i, col] == want, (i, col)
+    assert out.loc[0, "dominant"] == "latin"
+    assert out.loc[1, "dominant"] == "arabic"
+    assert out.loc[2, "dominant"] == "cyrillic"
+    assert out.loc[3, "dominant"] == "cjk"
+    assert out.loc[4, "dominant"] == "digit"
+    assert out.loc[5, "dominant"] == "none"
+    assert out.loc[6, "dominant"] == "latin"
