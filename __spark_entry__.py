@@ -1190,7 +1190,7 @@ def _kmeans_cos_sql(v_emb: str, v_nrm: str, c_emb: str, c_nrm: str) -> str:
 
 def _kmeans_aa_ctes(
     pre_ctes: str = "", src: str = "embeddings", id_col: str = "vec_id",
-    n_centroids: int | None = None,
+    n_centroids: int | None = None, train_where: str = "",
 ) -> str:
     """Unrolled sampled-k-means CTE chain (same seeds, same
     per-row-quantized means, same empty-cluster carry-over as
@@ -1199,7 +1199,10 @@ def _kmeans_aa_ctes(
     centroid (rn = 1 is the argmax ``_assign`` returns; rn ≤ n is the
     soft top-n membership). Shared by the IVF probe twins and the
     unlabeled clustered-centering dedup twin. Returned WITHOUT a
-    leading ``WITH`` so callers pick plain vs RECURSIVE."""
+    leading ``WITH`` so callers pick plain vs RECURSIVE.
+    ``train_where`` restricts the TRAINING population (sample + seeds)
+    — the incremental twins freeze the quantizer at the pre-boundary
+    corpus while still assigning every vector through ``aa``."""
     from ocr_pipeline_fastapi_latency_optimization_spark.operators.similarity import (
         IVF_CENTROIDS,
         KMEANS_PASSES,
@@ -1210,11 +1213,12 @@ def _kmeans_aa_ctes(
     cos = _kmeans_cos_sql
     if n_centroids is None:
         n_centroids = IVF_CENTROIDS
+    train_and = f" AND ({train_where})" if train_where else ""
     parts = [
         f"""{pre_ctes}e AS (SELECT {id_col} AS vec_id, embedding, {_COS_NORM} AS nrm FROM {src}),
-s AS (SELECT * FROM e WHERE vec_id % {KMEANS_SAMPLE_MOD} = 0),
+s AS (SELECT * FROM e WHERE vec_id % {KMEANS_SAMPLE_MOD} = 0{train_and}),
 c0 AS (SELECT vec_id AS centroid_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb, nrm AS c_nrm
-       FROM e WHERE vec_id < {n_centroids})"""
+       FROM e WHERE vec_id < {n_centroids}{train_and})"""
     ]
     prev = "c0"
     for p in range(1, KMEANS_PASSES + 1):
@@ -1832,6 +1836,85 @@ SELECT d.doc_id,
        (cc.node IS NULL OR cc.node = cc.cluster_id) AS keep
 FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
 ORDER BY d.doc_id
+"""
+
+
+def _incremental_text_clustered_sql() -> str:
+    """SQL twin of embedding.incremental_text_clustered_dedup (split
+    path): the quantizer TRAINS on pre-boundary vectors only
+    (``train_where``), every vector is still assigned through ``aa``;
+    per-cluster centers from pre-boundary PRIMARY members; soft top-2
+    banding with rn carried; new-vs-existing collisions under the
+    primary-anchored rule; exact raw-cosine verify at the text
+    threshold."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.dedup import (
+        INGEST_BOUNDARY,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.embedding import (
+        DEDUP_CLUSTERS,
+        DEDUP_SOFT_ASSIGN,
+        EMBED_DIM,
+        TEXT_NEAR_DUP_THRESHOLD_E6,
+        _IVF_SCALE,
+    )
+
+    b = INGEST_BOUNDARY
+    arr = ", ".join(
+        f"CAST(s{d} AS DOUBLE) / {_IVF_SCALE!r}" for d in range(EMBED_DIM)
+    )
+    pre = f"""{_embed_sums_cte()},
+emb_arr AS (SELECT doc_id, [{arr}] AS embedding FROM esum),
+"""
+    kmeans = _kmeans_aa_ctes(
+        pre_ctes=pre, src="emb_arr", id_col="doc_id",
+        n_centroids=DEDUP_CLUSTERS, train_where=f"vec_id < {b}",
+    )
+    tsums = ", ".join(
+        f"coalesce(sum(s{d}), 0) AS t{d}" for d in range(EMBED_DIM)
+    )
+    carr = ", ".join(
+        f"(CAST(greatest(n, 1) AS DOUBLE) * CAST(s{d} AS DOUBLE) "
+        f"- CAST(t{d} AS DOUBLE))"
+        for d in range(EMBED_DIM)
+    )
+    rarr = ", ".join(f"CAST(s{d} AS DOUBLE)" for d in range(EMBED_DIM))
+    lsh = _text_lsh_auto_cte_general(
+        nb_sql=(
+            "SELECT coalesce(max(c), 0) AS n FROM "
+            "(SELECT count(*) AS c FROM prim GROUP BY domain)"
+        ),
+        carry=", domain, rn",
+    )
+    return f"""
+WITH {kmeans},
+asg AS (SELECT vec_id AS doc_id, CAST(centroid_id AS VARCHAR) AS domain, rn
+        FROM aa WHERE rn <= {DEDUP_SOFT_ASSIGN}),
+prim AS (SELECT vec_id AS doc_id, CAST(centroid_id AS VARCHAR) AS domain
+         FROM aa WHERE rn = 1 AND vec_id < {b}),
+csum AS (SELECT p.domain, CAST(count(*) AS BIGINT) AS n, {tsums}
+         FROM esum es JOIN prim p USING (doc_id) GROUP BY p.domain),
+dsoft AS (SELECT es.*, a.domain, a.rn FROM esum es JOIN asg a USING (doc_id)),
+cent AS (SELECT ds.doc_id, ds.domain, ds.rn, [{carr}] AS embedding
+         FROM dsoft ds JOIN csum USING (domain)),
+ue0 AS (SELECT doc_id AS vec_id, [{rarr}] AS embedding FROM esum),
+ue AS (SELECT vec_id, embedding, {_COS_NORM} AS nrm FROM ue0),
+{lsh},
+existing AS (SELECT DISTINCT vec_id AS evec, domain, band, key, rn AS ern
+             FROM bands WHERE vec_id < {b}),
+newb AS (SELECT DISTINCT vec_id, domain, band, key, rn
+         FROM bands WHERE vec_id >= {b}),
+pairs AS (SELECT DISTINCT n.vec_id, x.evec
+          FROM newb n JOIN existing x USING (domain, band, key)
+          WHERE n.rn = 1 OR x.ern = 1),
+sc AS (
+  SELECT p.vec_id, {_cos_e6('a', 'b')} AS s
+  FROM pairs p JOIN ue a ON a.vec_id = p.vec_id JOIN ue b ON b.vec_id = p.evec),
+dup AS (SELECT DISTINCT vec_id FROM sc WHERE s >= {TEXT_NEAR_DUP_THRESHOLD_E6}),
+alln AS (SELECT doc_id FROM documents WHERE doc_id >= {b})
+SELECT doc_id,
+       CASE WHEN doc_id IN (SELECT vec_id FROM dup)
+            THEN 'near_dup' ELSE 'new' END AS verdict
+FROM alln ORDER BY doc_id
 """
 
 
@@ -2820,6 +2903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity_buckets": _wrap(curation.ccnet_perplexity_buckets),
         "token_budget_plan": _wrap(curation.token_budget_plan),
         "script_mix_report": _q_script_mix,
+        "incremental_text_clustered_dedup": _wrap(
+            embedding.incremental_text_clustered_dedup
+        ),
         # --- NEW round 6: zero driver signal
         "verified_near_dedup": _wrap(dedup.verified_near_dedup),
         "incremental_verified_dedup": _wrap(dedup.incremental_verified_dedup),
@@ -3741,6 +3827,7 @@ FROM t ORDER BY doc_id
         "ccnet_perplexity_buckets": _ccnet_buckets_sql(),
         "token_budget_plan": _token_budget_plan_sql(),
         "script_mix_report": _script_mix_sql(),
+        "incremental_text_clustered_dedup": _incremental_text_clustered_sql(),
         "semantic_dedup_text_by_domain": _semantic_text_by_domain_sql(),
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
         "winnowing_overlap": _winnowing_sql(),

@@ -1314,6 +1314,380 @@ DEDUP_CLUSTERS = 8
 DEDUP_SOFT_ASSIGN = 2
 
 
+def _scaled_text_emb(sums: DataFrame) -> DataFrame:
+    """(vec_id, embedding) scaled by 2⁻³⁰ — the k-means input frame of
+    the clustered family (exact, cosine-neutral; keeps the trainer's
+    per-row e6 quantization inside ANSI long sums)."""
+    return _sums_to_array(sums).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x / F.lit(_IVF_SCALE)).alias(
+            "embedding"
+        ),
+    )
+
+
+def _clustered_soft_assign(
+    sums: DataFrame, cents: DataFrame, soft_assign: int
+) -> DataFrame:
+    """(doc_id, domain, rn) soft top-n membership under a (possibly
+    frozen) centroid frame — domains are the STRING form of the
+    centroid id so the persisted-family artifacts reuse the domain
+    index's recorded-center machinery unchanged."""
+    from .similarity import _assign_topn
+
+    return _assign_topn(_scaled_text_emb(sums), cents, n=soft_assign).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("centroid_id").cast("string").alias("domain"),
+        "rn",
+    )
+
+
+def require_clustered_centroids(props: dict, table: str) -> dict:
+    """Fail fast when a table lacks the frozen k-means quantizer — it
+    was not written by ``persist_text_clustered_index`` (labeled-domain
+    and global text indexes fail here: their hash families center
+    differently)."""
+    if "clustered.centroids" not in props:
+        raise ValueError(
+            f"index table {table} records no frozen k-means centroids — "
+            "it was not written by persist_text_clustered_index; rebuild "
+            "it (or probe through the domain/global paths) before "
+            "probing clustered batches."
+        )
+    return props
+
+
+def _clustered_cents_frame(spark: SparkSession, props: dict) -> DataFrame:
+    """Rebuild the frozen centroid frame from recorded properties
+    (repr-serialized doubles round-trip exactly — the IVF convention)."""
+    import json
+
+    data = json.loads(props["clustered.centroids"])
+    return spark.createDataFrame(
+        [
+            (int(cid), [float(x) for x in vec])
+            for cid, vec in sorted(data.items(), key=lambda kv: int(kv[0]))
+        ],
+        "centroid_id long, c_emb array<double>",
+    )
+
+
+def persist_text_clustered_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    name: str,
+    path: str,
+    n_clusters: int = DEDUP_CLUSTERS,
+    soft_assign: int = DEDUP_SOFT_ASSIGN,
+    n_storage_buckets: int = 32,
+    n_planes: int | None = None,
+    bands: int | None = None,
+) -> str:
+    """Persist the UNLABELED clustered-centering LSH index — the
+    SEVENTH index family (exact fp / MinHash / global text / domain
+    text / bloom / winnowing / clustered text): rows are
+    (vec_id, domain, rn, band, key) bucketed by (domain, band, key)
+    where ``domain`` is the document's k-means cluster (soft top-n
+    membership, ``rn`` recorded so probes can apply the
+    primary-anchored pair rule). THREE frozen artifacts ride in the
+    table properties and make every probe/append reproduce the build
+    exactly: the k-means centroids (repr round-trip, the IVF
+    convention), the per-cluster centering statistics (the domain
+    index's JSON convention), and the auto-sized hash family. The
+    quantizer never re-trains on append — re-training would re-center
+    and re-bucket the corpus."""
+    import json
+
+    from ..sources.catalog import (
+        INDEX_ROWGROUP_BYTES,
+        set_table_properties,
+        write_bucketed_table,
+    )
+    from .similarity import _ivf_cents_frame_from_rows, kmeans_centroids
+
+    sums = embed_sums(docs).localCheckpoint(eager=True)
+    cents_rows = kmeans_centroids(
+        _scaled_text_emb(sums), n_centroids=n_clusters
+    ).collect()  # K rows — control plane
+    cents = _ivf_cents_frame_from_rows(spark, cents_rows)
+    asg = _clustered_soft_assign(sums, cents, soft_assign).localCheckpoint(
+        eager=True
+    )
+    primary = asg.filter(F.col("rn") == 1).select("doc_id", "domain")
+    totals_rows = domain_totals(sums.join(primary, "doc_id")).collect()
+    n_max = max((int(r["n"]) for r in totals_rows), default=0)
+    n_planes, bands = _resolve_persist_family(n_planes, bands, n_max)
+    centers_json = json.dumps(
+        {
+            r["domain"]: [int(r["n"])]
+            + [str(int(r[f"t{d}"])) for d in range(EMBED_DIM)]
+            for r in totals_rows
+        },
+        sort_keys=True,
+    )
+    totals = _domain_center_frame(spark, {"text.domain_centers": centers_json})
+    buckets = domain_centered_band_buckets(
+        sums.join(asg, "doc_id"),
+        totals_dom=totals,
+        planes_list=_text_planes(n_planes),
+        bands=bands,
+        carry=("rn",),
+    )
+    write_bucketed_table(
+        buckets,
+        name,
+        path,
+        ["domain", "band", "key"],
+        n_storage_buckets,
+        sort_cols=["domain", "band", "key"],
+        rowgroup_bytes=INDEX_ROWGROUP_BYTES,
+    )
+    max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    set_table_properties(
+        spark,
+        name,
+        {
+            "cosine.n_planes": n_planes,
+            "cosine.bands": bands,
+            "cosine.seed": TEXT_LSH_SEED,
+            "cosine.max_vec_id": -1 if max_id is None else int(max_id),
+            "cosine.path": path,
+            "cosine.n_storage_buckets": int(n_storage_buckets),
+            "cosine.bucket_cols": "domain,band,key",
+            "cosine.sort_cols": "domain,band,key",
+            "text.domain_centers": centers_json,
+            "clustered.centroids": json.dumps(
+                {
+                    str(int(r["centroid_id"])): [
+                        repr(float(x)) for x in r["c_emb"]
+                    ]
+                    for r in cents_rows
+                },
+                sort_keys=True,
+            ),
+            "clustered.n_clusters": int(n_clusters),
+            "clustered.soft_assign": int(soft_assign),
+        },
+    )
+    return name
+
+
+def append_to_text_clustered_index(
+    spark: SparkSession, docs_batch: DataFrame, index_table: str
+) -> dict:
+    """Fold a document batch into a persisted clustered index: assign
+    under the FROZEN quantizer, center on the FROZEN per-cluster means,
+    band with the FROZEN family, delegate to the idempotent bucketed
+    append. A batch document whose argmax cluster has no recorded
+    center FAILS FAST (same contract as the labeled domain append —
+    silently unbanded rows would be unindexed forever); with frozen
+    centroids every cluster id is known, so this only fires for a
+    cluster that had ZERO primary members at build time."""
+    import json
+
+    from ..sources.catalog import append_to_bucketed_index, check_index_params
+
+    props = check_index_params(
+        spark, index_table, {"cosine.seed": TEXT_LSH_SEED}, kind="cosine"
+    )
+    planes_list, bands = _index_family(props)
+    require_clustered_centroids(props, index_table)
+    require_domain_centers(props, index_table)
+    stat = docs_batch.agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.sum(F.xxhash64("doc_id", "text").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    if stat["n"] == 0:
+        return {"status": "noop", "batch_fp": "empty", "table": index_table}
+    sums = embed_sums(docs_batch)
+    asg = _clustered_soft_assign(
+        sums,
+        _clustered_cents_frame(spark, props),
+        int(props.get("clustered.soft_assign", DEDUP_SOFT_ASSIGN)),
+    )
+    known = set(json.loads(props["text.domain_centers"]))
+    batch_domains = {
+        r["domain"]
+        for r in asg.filter(F.col("rn") == 1).select("domain").distinct().collect()
+    }
+    unseen = sorted(batch_domains - known)
+    if unseen:
+        raise ValueError(
+            f"append to {index_table}: batch documents land in clusters "
+            f"with no recorded center {unseen} (zero primary members at "
+            "build time) — rebuild the index so those clusters carry a "
+            "centering statistic."
+        )
+    buckets = domain_centered_band_buckets(
+        sums.join(asg, "doc_id"),
+        totals_dom=_domain_center_frame(spark, props),
+        planes_list=planes_list,
+        bands=bands,
+        carry=("rn",),
+    )
+    return append_to_bucketed_index(
+        spark,
+        buckets,
+        index_table,
+        "cosine",
+        batch_fp=f"{stat['n']}:{stat['h']}",
+        batch_min_id=int(stat["lo"]),
+        batch_max_id=int(stat["hi"]),
+        watermark_key="cosine.max_vec_id",
+    )
+
+
+def incremental_text_clustered_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    boundary: int | None = None,
+    threshold_e6: int = TEXT_NEAR_DUP_THRESHOLD_E6,
+    index_table: str | None = None,
+    n_clusters: int = DEDUP_CLUSTERS,
+    soft_assign: int = DEDUP_SOFT_ASSIGN,
+) -> DataFrame:
+    """Ingest-time semantic dedup with UNLABELED clustered centering —
+    the incremental member of the clustered family: the quantizer and
+    per-cluster centers are FROZEN at the pre-boundary corpus (k-means
+    trained on existing documents only — a batch must never move the
+    centers it is judged against), each NEW document (doc_id ≥
+    ``boundary``) is soft-assigned and banded under the frozen state,
+    collisions against the existing corpus pair under the
+    primary-anchored rule, and the exact raw cosine verifies. Documents
+    whose clusters had no pre-boundary primary members produce no bands
+    and report ``new`` (the inner centers join — both engines). With
+    ``index_table`` (written by ``persist_text_clustered_index``) only
+    the batch is embedded and the pruned shuffle-free probe reads only
+    touched buckets; byte-identical to the split path when the index
+    holds exactly the pre-boundary corpus (asserted in tests)."""
+    from .dedup import INGEST_BOUNDARY
+
+    boundary = INGEST_BOUNDARY if boundary is None else boundary
+    docs = _docs(spark, sf_dir)
+    if index_table is not None:
+        from ..sources.catalog import check_index_params, prune_index_scan
+
+        props = check_index_params(
+            spark, index_table, {"cosine.seed": TEXT_LSH_SEED}, kind="cosine"
+        )
+        planes_list, bands = _index_family(props)
+        require_clustered_centroids(props, index_table)
+        require_domain_centers(props, index_table)
+        totals = _domain_center_frame(spark, props)
+        new_docs = docs.filter(F.col("doc_id") >= boundary)
+        new_sums = embed_sums(new_docs)
+        asg_new = _clustered_soft_assign(
+            new_sums,
+            _clustered_cents_frame(spark, props),
+            int(props.get("clustered.soft_assign", soft_assign)),
+        )
+        # lazy: the prune-key collect is the materializing job
+        new = domain_centered_band_buckets(
+            new_sums.join(asg_new, "doc_id"),
+            totals_dom=totals,
+            planes_list=planes_list,
+            bands=bands,
+            carry=("rn",),
+        ).localCheckpoint(eager=False)
+        existing = prune_index_scan(spark.table(index_table), new).filter(
+            F.col("vec_id") < boundary
+        )
+        sums_all = None
+    else:
+        from .similarity import _ivf_cents_frame_from_rows, kmeans_centroids
+
+        import json as _json
+
+        sums = embed_sums(docs).localCheckpoint(eager=True)
+        pre_sums = sums.filter(F.col("doc_id") < boundary)
+        cents_rows = kmeans_centroids(
+            _scaled_text_emb(pre_sums), n_centroids=n_clusters
+        ).collect()
+        cents = _ivf_cents_frame_from_rows(spark, cents_rows)
+        asg = _clustered_soft_assign(sums, cents, soft_assign).localCheckpoint(
+            eager=True
+        )
+        primary_pre = asg.filter(
+            (F.col("rn") == 1) & (F.col("doc_id") < boundary)
+        ).select("doc_id", "domain")
+        totals_rows = domain_totals(pre_sums.join(primary_pre, "doc_id")).collect()
+        n_max = max((int(r["n"]) for r in totals_rows), default=0)
+        totals = _domain_center_frame(
+            spark,
+            {
+                "text.domain_centers": _json.dumps(
+                    {
+                        r["domain"]: [int(r["n"])]
+                        + [str(int(r[f"t{d}"])) for d in range(EMBED_DIM)]
+                        for r in totals_rows
+                    },
+                    sort_keys=True,
+                )
+            },
+        )
+        planes_list, bands = _resolve_text_family(None, None, n_max)
+        buckets = domain_centered_band_buckets(
+            sums.join(asg, "doc_id"),
+            totals_dom=totals,
+            planes_list=planes_list,
+            bands=bands,
+            carry=("rn",),
+        )
+        existing = buckets.filter(F.col("vec_id") < boundary)
+        new = buckets.filter(F.col("vec_id") >= boundary)
+        new_sums = sums
+        sums_all = sums
+    pairs = (
+        new.alias("n")
+        .join(
+            existing.select(
+                F.col("vec_id").alias("evec"),
+                "domain",
+                "band",
+                "key",
+                F.col("rn").alias("ern"),
+            ),
+            ["domain", "band", "key"],
+        )
+        # primary-anchored: at least one side in its argmax cluster
+        .filter((F.col("n.rn") == 1) | (F.col("ern") == 1))
+        .select("vec_id", "evec")
+        .distinct()
+    )
+    if sums_all is None:
+        cand_ids = pairs.select(F.col("evec").alias("doc_id")).distinct()
+        na_sums = new_sums
+        ne_sums = embed_sums(docs.join(cand_ids, "doc_id", "left_semi"))
+    else:
+        na_sums = ne_sums = sums_all
+    na = _sums_with_norm(na_sums).alias("na")
+    ne = _sums_with_norm(ne_sums).alias("ne")
+    scored = (
+        pairs.join(na, F.col("vec_id") == F.col("na.doc_id"))
+        .join(ne, F.col("evec") == F.col("ne.doc_id"))
+        .select("vec_id", _sums_cosine_e6("na", "ne").alias("score_e6"))
+    )
+    dups = (
+        scored.filter(F.col("score_e6") >= threshold_e6)
+        .select("vec_id")
+        .distinct()
+        .select("vec_id", F.lit("near_dup").alias("verdict"))
+    )
+    all_new = docs.filter(F.col("doc_id") >= boundary).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    fresh = all_new.join(dups.select("vec_id"), "vec_id", "left_anti").select(
+        "vec_id", F.lit("new").alias("verdict")
+    )
+    return (
+        dups.unionByName(fresh)
+        .select(F.col("vec_id").alias("doc_id"), "verdict")
+        .orderBy("doc_id")
+    )
+
+
 def semantic_dedup_text_clustered(
     spark: SparkSession,
     sf_dir: str,
@@ -1440,6 +1814,93 @@ def text_semantic_verdicts_for_batch(
             (F.col("band") == F.col("eband"))
             & (F.col("key") == F.col("ekey"))
             & (F.col("evec") < F.col("vec_id")),
+        )
+        .select("vec_id", "evec")
+        .distinct()
+    )
+    cand_ids = pairs.select(F.col("evec").alias("doc_id")).distinct()
+    na = _sums_with_norm(new_sums).alias("na")
+    ne = _sums_with_norm(
+        embed_sums(corpus_docs.join(cand_ids, "doc_id", "left_semi"))
+    ).alias("ne")
+    scored = (
+        pairs.join(na, F.col("vec_id") == F.col("na.doc_id"))
+        .join(ne, F.col("evec") == F.col("ne.doc_id"))
+        .select("vec_id", _sums_cosine_e6("na", "ne").alias("score_e6"))
+    )
+    dups = (
+        scored.filter(F.col("score_e6") >= threshold_e6)
+        .select("vec_id")
+        .distinct()
+        .select("vec_id", F.lit("near_dup").alias("verdict"))
+    )
+    fresh = (
+        batch_docs.select(F.col("doc_id").alias("vec_id"))
+        .join(dups.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", F.lit("new").alias("verdict"))
+    )
+    return (
+        dups.unionByName(fresh)
+        .select(F.col("vec_id").alias("doc_id"), "verdict")
+        .orderBy("doc_id")
+    )
+
+
+def text_clustered_verdicts_for_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    index_table: str,
+    corpus_docs: DataFrame,
+    threshold_e6: int = TEXT_NEAR_DUP_THRESHOLD_E6,
+) -> DataFrame:
+    """(doc_id, verdict) for ONE ingest batch probed against a persisted
+    CLUSTERED index — the micro-batch kernel behind
+    ``streaming.dedup.streaming_clustered_verdicts``, completing the
+    clustered family's batch/incremental/index/streaming verdict tier.
+    Same stages as ``incremental_text_clustered_dedup(index_table=…)``:
+    soft-assign the batch under the FROZEN quantizer, center on the
+    FROZEN per-cluster means, band with the FROZEN family, pruned probe,
+    primary-anchored pairing, pure-JVM exact-cosine verify against the
+    corpus docs' recomputed sums (candidate ids only). The existing side
+    uses the STRICTLY-EARLIER guard (``index vec_id < doc_id``), which
+    equals the boundary split whenever the index holds exactly the
+    pre-batch corpus and the batch's ids are past its watermark."""
+    from ..sources.catalog import check_index_params, prune_index_scan
+
+    props = check_index_params(
+        spark, index_table, {"cosine.seed": TEXT_LSH_SEED}, kind="cosine"
+    )
+    planes_list, bands = _index_family(props)
+    require_clustered_centroids(props, index_table)
+    require_domain_centers(props, index_table)
+    totals = _domain_center_frame(spark, props)
+    new_sums = embed_sums(batch_docs)
+    asg = _clustered_soft_assign(
+        new_sums,
+        _clustered_cents_frame(spark, props),
+        int(props.get("clustered.soft_assign", DEDUP_SOFT_ASSIGN)),
+    )
+    # lazy: the prune-key collect is the materializing job
+    new = domain_centered_band_buckets(
+        new_sums.join(asg, "doc_id"),
+        totals_dom=totals,
+        planes_list=planes_list,
+        bands=bands,
+        carry=("rn",),
+    ).localCheckpoint(eager=False)
+    existing = prune_index_scan(spark.table(index_table), new).select(
+        F.col("vec_id").alias("evec"),
+        "domain",
+        "band",
+        "key",
+        F.col("rn").alias("ern"),
+    )
+    pairs = (
+        new.alias("n")
+        .join(existing, ["domain", "band", "key"])
+        .filter(
+            (F.col("evec") < F.col("vec_id"))
+            & ((F.col("n.rn") == 1) | (F.col("ern") == 1))
         )
         .select("vec_id", "evec")
         .distinct()

@@ -319,6 +319,50 @@ def streaming_minhash_verdicts(
     return docs_stream.writeStream.foreachBatch(handle)
 
 
+def streaming_clustered_verdicts(
+    spark,
+    docs_stream: DataFrame,
+    index_table: str,
+    corpus_docs: DataFrame,
+    out_path: str,
+    threshold_e6: int | None = None,
+):
+    """Streaming UNLABELED-clustered dedup-on-ingest, FULL verdict tier
+    — the clustered family's streaming member (batch corpus pass /
+    incremental / persisted index / now in-stream): each micro-batch
+    runs soft assignment under the index's FROZEN quantizer, frozen
+    per-cluster centering, pruned probe, primary-anchored pairing and
+    the exact pure-JVM cosine verify via ``foreachBatch`` over the SAME
+    kernel the incremental probe uses
+    (``embedding.text_clustered_verdicts_for_batch``). The persisted
+    index is the only state; batch_id-partition overwrite keeps
+    at-least-once replay idempotent (same discipline as
+    ``streaming_semantic_verdicts``, same index-advance caveat as
+    ``streaming_minhash_verdicts``).
+
+    Returns a ``DataStreamWriter`` — caller picks trigger and
+    ``.start()``s it."""
+    from ..operators.embedding import (
+        TEXT_NEAR_DUP_THRESHOLD_E6,
+        text_clustered_verdicts_for_batch,
+    )
+
+    thr = TEXT_NEAR_DUP_THRESHOLD_E6 if threshold_e6 is None else threshold_e6
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", "text")
+        if batch.isEmpty():
+            return
+        verdicts = text_clustered_verdicts_for_batch(
+            spark, batch, index_table, corpus_docs, threshold_e6=thr
+        )
+        verdicts.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={int(batch_id)}"
+        )
+
+    return docs_stream.writeStream.foreachBatch(handle)
+
+
 def streaming_bloom_verdicts(spark, docs_stream: DataFrame, index_table: str) -> DataFrame:
     """Streaming membership dedup against a PERSISTED Bloom filter
     (``operators/dedup.py::persist_bloom_filter``) — the fully

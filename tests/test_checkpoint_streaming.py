@@ -1183,6 +1183,107 @@ def test_streaming_semantic_verdicts_equal_batch_incremental(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_sv_idx")
 
 
+def test_streaming_clustered_verdicts_equal_batch_incremental(spark, tmp_path):
+    """The clustered family's streaming member: a micro-batch flowing
+    through streaming_clustered_verdicts (foreachBatch over the frozen-
+    quantizer soft-assign → frozen-center band → prune-probe →
+    anchored-pair → JVM-verify kernel) must produce verdicts equal to
+    the batch incremental_text_clustered_dedup(index_table=…) at the
+    same boundary; replay with a fresh checkpoint stays idempotent."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
+        embedding as emb,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_spark.streaming.dedup import (
+        streaming_clustered_verdicts,
+    )
+
+    def text(i, tag):
+        return " ".join(f"{tag}{i}w{j}" for j in range(15))
+
+    existing_rows = [(i, text(i, "base"), "s") for i in range(50)]
+    batch_rows = (
+        [(100 + i, text(i, "base") + " x", "s") for i in range(5)]  # near-dups
+        + [(200 + i, text(i, "fresh"), "s") for i in range(5)]       # novel
+        + [(300, "", "s"), (301, "   ", "s")]                        # token-less
+    )
+    existing = spark.createDataFrame(
+        existing_rows, "doc_id long, text string, source string"
+    )
+    try:
+        emb.persist_text_clustered_index(
+            spark, existing, "t_cv_idx", str(tmp_path / "cvidx"),
+            n_storage_buckets=4,
+        )
+        spark.createDataFrame(
+            existing_rows + batch_rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        want = (
+            emb.incremental_text_clustered_dedup(
+                spark, str(tmp_path), boundary=100, index_table="t_cv_idx"
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert set(want[want["verdict"] == "near_dup"]["doc_id"]) == {
+            100, 101, 102, 103, 104
+        }
+
+        src = str(tmp_path / "in")
+        spark.createDataFrame(
+            [(d, t, "2024-01-01 00:00:00") for d, t, _ in batch_rows],
+            "doc_id long, text string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(src)
+        out_dir = str(tmp_path / "verdicts")
+        q = (
+            streaming_clustered_verdicts(
+                spark, stream, "t_cv_idx",
+                existing.select("doc_id", "text"), out_dir,
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.read.parquet(out_dir)
+            .select("doc_id", "verdict")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+        # replay idempotence (fresh checkpoint, same batch 0)
+        q2 = (
+            streaming_clustered_verdicts(
+                spark, stream, "t_cv_idx",
+                existing.select("doc_id", "text"), out_dir,
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_replay"))
+            .start()
+        )
+        q2.awaitTermination(120)
+        got2 = (
+            spark.read.parquet(out_dir)
+            .select("doc_id", "verdict")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got2, want)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cv_idx")
+
+
 def test_multimodal_compression_envelopes_roundtrip(spark):
     """Stdlib compression envelopes are decoded for REAL: a
     gzip/bz2/xz-wrapped WAV (and gzip-wrapped Y4M) produces features

@@ -685,6 +685,94 @@ def test_text_domain_index_full_cycle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_glob_for_dom")
 
 
+def test_text_clustered_index_full_cycle(spark, tmp_path):
+    """The SEVENTH index family (unlabeled clustered centers): persist →
+    indexed probe byte-identical to the boundary-split path (frozen
+    repr-round-trip centroids + frozen per-cluster centers + frozen
+    family) → append flips later near-copies to near_dup → double-append
+    no-op → cross-family guards both ways (a global text index carries
+    no quantizer; a clustered index carries no global center)."""
+    import pandas as pd
+    import pytest
+
+    def text(i, tag):
+        return " ".join(f"{tag}{i}w{j}" for j in range(15))
+
+    existing = (
+        [(i, text(i, "alpha"), "srcA") for i in range(40)]
+        + [(100 + i, text(i, "beta"), "srcB") for i in range(40)]
+    )
+    batch1 = [(250 + i, text(i, "nova"), "srcA") for i in range(6)]
+    batch2 = [(400 + i, text(i, "nova") + " x", "srcA") for i in range(6)]
+    docs = spark.createDataFrame(
+        existing + batch1 + batch2, "doc_id long, text string, source string"
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+    try:
+        embedding.persist_text_clustered_index(
+            spark,
+            docs.filter(F.col("doc_id") < 250),
+            "t_clu_idx",
+            str(tmp_path / "cidx"),
+            n_storage_buckets=4,
+        )
+        got = (
+            embedding.incremental_text_clustered_dedup(
+                spark, sf, boundary=250, index_table="t_clu_idx"
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            embedding.incremental_text_clustered_dedup(spark, sf, boundary=250)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        b1 = got[got["doc_id"] < 400]
+        assert (b1["verdict"] == "new").all() and len(b1) == 6
+
+        # cross-family guards
+        with pytest.raises(ValueError, match="no text centering"):
+            embedding.incremental_text_semantic_dedup(
+                spark, sf, boundary=250, index_table="t_clu_idx"
+            )
+        embedding.persist_text_cosine_index(
+            spark,
+            docs.filter(F.col("doc_id") < 250),
+            "t_glob_for_clu",
+            str(tmp_path / "gidx"),
+            n_storage_buckets=4,
+        )
+        with pytest.raises(ValueError, match="no frozen k-means"):
+            embedding.incremental_text_clustered_dedup(
+                spark, sf, boundary=250, index_table="t_glob_for_clu"
+            )
+
+        # append batch1, probe batch2 (near-copies of batch1)
+        batch1_docs = docs.filter(
+            (F.col("doc_id") >= 250) & (F.col("doc_id") < 400)
+        )
+        r = embedding.append_to_text_clustered_index(
+            spark, batch1_docs, "t_clu_idx"
+        )
+        assert r["status"] == "appended"
+        r2 = embedding.append_to_text_clustered_index(
+            spark, batch1_docs, "t_clu_idx"
+        )
+        assert r2["status"] == "noop"
+        p2 = embedding.incremental_text_clustered_dedup(
+            spark, sf, boundary=400, index_table="t_clu_idx"
+        ).toPandas()
+        assert (p2["verdict"] == "near_dup").all() and len(p2) == 6
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_clu_idx")
+        spark.sql("DROP TABLE IF EXISTS t_glob_for_clu")
+
+
 def test_knn_text_heap_matches_window_and_retrieves_planted_dup(spark, tmp_path):
     """Text-side similarity search: heap and window forms byte-identical
     (same contract as the fixture knn), and a planted near-copy of a
