@@ -2589,6 +2589,100 @@ FROM base b JOIN thr USING (lang) ORDER BY b.doc_id
 """
 
 
+def _lang_pred_ctes() -> str:
+    """Per-document stopword-argmax language prediction —
+    ``p(doc_id, lang, lang_pred)`` — shared by the lang_id histogram
+    twin and the mismatch-report twin (one copy of the stopword
+    profiles in SQL, matching functions.textstats.STOPWORDS)."""
+    return """c AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS en,
+         len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS de,
+         len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|los)\\b')) AS es,
+         len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|une)\\b')) AS fr
+  FROM documents),
+p AS (
+  SELECT doc_id, lang,
+         CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+              WHEN en = greatest(en, de, es, fr) THEN 'en'
+              WHEN de = greatest(en, de, es, fr) THEN 'de'
+              WHEN es = greatest(en, de, es, fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM c)"""
+
+
+def _lang_mismatch_sql() -> str:
+    """SQL twin of curation.lang_mismatch_report: the shared per-doc
+    prediction CTE compared against the labeled lang column."""
+    return f"""
+WITH {_lang_pred_ctes()}
+SELECT doc_id, lang, lang_pred, (lang = lang_pred) AS agrees
+FROM p ORDER BY doc_id
+"""
+
+
+def _gram_novelty_sql() -> str:
+    """SQL twin of curation.gram_novelty: distinct (doc, gram) pairs,
+    gram document frequency by row count, per-doc unique fraction on
+    the e4 grid; gram-less docs report 10⁴."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        NOVELTY_NGRAM,
+    )
+
+    n = NOVELTY_NGRAM
+    return f"""
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+dg AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, greatest(len(w) - {n - 1}, 0)),
+                                    i -> array_to_string(w[i:i+{n - 1}], ' '))) AS g
+       FROM t WHERE len(w) >= {n}),
+dfc AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM dg GROUP BY g),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        FROM dg JOIN dfc USING (g) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(per.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 10000
+                 ELSE (per.n_unique * 10000) // per.n_grams END AS BIGINT)
+         AS novelty_e4
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _collocations_pmi_sql() -> str:
+    """SQL twin of curation.collocations_pmi: same bigram/unigram
+    counts, same two-floor integer PMI (the second multiply HUGEINT —
+    the DECIMAL(38) analog), same (score desc, w1, w2) top-k."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+    )
+
+    return f"""
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+bgp AS (SELECT unnest(list_transform(list_zip(w[1:len(w) - 1], w[2:len(w)]),
+                                     p -> struct_pack(w1 := p[1], w2 := p[2]))) AS p
+        FROM t WHERE len(w) >= 2),
+b AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bgp),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY w1, w2),
+uni AS (SELECT unnest(w) AS wu FROM t),
+c1 AS (SELECT wu, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY wu),
+ttt AS (SELECT CAST(sum(c1) AS BIGINT) AS tt FROM c1),
+sc AS (SELECT w1, w2, c2,
+              CAST((CAST((c2 * 1000000) // a.c1 AS HUGEINT) * tt) // b2.c1
+                   AS BIGINT) AS pmi_e6
+       FROM c2 JOIN c1 a ON a.wu = c2.w1 JOIN c1 b2 ON b2.wu = c2.w2
+       CROSS JOIN ttt
+       WHERE c2 >= {PMI_MIN_COUNT})
+SELECT w1, w2, c2, pmi_e6 FROM sc
+ORDER BY pmi_e6 DESC, w1 ASC, w2 ASC LIMIT {PMI_TOP_K}
+"""
+
+
 def _token_budget_plan_sql() -> str:
     """SQL twin of curation.token_budget_plan: per-source token counts
     against the shared VALUES share table, then the pure-integer epoch
@@ -2906,6 +3000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_text_clustered_dedup": _wrap(
             embedding.incremental_text_clustered_dedup
         ),
+        "lang_mismatch_report": _wrap(curation.lang_mismatch_report),
+        "gram_novelty": _wrap(curation.gram_novelty),
+        "collocations_pmi": _wrap(curation.collocations_pmi),
         # --- NEW round 6: zero driver signal
         "verified_near_dedup": _wrap(dedup.verified_near_dedup),
         "incremental_verified_dedup": _wrap(dedup.incremental_verified_dedup),
@@ -3669,20 +3766,8 @@ WITH chars AS (
 SELECT a.doc_id, a.avg_word_len_e2, e.entropy_e4
 FROM awl a JOIN ent e ON a.doc_id = e.doc_id ORDER BY a.doc_id
 """,
-        "lang_id_histogram": """
-WITH c AS (
-  SELECT len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS en,
-         len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS de,
-         len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|los)\\b')) AS es,
-         len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|une)\\b')) AS fr
-  FROM documents),
-p AS (
-  SELECT CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
-              WHEN en = greatest(en, de, es, fr) THEN 'en'
-              WHEN de = greatest(en, de, es, fr) THEN 'de'
-              WHEN es = greatest(en, de, es, fr) THEN 'es'
-              ELSE 'fr' END AS lang_pred
-  FROM c)
+        "lang_id_histogram": f"""
+WITH {_lang_pred_ctes()}
 SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY lang_pred ORDER BY lang_pred
 """,
         "lang_id_trigram": """
@@ -3828,6 +3913,9 @@ FROM t ORDER BY doc_id
         "token_budget_plan": _token_budget_plan_sql(),
         "script_mix_report": _script_mix_sql(),
         "incremental_text_clustered_dedup": _incremental_text_clustered_sql(),
+        "lang_mismatch_report": _lang_mismatch_sql(),
+        "gram_novelty": _gram_novelty_sql(),
+        "collocations_pmi": _collocations_pmi_sql(),
         "semantic_dedup_text_by_domain": _semantic_text_by_domain_sql(),
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
         "winnowing_overlap": _winnowing_sql(),

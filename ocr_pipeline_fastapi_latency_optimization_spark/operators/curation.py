@@ -1926,3 +1926,162 @@ def script_mix_report(
     for name in _SCRIPT_ORDER:
         dom = dom.when(F.col(f"n_{name}") == mx, F.lit(name))
     return counted.withColumn("dominant", dom).orderBy("doc_id")
+
+
+# --- label-vs-detector language consistency -------------------------------
+
+
+def lang_mismatch_report(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Metadata-hygiene triage: compare each document's LABELED language
+    (the ``lang`` column — upstream crawl metadata) against the content
+    detector (``textstats.lang_id``, the stopword-argmax heuristic) and
+    flag disagreements. Routine in multilingual pipelines: a shard
+    labeled ``en`` whose content detects ``de`` is mislabeled, machine
+    mixed, or junk — and labels steer mixture/tokenizer decisions, so
+    silent drift is expensive. Detector limits apply honestly:
+    languages outside its stopword profiles (e.g. ``zh``) can never
+    agree and surface as a visible review class rather than a silent
+    pass. One narrow JVM expression per row — zero shuffles."""
+    from ..functions.textstats import lang_id
+
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    pred = lang_id(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        (F.col("lang") == pred).alias("agrees"),
+    ).orderBy("doc_id")
+
+
+# --- per-document n-gram novelty ------------------------------------------
+
+NOVELTY_NGRAM = 8
+
+
+def gram_novelty(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = NOVELTY_NGRAM,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document duplication-mass signal: among a document's DISTINCT
+    word ``n``-grams, the fraction found in NO other document —
+    RefinedWeb-style duplication accounting at the document level (a
+    near-copy scores ~0, boilerplate-heavy docs score low, genuinely
+    novel text scores ~10⁴). Integer-exact: ``novelty_e4 =
+    (n_unique·10⁴) div n_grams``; documents shorter than ``n`` words
+    have no grams and report 10⁴ (nothing shared — vacuously novel,
+    documented). Scale shape: one explode to (doc, gram) distinct
+    pairs, one gram-keyed count aggregate (doc frequency = row count,
+    pairs are distinct), one join back on the gram key, one per-doc
+    aggregate — the decontaminate/winnowing shuffle discipline; no
+    stage is all-pairs."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    df_counts = dg.groupBy("g").agg(F.count("*").alias("df"))
+    per_doc = (
+        dg.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_unique", F.lit(0).cast("long")).alias("n_unique"),
+            F.expr(
+                "CASE WHEN coalesce(n_grams, 0) = 0 THEN 10000 "
+                "ELSE (coalesce(n_unique, 0) * 10000) div n_grams END"
+            ).cast("long").alias("novelty_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- collocation extraction (PMI) ------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def collocations_pmi(
+    spark: SparkSession,
+    sf_dir: str,
+    min_count: int = PMI_MIN_COUNT,
+    k: int = PMI_TOP_K,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k collocations by integer PMI: adjacent token pairs scored by
+    ``pmi_e6 = ((c2·10⁶) div c1a) · T div c1b`` (c2 = pair count, c1 =
+    unigram counts, T = total tokens — the pointwise-mutual-information
+    ratio with two explicit integer floors, identical in both engines;
+    the true log is monotone in this ratio, so the RANKING is the
+    textbook one). The tokenizer/vocab-work statistic: high-PMI pairs
+    are merge/phrase candidates. ``min_count`` (≥1 enforced) kills the
+    singleton-pair noise PMI is notorious for; output is the bounded
+    top-k under (score desc, w1, w2) — a TakeOrdered limit, never a
+    corpus sort. The second multiply is DECIMAL(38) (T reaches 10¹³ at
+    corpus scale); the e6 result is BIGINT-safe for any min_count ≥ 2
+    below ~10¹⁴ tokens (docstring bound, enforced nowhere — the e6
+    grid would be rescaled for a corpus beyond it)."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    pairs = F.when(
+        F.size(toks) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        )
+    )
+    bg = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    tt = uni.agg(F.sum("c1").alias("tt"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    scored = (
+        c2.filter(F.col("c2") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            F.expr(
+                "CAST((CAST((c2 * 1000000) div c1a AS DECIMAL(38,0)) * tt) "
+                "div c1b AS BIGINT)"
+            ).alias("pmi_e6"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_e6").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)

@@ -1164,3 +1164,102 @@ def test_script_mix_report_planted_scripts(spark, tmp_path):
     assert out.loc[4, "dominant"] == "digit"
     assert out.loc[5, "dominant"] == "none"
     assert out.loc[6, "dominant"] == "latin"
+
+
+def test_lang_mismatch_report_classes(spark, tmp_path):
+    rows = [
+        (0, "the cat and the dog of the house is in town", "en", "s", 1),
+        (1, "der hund und die katze ist nicht das haus", "en", "s", 1),  # de text, en label
+        (2, "the quick brown fox and the hen", "zh", "s", 1),            # zh label can't agree
+        (3, "zz qq ww", "en", "s", 1),                                   # und
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = (
+        curation.lang_mismatch_report(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "lang_pred"] == "en" and out.loc[0, "agrees"]
+    assert out.loc[1, "lang_pred"] == "de" and not out.loc[1, "agrees"]
+    assert out.loc[2, "lang_pred"] == "en" and not out.loc[2, "agrees"]
+    assert out.loc[3, "lang_pred"] == "und" and not out.loc[3, "agrees"]
+
+
+def test_gram_novelty_planted(spark, tmp_path):
+    """Exact copies share every gram (novelty 0), unique docs score 10^4,
+    sub-gram docs report the vacuous 10^4, and a half-shared doc lands
+    at the hand-computed integer ratio."""
+    a = " ".join(f"a{i}" for i in range(10))          # 3 distinct 8-grams
+    c = " ".join(f"c{i}" for i in range(10))
+    # doc 3: first 8 words of a (1 gram, shared) + 8 unique words
+    # => grams: positions 1..9 of a 16-word text: 9 grams, 1 shared
+    d3 = " ".join([f"a{i}" for i in range(8)] + [f"d{i}" for i in range(8)])
+    rows = [
+        (0, a, "en", "s", 1),
+        (1, a, "en", "s", 1),       # exact copy of 0
+        (2, c, "en", "s", 1),       # unique
+        (3, d3, "en", "s", 1),
+        (4, "tiny doc here", "en", "s", 1),  # < 8 words
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = (
+        curation.gram_novelty(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # docs 0/1: 3 grams each, every gram in both (df=2) => novelty 0
+    for d in (0, 1):
+        assert out.loc[d, "n_grams"] == 3
+        assert out.loc[d, "n_unique"] == 0
+        assert out.loc[d, "novelty_e4"] == 0
+    assert out.loc[2, "n_grams"] == 3 and out.loc[2, "novelty_e4"] == 10000
+    # doc 3: 9 grams; gram 'a0..a7' also appears in docs 0/1 => 8 unique
+    assert out.loc[3, "n_grams"] == 9
+    assert out.loc[3, "n_unique"] == 8
+    assert out.loc[3, "novelty_e4"] == (8 * 10000) // 9
+    assert out.loc[4, "n_grams"] == 0 and out.loc[4, "novelty_e4"] == 10000
+
+
+def test_collocations_pmi_planted(spark, tmp_path):
+    """A planted always-together pair tops the list and its integer PMI
+    equals an independent Python computation over the token stream."""
+    from collections import Counter
+
+    texts = [
+        "new york " * 6 + "filler one two",
+        "new york is big and new york is busy",
+        "one two three four one two three four",
+    ]
+    rows = [(i, t.strip(), "en", "s", 1) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = curation.collocations_pmi(
+        spark, str(tmp_path), min_count=2, k=10
+    ).toPandas()
+
+    toks = [t.strip().split() for t in texts]
+    uni = Counter(w for ws in toks for w in ws)
+    big = Counter((a, b) for ws in toks for a, b in zip(ws, ws[1:]))
+    tt = sum(uni.values())
+
+    def pmi(a, b):
+        return ((big[(a, b)] * 1000000) // uni[a]) * tt // uni[b]
+
+    expect = sorted(
+        (
+            (pmi(a, b), a, b, c)
+            for (a, b), c in big.items()
+            if c >= 2
+        ),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:10]
+    got = list(zip(out["pmi_e6"], out["w1"], out["w2"], out["c2"]))
+    assert got == [(p, a, b, c) for p, a, b, c in expect]
+    assert (out.loc[0, "w1"], out.loc[0, "w2"]) == expect[0][1:3]
+    with pytest.raises(ValueError):
+        curation.collocations_pmi(spark, str(tmp_path), min_count=0)
