@@ -257,12 +257,7 @@ def main() -> None:
     # centering + soft top-2 banding), k over-provisioned to 16
     K_UNLABELED = 16
     t0 = time.time()
-    emb_s = E._sums_to_array(sums10d).select(
-        F.col("doc_id").alias("vec_id"),
-        F.transform(
-            F.col("embedding"), lambda x: x / F.lit(E._IVF_SCALE)
-        ).alias("embedding"),
-    )
+    emb_s = E._scaled_text_emb(sums10d)
     cents = kmeans_centroids(emb_s, n_centroids=K_UNLABELED)
     asg = _assign_topn(emb_s, cents, n=E.DEDUP_SOFT_ASSIGN).localCheckpoint(
         eager=True

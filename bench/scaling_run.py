@@ -352,6 +352,58 @@ savings are real wall time), `extract_join_mode` 1.65–1.73 s
 0.3 s across all four windows (its per-domain totals collect is
 control-plane noise).
 
+## Round-7 full-size bench (idle launch load 0.08, local[32], 142,738 turns)
+
+`bench.py` on round-7 code: total 83.207 s over 31 queries
+(the set grew by semantic_text_dedup_clustered 14.823 s and
+ccnet_perplexity_buckets 2.251 s), extraction
+52,690.3 turns/sec with the NEW normalizer columns:
+control 71,623.1 t/s → normalized ratio
+**0.7357** — the host-independent number to
+diff next round. Highlights: extract_transcripts 2.709 s,
+semantic_text_dedup 5.378 s,
+semantic_text_dedup_domain 4.9 s,
+verified_near_dedup 5.029 s (down from r6's 4.23 s
+driver reading), winnowing 3.405 s, cms 3.321 s.
+
+The one expensive newcomer, `semantic_text_dedup_clustered`
+(14.823 s), was decomposed rather than
+guessed at: steady-state ≈ embed 2.0 + k-means 2.5-3.0 + soft assign
+1.3 + family sizing 0.5 + band/verify/components ≈ 9 s — dozens of
+small sequential jobs (the trainer alone is ~10 job launches), i.e.
+fixed driver/job latency that amortizes at data scale, not a data-
+proportional cost (the same plan's first in-session run pays ~7 s
+of codegen compilation on top; bench medians are post-warmup).
+Two non-wins measured and documented in-code: eagerly checkpointing
+the banded frame for the self-join SLOWED both domain and clustered
+paths (the banding UDF is cheaper than an 80k-row checkpoint barrier),
+and the k-means per-pass centroid frame is now a collected LITERAL
+(one fewer checkpoint job per pass, values identical). Production
+note: the corpus-pass operator retrains per run only at bench scale —
+the persisted clustered index (build-once) is the deployment path.
+
+## Round-7: the record is RESET to current code (r6 verdict #3)
+
+The round-6 verdict found the recorded best windows (65k driver-shape,
+92.4k north-rule from round 1) no longer reproducible by anyone — the
+driver read 23.8k, the judge 31-38k at launch-load 0.3-0.5 — on extract
+code git-verified untouched since rounds 2-3. Rather than keep excusing
+the drift, round 7 re-measured the WHOLE ladder on current code at
+launch load 0.11 (tables above: local[32] best 74,954 turns/sec, 2→8
+efficiency 0.916 best / 0.800 median — the ≥0.8 north-rule bar holds
+on both readings) and `bench.py` now carries the ambient normalizer
+(`control_turns_per_sec` + `turns_per_sec_normalized`) in every run,
+so round-over-round comparisons no longer depend on matching the
+host's historical best hour. For the audit trail: the retired round-1
+record window read local[2/8/32] best 8,833/31,414/92,426 turns/sec
+(2→8 best 0.889); the observed all-rounds envelope (47k-93k at
+local[32], same deterministic job) stands as documented ambient
+variance. This sweep's 32-worker no-Spark control (65.8k) landed BELOW
+Spark's local[32] best (74.9k) — whole-stage codegen beating the
+pickle-based mp kernel in an uncontended window is consistent with the
+engine-adds-zero-overhead claim, and the normalized ratio > 1 readings
+are expected at low ambient load.
+
 ## Round-7: the probe crossover, measured (r6 verdict #6)
 
 Two changes this round: (1) every pruned-probe call-site's batch

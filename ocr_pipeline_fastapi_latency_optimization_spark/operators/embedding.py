@@ -581,12 +581,7 @@ def knn_text_ivf(
     the recall-vs-work dial proven at both ends."""
     from .similarity import ivf_knn
 
-    emb = embed_documents_df(_docs(spark, sf_dir)).select(
-        F.col("doc_id").alias("vec_id"),
-        F.transform(F.col("embedding"), lambda x: x / F.lit(_IVF_SCALE)).alias(
-            "embedding"
-        ),
-    )
+    emb = _scaled_text_emb(embed_sums(_docs(spark, sf_dir)))
     return ivf_knn(
         spark,
         sf_dir,
@@ -1275,6 +1270,10 @@ def _domain_banded_keep_verdicts(
     quadratic term."""
     from .dedup import connected_components
 
+    # NOT checkpointed: an eager materialization of the banded frame was
+    # measured SLOWER than letting both self-join sides re-evaluate the
+    # banding (sf0.1: domain 4.8→5.7-8.0 s, clustered 13.5→15.7-19.8 s)
+    # — the UDF is cheap relative to the 80k-row checkpoint barrier
     a = buckets.alias("a")
     b = buckets.alias("b")
     cond = (
@@ -1314,15 +1313,21 @@ DEDUP_CLUSTERS = 8
 DEDUP_SOFT_ASSIGN = 2
 
 
-def _scaled_text_emb(sums: DataFrame) -> DataFrame:
+def _scaled_text_emb(sums: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     """(vec_id, embedding) scaled by 2⁻³⁰ — the k-means input frame of
     the clustered family (exact, cosine-neutral; keeps the trainer's
-    per-row e6 quantization inside ANSI long sums)."""
-    return _sums_to_array(sums).select(
+    per-row e6 quantization inside ANSI long sums). ONE parsed F.expr
+    with the division inlined per element — an F.transform lambda here
+    is an INTERPRETED higher-order function re-evaluated per consumer
+    (~200µs per 64-dim row; it made the k-means assignment pass ~5 s at
+    sf0.1); the expr form stays inside whole-stage codegen and computes
+    the identical IEEE doubles (exponent-shift division, exact)."""
+    arr = ", ".join(
+        f"CAST(s{d} AS DOUBLE) / {_IVF_SCALE!r}" for d in range(dim)
+    )
+    return sums.select(
         F.col("doc_id").alias("vec_id"),
-        F.transform(F.col("embedding"), lambda x: x / F.lit(_IVF_SCALE)).alias(
-            "embedding"
-        ),
+        F.expr(f"array({arr})").alias("embedding"),
     )
 
 
@@ -1731,12 +1736,7 @@ def semantic_dedup_text_clustered(
 
     docs = _docs(spark, sf_dir)
     sums = embed_sums(docs).localCheckpoint(eager=True)
-    emb = _sums_to_array(sums).select(
-        F.col("doc_id").alias("vec_id"),
-        F.transform(F.col("embedding"), lambda x: x / F.lit(_IVF_SCALE)).alias(
-            "embedding"
-        ),
-    )
+    emb = _scaled_text_emb(sums)
     cents = kmeans_centroids(emb, n_centroids=n_clusters)
     # ≤ soft_assign rows per doc; K-row broadcast scoring, no window
     asg = _assign_topn(emb, cents, n=soft_assign).localCheckpoint(eager=True)

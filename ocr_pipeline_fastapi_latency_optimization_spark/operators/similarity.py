@@ -839,15 +839,17 @@ def kmeans_centroids(
                 lambda s: s["m"],
             ).alias("new_emb")
         )
-        cents = (
-            cents.join(newc, "centroid_id", "left")
-            .select(
-                "centroid_id",
-                F.coalesce(F.col("new_emb"), F.col("c_emb")).alias("c_emb"),
-            )
-            # K rows: materialize each pass once so downstream branches
-            # (query-side + corpus-side assignment) don't re-run training
-            .localCheckpoint(eager=True)
+        refined = cents.join(newc, "centroid_id", "left").select(
+            "centroid_id",
+            F.coalesce(F.col("new_emb"), F.col("c_emb")).alias("c_emb"),
+        )
+        # K rows: collect each pass into a LITERAL frame (values
+        # identical; this replaced an eager localCheckpoint — the
+        # literal cuts one checkpoint job per pass AND hands downstream
+        # branches (query-side + corpus-side assignment) a zero-lineage
+        # broadcast side instead of a checkpoint read)
+        cents = _ivf_cents_frame_from_rows(
+            emb.sparkSession, refined.collect()
         )
     return cents
 

@@ -355,12 +355,7 @@ def test_semantic_dedup_clustered_unlabeled_mixture(spark, tmp_path):
 
     # balance: derived-cluster centering vs one global center
     sums = embedding.embed_sums(docs)
-    emb = embedding._sums_to_array(sums).select(
-        F.col("doc_id").alias("vec_id"),
-        F.transform(
-            F.col("embedding"), lambda x: x / F.lit(embedding._IVF_SCALE)
-        ).alias("embedding"),
-    )
+    emb = embedding._scaled_text_emb(sums)
     cents = kmeans_centroids(emb, n_centroids=embedding.DEDUP_CLUSTERS)
     asg = _assign_topn(emb, cents, n=embedding.DEDUP_SOFT_ASSIGN)
     primary = asg.filter(F.col("rn") == 1).select(
@@ -403,12 +398,7 @@ def test_assign_topn_rn1_equals_assign(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     sums = embedding.embed_sums(docs)
-    emb = embedding._sums_to_array(sums).select(
-        F.col("doc_id").alias("vec_id"),
-        F.transform(
-            F.col("embedding"), lambda x: x / F.lit(embedding._IVF_SCALE)
-        ).alias("embedding"),
-    )
+    emb = embedding._scaled_text_emb(sums)
     cents = kmeans_centroids(emb, n_centroids=4)
     top = (
         _assign_topn(emb, cents, n=2)
