@@ -2683,6 +2683,90 @@ ORDER BY pmi_e6 DESC, w1 ASC, w2 ASC LIMIT {PMI_TOP_K}
 """
 
 
+def _q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination over the same planted augmentation as
+    the doc-level query: every 11th doc carries the eval sentence as a
+    suffix — its tokens_removed/n_spans localize the leak instead of
+    dropping the document."""
+    _pin_session(spark)
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" " + EVAL_SENTENCE)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    ev = spark.createDataFrame([("e0", EVAL_SENTENCE)], "eval_id string, text string")
+    return curation.decontaminate_spans(spark, sf_dir, eval_docs=ev, docs=docs)
+
+
+def _decontaminate_spans_sql() -> str:
+    """SQL twin of the span-level decontamination query: same planted
+    augmentation, same hit-gram positions, same clamped padded removal
+    windows, span starts via NOT EXISTS on (doc, p-1), kept fingerprint
+    via ordered string_agg."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators.curation import (
+        DECONTAM_NGRAM,
+        _MD5_EMPTY,
+    )
+
+    n = DECONTAM_NGRAM
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' {EVAL_SENTENCE}'
+              ELSE text END AS text
+  FROM documents),
+evw AS (SELECT list_filter(string_split('{EVAL_SENTENCE}', ' '), x -> x <> '') AS w),
+evg AS (
+  SELECT DISTINCT
+         unnest(list_transform(generate_series(1, greatest(len(w) - {n - 1}, 0)),
+                               i -> array_to_string(w[i:i+{n - 1}], ' '))) AS g
+  FROM evw),
+dw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       FROM aug),
+dgp AS (
+  SELECT doc_id, len(w) AS ln, i, array_to_string(w[i:i+{n - 1}], ' ') AS g
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS i
+        FROM dw)),
+hits AS (SELECT doc_id, ln, i FROM dgp JOIN evg USING (g)),
+nh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+       FROM hits GROUP BY doc_id),
+removed AS (
+  SELECT DISTINCT doc_id,
+         unnest(generate_series(greatest(i - 0, 1), least(i + {n - 1}, ln))) AS p
+  FROM hits),
+nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens_removed
+       FROM removed GROUP BY doc_id),
+ns AS (SELECT r1.doc_id, CAST(count(*) AS BIGINT) AS n_spans
+       FROM removed r1
+       WHERE NOT EXISTS (SELECT 1 FROM removed r2
+                         WHERE r2.doc_id = r1.doc_id AND r2.p = r1.p - 1)
+       GROUP BY r1.doc_id),
+tokpos AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS p
+           FROM dw),
+kfp AS (
+  SELECT t.doc_id, md5(string_agg(t.tok, ' ' ORDER BY t.p)) AS kept_fp
+  FROM tokpos t LEFT JOIN removed r ON r.doc_id = t.doc_id AND r.p = t.p
+  WHERE r.p IS NULL
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+       COALESCE(nh.n_hit_grams, 0) AS n_hit_grams,
+       COALESCE(nr.tokens_removed, 0) AS tokens_removed,
+       COALESCE(ns.n_spans, 0) AS n_spans,
+       COALESCE(kfp.kept_fp, '{_MD5_EMPTY}') AS kept_fp
+FROM documents d
+LEFT JOIN nh ON nh.doc_id = d.doc_id
+LEFT JOIN nr ON nr.doc_id = d.doc_id
+LEFT JOIN ns ON ns.doc_id = d.doc_id
+LEFT JOIN kfp ON kfp.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _token_budget_plan_sql() -> str:
     """SQL twin of curation.token_budget_plan: per-source token counts
     against the shared VALUES share table, then the pure-integer epoch
@@ -2928,26 +3012,27 @@ def _wrap(mod_fn):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order IS the driver's check order and the driver records at
     # most 50 rows per round. ROUND-7 hygiene (house rule — audited):
-    # window = first 50 of 119.
-    # rows 0-7: the 8 round-7 NEW entries (zero driver signal):
+    # window = first 50 of 120.
+    # rows 0-8: the 9 round-7 NEW entries (zero driver signal):
     #   semantic_dedup_text_clustered, ccnet_perplexity_buckets,
     #   token_budget_plan, script_mix_report,
     #   incremental_text_clustered_dedup, lang_mismatch_report,
-    #   gram_novelty, collocations_pmi.
-    # rows 8-39: the 28 round-6 single-green entries held for their
+    #   gram_novelty, collocations_pmi, decontaminate_spans.
+    # rows 9-40: the 28 round-6 single-green entries held for their
     #   second green, interleaved (original r6 order preserved) with
     #   the FOUR round-6 red twins fixed this round
     #   (hll_register_sketch, export_shards, dsir_resample,
     #   global_shuffle — first post-fix green).
-    # rows 40-45: the six r5+r6 double-greens (fewest-green multis):
+    # rows 41-46: the six r5+r6 double-greens (fewest-green multis):
     #   semantic_dedup_text_corpus, incremental_text_semantic_dedup,
     #   embed_documents, knn_text, knn_text_ivf, exact_stats.
-    # row 46: incremental_minhash_dedup — its PLAN changed this round
+    # row 47: incremental_minhash_dedup — its PLAN changed this round
     #   (lazy probe checkpoint): first post-change green; displaces the
     #   triple-green extract_synthetic_fp (goldens still pin it).
-    # rows 47-49: r4+r5(+r6) multi-greens quality_threshold_filter,
-    #   semantic_dedup_corpus, incremental_cosine_dedup (the latter
-    #   also lazy-checkpoint-changed this round).
+    # rows 48-49: r4+r5(+r6) multi-greens quality_threshold_filter,
+    #   semantic_dedup_corpus (incremental_cosine_dedup — also lazy-
+    #   checkpoint-changed — sits at 50, first tail row, after the
+    #   late decontaminate_spans head addition).
     # TAIL (>= 2 greens each, plus by-design pytest-only
     # extract_synthetic and oracle-less approx_stats): everything from
     # boilerplate_lines down, unchanged relative order.
@@ -3027,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mismatch_report": _wrap(curation.lang_mismatch_report),
         "gram_novelty": _wrap(curation.gram_novelty),
         "collocations_pmi": _wrap(curation.collocations_pmi),
+        "decontaminate_spans": _q_decontaminate_spans,
         # --- NEW round 6: zero driver signal
         "verified_near_dedup": _wrap(dedup.verified_near_dedup),
         "incremental_verified_dedup": _wrap(dedup.incremental_verified_dedup),
@@ -3944,6 +4030,7 @@ FROM t ORDER BY doc_id
         "lang_mismatch_report": _lang_mismatch_sql(),
         "gram_novelty": _gram_novelty_sql(),
         "collocations_pmi": _collocations_pmi_sql(),
+        "decontaminate_spans": _decontaminate_spans_sql(),
         "semantic_dedup_text_by_domain": _semantic_text_by_domain_sql(),
         "incremental_text_domain_dedup": _incremental_text_domain_sql(),
         "winnowing_overlap": _winnowing_sql(),

@@ -2085,3 +2085,121 @@ def collocations_pmi(
     return scored.orderBy(
         F.col("pmi_e6").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(k)
+
+
+# --- span-level decontamination --------------------------------------------
+
+_MD5_EMPTY = "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def decontaminate_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_docs: DataFrame,
+    n: int = DECONTAM_NGRAM,
+    buffer: int = 0,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """SPAN-level benchmark decontamination: instead of dropping every
+    document sharing an ``n``-gram with the eval set (``decontaminate``
+    — wasteful for long documents with one leaked sentence), LOCATE the
+    contaminated token spans and report the surgical removal: a token
+    at position p is removed iff some hit gram starting at i covers it
+    (``i − buffer ≤ p ≤ i + n − 1 + buffer`` — ``buffer`` pads the cut
+    like published span-removal pipelines pad around matches). Output
+    per document: hit-gram position count, tokens removed, number of
+    MAXIMAL removed runs (``n_spans``), and the md5 fingerprint of the
+    kept tokens in order (= single-spaced re-join; documents fully
+    removed or token-less fingerprint the empty string).
+
+    Scale shape: one (gram-keyed) equi-join against the benchmark-sized
+    eval gram set, one explode of hit positions (bounded by hits × the
+    span width), a position anti-join for kept tokens, and per-document
+    bounded aggregates — no window touches the corpus; span-start
+    counting is a self-anti-join on (doc, p−1), not a lag window."""
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    if buffer < 0:
+        raise ValueError(f"buffer must be >= 0, got {buffer}")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    dt = docs.select("doc_id", toks.alias("w")).select(
+        "doc_id", "w", F.size("w").alias("ln")
+    )
+    grams = F.when(
+        F.col("ln") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("ln") - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(F.col("w"), i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dgp = dt.select("doc_id", "ln", F.posexplode(grams).alias("i0", "g"))
+    ev_toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    ev_grams = F.when(
+        F.size(ev_toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ev_toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(ev_toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    evg = eval_docs.select(F.explode(ev_grams).alias("g")).distinct()
+    hits = dgp.join(evg, "g").select(
+        "doc_id", "ln", (F.col("i0") + 1).alias("i")
+    )
+    n_hits = hits.groupBy("doc_id").agg(F.count("*").alias("n_hit_grams"))
+    removed = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("i") - buffer, F.lit(1)),
+                    F.least(F.col("i") + (n - 1) + buffer, F.col("ln")),
+                )
+            ).alias("p"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by three branches
+    )
+    n_removed = removed.groupBy("doc_id").agg(
+        F.count("*").alias("tokens_removed")
+    )
+    r1, r2 = removed.alias("r1"), removed.alias("r2")
+    span_starts = r1.join(
+        r2,
+        (F.col("r1.doc_id") == F.col("r2.doc_id"))
+        & (F.col("r1.p") - 1 == F.col("r2.p")),
+        "left_anti",
+    )
+    n_spans = span_starts.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    tokpos = dt.select(
+        "doc_id", F.posexplode("w").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = tokpos.join(removed, ["doc_id", "p"], "left_anti")
+    kept_fp = kept.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("kept_fp")
+    )
+    return (
+        docs.select("doc_id")
+        .join(n_hits, "doc_id", "left")
+        .join(n_removed, "doc_id", "left")
+        .join(n_spans, "doc_id", "left")
+        .join(kept_fp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_grams", F.lit(0).cast("long")).alias(
+                "n_hit_grams"
+            ),
+            F.coalesce("tokens_removed", F.lit(0).cast("long")).alias(
+                "tokens_removed"
+            ),
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("kept_fp", F.lit(_MD5_EMPTY)).alias("kept_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1263,3 +1263,75 @@ def test_collocations_pmi_planted(spark, tmp_path):
     assert (out.loc[0, "w1"], out.loc[0, "w2"]) == expect[0][1:3]
     with pytest.raises(ValueError):
         curation.collocations_pmi(spark, str(tmp_path), min_count=0)
+
+
+def test_decontaminate_spans_surgery(spark, tmp_path):
+    """Span-level decontamination on hand-built leaks: a mid-document
+    leak removes exactly its covering positions (one span), two nearby
+    leaks MERGE into one span when their windows touch, buffer pads the
+    cut, full-leak docs fingerprint empty, clean docs keep everything."""
+    import hashlib
+
+    ev_text = "e1 e2 e3 e4 e5 e6 e7 e8 e9"  # 9 tokens -> 2 distinct 8-grams
+    pre = [f"a{i}" for i in range(5)]
+    post = [f"b{i}" for i in range(5)]
+    leak = ev_text.split()
+    rows = [
+        # doc 0: clean
+        (0, " ".join(pre + post), "en", "s", 1),
+        # doc 1: pre + full eval text + post -> one middle span
+        (1, " ".join(pre + leak + post), "en", "s", 1),
+        # doc 2: the eval text alone -> fully removed
+        (2, ev_text, "en", "s", 1),
+        # doc 3: leak, 3 clean tokens, leak again -> windows of the two
+        # hits (each 9 tokens wide via 2 grams) leave the 3 middle
+        # tokens kept -> two spans
+        (3, " ".join(leak + ["m1", "m2", "m3"] + leak), "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    ev = spark.createDataFrame([("e", ev_text)], "eval_id string, text string")
+    out = (
+        curation.decontaminate_spans(spark, str(tmp_path), eval_docs=ev)
+        .toPandas()
+        .set_index("doc_id")
+    )
+
+    def md5(tokens):
+        return hashlib.md5(" ".join(tokens).encode()).hexdigest()
+
+    assert out.loc[0].tolist() == [0, 0, 0, md5(pre + post)]
+    # doc 1: 2 hit grams at i=6,7 -> removed positions 6..14 (9 tokens)
+    assert out.loc[1, "n_hit_grams"] == 2
+    assert out.loc[1, "tokens_removed"] == 9
+    assert out.loc[1, "n_spans"] == 1
+    assert out.loc[1, "kept_fp"] == md5(pre + post)
+    # doc 2: everything removed
+    assert out.loc[2, "tokens_removed"] == 9
+    assert out.loc[2, "n_spans"] == 1
+    assert out.loc[2, "kept_fp"] == md5([])
+    # doc 3: two separated spans, middles kept
+    assert out.loc[3, "n_hit_grams"] == 4
+    assert out.loc[3, "tokens_removed"] == 18
+    assert out.loc[3, "n_spans"] == 2
+    assert out.loc[3, "kept_fp"] == md5(["m1", "m2", "m3"])
+
+    # buffer=2 pads each cut: doc 1 loses 2 tokens each side of the
+    # leak; doc 3's two windows now cover the 3 middle tokens -> MERGED
+    # into one span and fully removed
+    out2 = (
+        curation.decontaminate_spans(spark, str(tmp_path), eval_docs=ev, buffer=2)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out2.loc[1, "tokens_removed"] == 13
+    assert out2.loc[1, "n_spans"] == 1
+    assert out2.loc[1, "kept_fp"] == md5(pre[:3] + post[2:])
+    assert out2.loc[3, "tokens_removed"] == 21
+    assert out2.loc[3, "n_spans"] == 1
+    assert out2.loc[3, "kept_fp"] == md5([])
+    with pytest.raises(ValueError):
+        curation.decontaminate_spans(
+            spark, str(tmp_path), eval_docs=ev, buffer=-1
+        )
