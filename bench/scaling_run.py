@@ -438,6 +438,13 @@ round 6). Main-rung numbers this run: extract 71.6 k turns/sec at
 14.27 M turns (flat, all 100 per-copy checksums equal), skew stitch
 1.54 s with the 10⁵-turn conversation exact.
 
+Provenance: the full committed rung was re-executed end-to-end on
+round-7 final code (extract 74.8 k turns/sec at 14.27 M turns, all
+per-copy checksums equal, skew stitch exact; its 100× probe cells were
+contaminated by a concurrent test session, but the 1000× decade
+reproduced the crossover direction — pruned 2.58 s vs unpruned 3.66 s).
+The quiet-machine medians in the table above remain the record.
+
 ## Round-6: pruned index probes on the 100× rung (r5 verdict #2)
 
 `bench/scale100_run.py` re-run on round-6 code (ambient load 2–8,
