@@ -161,7 +161,6 @@ def test_similarity_corpus_path_never_materializes_on_driver():
         similarity.brute_force_knn,
         similarity._topk_per_query,
         similarity.ivf_assignments,
-        similarity.kmeans_centroids,
         similarity._assign,
         similarity.near_dup_pairs_cosine,
         similarity.verify_candidate_pairs_cosine,
@@ -175,6 +174,15 @@ def test_similarity_corpus_path_never_materializes_on_driver():
         src = inspect.getsource(fn)
         assert ".toPandas()" not in src, fn.__name__
         assert ".collect()" not in src, fn.__name__
+    # kmeans_centroids: the ONLY permitted collect is the per-pass
+    # refined-centroid frame — K rows (K = n_centroids, a parameter,
+    # never corpus cardinality; round 7 replaced the per-pass eager
+    # checkpoint with this literal). Pinned structurally like ivf_knn's
+    # probed-bucket collect below.
+    src = inspect.getsource(similarity.kmeans_centroids)
+    assert ".toPandas()" not in src
+    kc = __import__("re").findall(r"\S+\.collect\(\)", src)
+    assert kc == ["refined.collect()"], kc
     # ivf_knn: the ONLY permitted collect is the indexed-probe's
     # probed-bucket set — bounded by n_queries·nprobe (a parameter,
     # never corpus cardinality) and structurally pinned to the
