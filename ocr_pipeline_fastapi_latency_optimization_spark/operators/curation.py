@@ -1360,8 +1360,16 @@ def _semantic_candidate_scores(spark, docs, ev):
     )
 
     sums = embed_sums(docs).localCheckpoint(eager=True)
-    planes_list, bands = _resolve_text_family(None, None, sums.count())
-    totals = embed_totals(sums)
+    # ONE 1-row collect serves both consumers (round-8, guide §1.2):
+    # the centering totals become a LITERAL broadcast frame (dissolving
+    # the totals agg from both banding branches) and the family-sizing
+    # count rides the same row instead of a separate count() job.
+    totals_lazy = embed_totals(sums)
+    totals_rows = totals_lazy.collect()
+    totals = spark.createDataFrame(totals_rows, schema=totals_lazy.schema)
+    planes_list, bands = _resolve_text_family(
+        None, None, int(totals_rows[0]["n"])
+    )
     corpus_bands = centered_band_buckets(
         sums, totals, planes_list=planes_list, bands=bands
     )

@@ -972,14 +972,8 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    prev = _state(e)
-    if prev[0] == 0:
-        spark = e.sparkSession
-        return spark.createDataFrame([], "node long, cluster_id long")
-
-    # MEASURED-bounded driver fast path (round-6): the exact edge count
-    # is already in hand from the convergence-state aggregate — when the
-    # deduped candidate graph fits the cap (~1 MB of long pairs), a
+    # MEASURED-bounded driver fast path (round-6; round-8 gate): when
+    # the deduped candidate graph fits the cap (~1 MB of long pairs), a
     # single-pass min-root union-find replaces ~2 Spark jobs per
     # contraction round (measured 2-3 s of pure job-scheduling latency
     # on a 250-edge graph). Same bounded-control-plane pattern as
@@ -987,9 +981,18 @@ def connected_components(
     # (cluster_id = min id reachable; the root row (min, min) included)
     # and by test against the forced-distributed path. At corpus scale
     # the verified-pair graph exceeds the cap and the O(log² n)
-    # star-contraction below runs unchanged.
-    if prev[0] <= driver_max_edges:
-        rows = e.collect()
+    # star-contraction below runs unchanged. Round-8 (guide §1.2): the
+    # gate is a bounded ``limit(cap+1)`` collect OVER THE CHECKPOINT —
+    # ≤ cap+1 rows ever reach the driver, and when the graph is small
+    # (every bench dedup query) this replaces the separate
+    # count+checksum aggregate job; the big path still computes its
+    # convergence state from the checkpoint as before.
+    probe = e.limit(driver_max_edges + 1).collect()
+    if len(probe) == 0:
+        spark = e.sparkSession
+        return spark.createDataFrame([], "node long, cluster_id long")
+    if len(probe) <= driver_max_edges:
+        rows = probe  # the limit returned every edge
         parent: dict = {}
 
         def find(x: int) -> int:
@@ -1014,6 +1017,7 @@ def connected_components(
             "node long, cluster_id long",
         )
 
+    prev = _state(e)
     converged = False
     for _ in range(max_iter):
         # large-star: (v, min(Γ+(u))) for every neighbor v > u

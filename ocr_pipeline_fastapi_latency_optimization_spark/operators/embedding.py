@@ -488,9 +488,22 @@ def text_near_dup_pairs(
     JVM (``_sums_cosine_e6`` over the integer sums — no Python past
     the banding UDF; plan-asserted in tests)."""
     sums = embed_sums(docs).localCheckpoint(eager=True)
-    planes_list, bands = _resolve_text_family(planes_list, bands, sums.count())
+    # ONE 1-row collect serves both consumers (round-8, guide §1.2):
+    # the corpus centering totals become a LITERAL broadcast frame
+    # (dissolving the totals agg subtree from the banded self-join
+    # sides) and the family-sizing count n rides the same row instead
+    # of a separate count() job (n counts docs with ≥1 token — the
+    # banded population, same as before).
+    totals_lazy = embed_totals(sums)
+    totals_rows = totals_lazy.collect()
+    totals = docs.sparkSession.createDataFrame(
+        totals_rows, schema=totals_lazy.schema
+    )
+    planes_list, bands = _resolve_text_family(
+        planes_list, bands, int(totals_rows[0]["n"])
+    )
     buckets = centered_band_buckets(
-        sums, embed_totals(sums), planes_list=planes_list, bands=bands
+        sums, totals, planes_list=planes_list, bands=bands
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -1089,10 +1102,14 @@ def incremental_text_semantic_dedup(
         # the driver-oracle scenario).
         sums = embed_sums(docs).localCheckpoint(eager=True)
         existing_sums = sums.filter(F.col("doc_id") < boundary)
+        # ONE 1-row collect: literal centering totals + the family-
+        # sizing count off the same row (round-8, guide §1.2)
+        totals_lazy = embed_totals(existing_sums)
+        totals_rows = totals_lazy.collect()
+        totals = spark.createDataFrame(totals_rows, schema=totals_lazy.schema)
         planes_list, bands = _resolve_text_family(
-            None, None, existing_sums.count()
+            None, None, int(totals_rows[0]["n"])
         )
-        totals = embed_totals(existing_sums)
         buckets = centered_band_buckets(
             sums, totals, planes_list=planes_list, bands=bands
         )
@@ -1234,15 +1251,20 @@ def semantic_dedup_text_by_domain(
     sums_dom = sums.join(
         docs.select("doc_id", F.col(domain_col).alias("domain")), "doc_id"
     )
-    n_max = (
-        sums_dom.groupBy("domain").count().agg(F.max("count").alias("m"))
-        .collect()[0]["m"]
-    )
-    planes_list, bands = _resolve_text_family(
-        planes_list, bands, 0 if n_max is None else int(n_max)
-    )
+    # ONE per-domain-row collect serves both consumers (round-8, guide
+    # §1.2): the centering totals become a LITERAL broadcast frame
+    # (dissolving the totals agg subtree from BOTH sides of the banded
+    # self-join) and n_max — the family-sizing statistic — is read off
+    # the same rows instead of costing its own aggregate job. Row count
+    # = domain cardinality (a label space, never corpus cardinality —
+    # the `_center_literals_frame` precedent).
+    totals_lazy = domain_totals(sums_dom)
+    totals_rows = totals_lazy.collect()
+    totals = spark.createDataFrame(totals_rows, schema=totals_lazy.schema)
+    n_max = max((int(r["n"]) for r in totals_rows), default=0)
+    planes_list, bands = _resolve_text_family(planes_list, bands, n_max)
     buckets = domain_centered_band_buckets(
-        sums_dom, planes_list=planes_list, bands=bands
+        sums_dom, totals_dom=totals, planes_list=planes_list, bands=bands
     )
     return _domain_banded_keep_verdicts(docs, sums, buckets, threshold_e6)
 
@@ -1738,19 +1760,22 @@ def semantic_dedup_text_clustered(
     sums = embed_sums(docs).localCheckpoint(eager=True)
     emb = _scaled_text_emb(sums)
     cents = kmeans_centroids(emb, n_centroids=n_clusters)
-    # ≤ soft_assign rows per doc; K-row broadcast scoring, no window
+    # ≤ soft_assign rows per doc; literal-centroid scoring, no window
     asg = _assign_topn(emb, cents, n=soft_assign).localCheckpoint(eager=True)
     primary = asg.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("doc_id"), F.col("centroid_id").alias("domain")
     )
-    totals = domain_totals(sums.join(primary, "doc_id"))
-    n_max = (
-        primary.groupBy("domain").count().agg(F.max("count").alias("m"))
-        .collect()[0]["m"]
-    )
-    planes_list, bands = _resolve_text_family(
-        planes_list, bands, 0 if n_max is None else int(n_max)
-    )
+    # ONE K-row collect serves both consumers (round-8, guide §1.2):
+    # the per-domain centering totals become a LITERAL broadcast frame
+    # (dissolving the totals agg subtree from BOTH sides of the banded
+    # self-join) and n_max — the family-sizing statistic — is read off
+    # the same rows instead of costing its own aggregate job. K =
+    # n_clusters: control plane, never corpus cardinality.
+    totals_lazy = domain_totals(sums.join(primary, "doc_id"))
+    totals_rows = totals_lazy.collect()
+    totals = spark.createDataFrame(totals_rows, schema=totals_lazy.schema)
+    n_max = max((int(r["n"]) for r in totals_rows), default=0)
+    planes_list, bands = _resolve_text_family(planes_list, bands, n_max)
     soft = asg.select(
         F.col("vec_id").alias("doc_id"),
         F.col("centroid_id").alias("domain"),

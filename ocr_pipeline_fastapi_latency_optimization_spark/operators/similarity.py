@@ -80,6 +80,73 @@ def cosine_e6(a: Column, b: Column) -> Column:
     return _cosine_e6_udf()(a, b)
 
 
+# Two measured dead ends, kept as warnings (round-8, bench_extra.py):
+# (a) inlining centroid VALUES as per-element literal chains (16 ×
+# 64-term dot expressions in one projection) generated a 24.9 KB
+# ``processNext`` — past HotSpot's 8 KB JIT ceiling, so the stage ran
+# in the BYTECODE INTERPRETER (~2 ms/row) and recompiled per pass
+# because literals are part of the generated source; (b) the same
+# chains over crossJoin DATA columns compiled once but still exceeded
+# the JIT ceiling and lost to the Arrow cosine on the N×K scored rows
+# (0.95 s vs 0.57 s on 32 k rows). K-centroid scoring therefore uses
+# the ``_text_band_keys_udf`` pattern below: the K×64 centroid matrix
+# rides the UDF closure and each Arrow batch pays ONE BLAS matmul —
+# the embedding crosses the Python boundary once, not K times, and no
+# crossJoin / argmax aggregate exists at all (guide §4.2).
+
+
+def _cents_matrix(cents: DataFrame):
+    """(ids, matrix) numpy closure data from a K-row centroid frame,
+    sorted by centroid id. K is a parameter (n_centroids), never corpus
+    cardinality — this collect is the same control-plane class as the
+    trainer's seed/means collects."""
+    import numpy as np
+
+    rows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["c_emb"]])
+        for r in cents.collect()
+    )
+    cids = np.array([c for c, _ in rows], dtype=np.int64)
+    mat = np.array([v for _, v in rows], dtype=np.float64).reshape(
+        len(rows), -1
+    )
+    return cids, mat
+
+
+def _topn_cids_udf(cids, cmat, n: int):
+    """Vectorized top-n centroid selection: one batch matmul
+    ``E(B×64) @ C.T(64×K)``, quantized scores, then the encoded-long
+    order (score desc, centroid_id asc — exactly the
+    min(struct(-score, cid)) / array_sort order of the aggregate forms
+    this replaces; byte-equality pinned by the oracle replicas)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cn = np.linalg.norm(cmat, axis=1)
+    m_enc = 1 << 20  # centroid-id headroom under the score in the key
+
+    def _top(emb):
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        vn = np.linalg.norm(mat, axis=1)
+        denom = np.outer(vn, cn)
+        safe = np.where(denom > 0, denom, 1.0)
+        scores = np.where(
+            denom > 0, np.floor((mat @ cmat.T) / safe * 1e6), 0.0
+        ).astype(np.int64)
+        enc = scores * m_enc + (m_enc - 1 - cids)[None, :]
+        order = np.argsort(-enc, axis=1, kind="stable")[:, :n]
+        return pd.Series(cids[order].tolist())
+
+    return F.pandas_udf(_top, T.ArrayType(T.LongType()))
+
+
+def _empty_assign(vectors: DataFrame, cols) -> DataFrame:
+    """Zero-row result with the assignment schema — the no-centroids
+    degenerate case (the crossJoin forms produced no rows)."""
+    return vectors.filter(F.lit(False)).select(*cols)
+
+
 def _partition_topk_rows(scored: DataFrame, k: int) -> DataFrame:
     """NARROW per-partition top-k (no shuffle): one vectorized pass over
     each input partition keeping at most k rows per query — the genuine
@@ -737,26 +804,25 @@ KMEANS_SAMPLE_MOD = 4
 
 def _assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
     """Argmax-cosine centroid per vector (quantized score, min-id
-    tie-break). Centroids are always tiny → broadcast. The argmax is a
-    hash aggregate — min(struct(-score, centroid_id)) — with map-side
-    partial aggregation, not a row_number window (which would sort-
-    shuffle all N×K scored rows); `first(embedding)` is safe because
-    embedding is functionally dependent on the vec_id group key."""
-    scored = vectors.crossJoin(F.broadcast(cents)).select(
+    tie-break). Round-8 shape (guide §4.2): ONE narrow stage — the
+    K-row centroid matrix rides the UDF closure and each Arrow batch
+    pays one BLAS matmul, so the embedding crosses the Python boundary
+    once (the retired crossJoin form shipped it K times and planned a
+    SortAggregate over the N×K scored rows — see the dead-end note at
+    ``_cents_matrix``)."""
+    cids, cmat = _cents_matrix(cents)
+    if len(cids) == 0:
+        return _empty_assign(
+            vectors,
+            ["vec_id", "embedding",
+             F.lit(None).cast("long").alias("centroid_id")],
+        )
+    return vectors.select(
         "vec_id",
         "embedding",
-        "centroid_id",
-        cosine_e6(F.col("embedding"), F.col("c_emb")).alias("score_e6"),
-    )
-    best = F.min(
-        F.struct(
-            (-F.col("score_e6")).alias("neg"), F.col("centroid_id").alias("cid")
-        )
-    )
-    return (
-        scored.groupBy("vec_id")
-        .agg(F.first("embedding").alias("embedding"), best.alias("best"))
-        .select("vec_id", "embedding", F.col("best.cid").alias("centroid_id"))
+        F.element_at(
+            _topn_cids_udf(cids, cmat, 1)(F.col("embedding")), 1
+        ).alias("centroid_id"),
     )
 
 
@@ -769,23 +835,24 @@ def _assign_topn(vectors: DataFrame, cents: DataFrame, n: int = 2) -> DataFrame:
     selection. Used by the unlabeled clustered-centering dedup (round-6
     verdict #5): soft top-2 membership keeps a near-dup pair co-bucketed
     even when the pair straddles a k-means boundary (their argmax flips,
-    but their top-2 sets still intersect)."""
-    scored = vectors.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "centroid_id",
-        cosine_e6(F.col("embedding"), F.col("c_emb")).alias("score_e6"),
-    )
-    entry = F.struct(
-        (-F.col("score_e6")).alias("neg"), F.col("centroid_id").alias("cid")
-    )
-    top = scored.groupBy("vec_id").agg(
-        F.slice(F.array_sort(F.collect_list(entry)), 1, n).alias("top")
+    but their top-2 sets still intersect). Round-8 shape: one narrow
+    closure-matrix UDF stage (see ``_assign``) — no crossJoin, no
+    collect_list aggregate."""
+    cids, cmat = _cents_matrix(cents)
+    if len(cids) == 0:
+        return _empty_assign(
+            vectors,
+            ["vec_id", F.lit(None).cast("long").alias("centroid_id"),
+             F.lit(None).cast("int").alias("rn")],
+        )
+    top = vectors.select(
+        "vec_id", _topn_cids_udf(cids, cmat, n)(F.col("embedding")).alias("top")
     )
     return top.select(
-        "vec_id", F.posexplode("top").alias("pos", "entry")
+        "vec_id", F.posexplode("top").alias("pos", "cid")
     ).select(
         "vec_id",
-        F.col("entry.cid").alias("centroid_id"),
+        F.col("cid").alias("centroid_id"),
         (F.col("pos") + 1).alias("rn"),
     )
 
@@ -802,56 +869,73 @@ def kmeans_centroids(
     it absolutely), and each refined centroid component is a
     per-dimension mean over PER-ROW e6-quantized values (integer sum →
     floor-divide by count → /1e6) — order-independent, so the DuckDB
-    oracle's unrolled passes reproduce the exact same centroids. Empty clusters keep their
-    previous centroid. All distributed: assignment is a broadcast
-    cross-join + window, means are one (centroid, dim) aggregate."""
+    oracle's unrolled passes reproduce the exact same centroids. Empty
+    clusters keep their previous centroid. Physical shape (round-8,
+    guide §4.2/§2.3): each pass is ONE job — a narrow closure-matrix
+    assignment (one BLAS matmul per Arrow batch, no crossJoin, no
+    argmax aggregate) feeding a single K-group hash aggregate of the
+    64 per-row-quantized dims (map-side partials; only 65 longs per
+    sampled vector cross the exchange); the K-row mean + carry-over
+    arithmetic runs driver-side with the identical IEEE sequence
+    (control plane — K is a parameter, never corpus cardinality)."""
+    import math
+
+    import numpy as np
+
+    spark = emb.sparkSession
+    # per-ROW e6 quantization BEFORE the sum (the same invariant as
+    # char_entropy_e4): integer sums are partial-aggregation-order
+    # independent, so a mean landing on a floor boundary can never flip
+    # between Spark and the DuckDB twin (round-2 ADVICE #1):
+    # m = floor(sum(floor(v·1e6)) / n) / 1e6.
+    q_cols = [
+        f"floor(embedding[{d}] * 1000000.0D) AS q{d}" for d in range(64)
+    ]
     sample = emb.filter(F.col("vec_id") % sample_mod == 0)
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    # K seed rows — control plane (K = n_centroids, a parameter)
+    cent_rows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["c_emb"]])
+        for r in emb.filter(F.col("vec_id") < n_centroids)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        .collect()
     )
     for _ in range(passes):
-        assigned = _assign(sample, cents)
-        dims = assigned.select(
-            "centroid_id", F.posexplode("embedding").alias("dim", "v")
+        if not cent_rows:
+            break
+        cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+        cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+        assigned = sample.select(
+            F.element_at(
+                _topn_cids_udf(cids, cmat, 1)(F.col("embedding")), 1
+            ).alias("centroid_id"),
+            *[F.expr(q) for q in q_cols],
         )
-        # per-ROW e6 quantization BEFORE the sum (the same invariant as
-        # char_entropy_e4): integer sums are partial-aggregation-order
-        # independent, so a mean landing on a floor boundary can never
-        # flip between Spark and the DuckDB twin (round-2 ADVICE #1).
-        # m = floor(sum(floor(v·1e6)) / n) / 1e6 — the division of two
-        # exactly-representable integers is correctly rounded IEEE-754
-        # in both engines.
-        means = (
-            dims.groupBy("centroid_id", "dim")
+        stat_rows = (
+            assigned.groupBy("centroid_id")
             .agg(
-                (
-                    F.floor(
-                        F.sum(F.floor(F.col("v") * F.lit(1000000.0)))
-                        / F.count("*")
-                    ).cast("double")
-                    / 1000000.0
-                ).alias("m")
+                F.count("*").alias("cnt"),
+                *[F.sum(f"q{d}").alias(f"s{d}") for d in range(64)],
             )
+            .collect()
         )
-        newc = means.groupBy("centroid_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                lambda s: s["m"],
-            ).alias("new_emb")
-        )
-        refined = cents.join(newc, "centroid_id", "left").select(
-            "centroid_id",
-            F.coalesce(F.col("new_emb"), F.col("c_emb")).alias("c_emb"),
-        )
-        # K rows: collect each pass into a LITERAL frame (values
-        # identical; this replaced an eager localCheckpoint — the
-        # literal cuts one checkpoint job per pass AND hands downstream
-        # branches (query-side + corpus-side assignment) a zero-lineage
-        # broadcast side instead of a checkpoint read)
-        cents = _ivf_cents_frame_from_rows(
-            emb.sparkSession, refined.collect()
-        )
-    return cents
+        means = {}
+        for r in stat_rows:
+            cnt = float(r["cnt"])
+            # float(sum)/float(cnt) is the same two-rounding
+            # long→double division both engines perform
+            means[int(r["centroid_id"])] = [
+                float(math.floor(float(r[f"s{d}"]) / cnt)) / 1000000.0
+                for d in range(64)
+            ]
+        # empty clusters keep their previous centroid (the twins' LEFT
+        # JOIN + COALESCE carry-over)
+        cent_rows = [(cid, means.get(cid, vec)) for cid, vec in cent_rows]
+    return _ivf_cents_frame_from_rows(
+        spark, [{"centroid_id": cid, "c_emb": vec} for cid, vec in cent_rows]
+    )
 
 
 def ivf_assignments(

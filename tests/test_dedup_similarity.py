@@ -174,15 +174,27 @@ def test_similarity_corpus_path_never_materializes_on_driver():
         src = inspect.getsource(fn)
         assert ".toPandas()" not in src, fn.__name__
         assert ".collect()" not in src, fn.__name__
-    # kmeans_centroids: the ONLY permitted collect is the per-pass
-    # refined-centroid frame — K rows (K = n_centroids, a parameter,
-    # never corpus cardinality; round 7 replaced the per-pass eager
-    # checkpoint with this literal). Pinned structurally like ivf_knn's
-    # probed-bucket collect below.
+    # kmeans_centroids: the ONLY permitted collects are K-row control
+    # plane — the seed frame (vec_id < n_centroids) and the per-pass
+    # K-group sum/count aggregate (K = n_centroids, a parameter, never
+    # corpus cardinality; round 8 moved the mean arithmetic driver-side
+    # so each pass is one narrow job). Pinned structurally like
+    # ivf_knn's probed-bucket collect below.
     src = inspect.getsource(similarity.kmeans_centroids)
     assert ".toPandas()" not in src
-    kc = __import__("re").findall(r"\S+\.collect\(\)", src)
-    assert kc == ["refined.collect()"], kc
+    kc = __import__("re").findall(r"[ \t]*(\S*\.collect\(\))", src)
+    # two bare chain-end collects: the seed frame (vec_id < n_centroids)
+    # and the per-pass K-group sum/count aggregate
+    assert kc == [".collect()", ".collect()"], kc
+    assert 'F.col("vec_id") < n_centroids' in src
+    assert '.groupBy("centroid_id")' in src
+    # _cents_matrix: the K-row centroid-frame collect backing the
+    # closure-matrix assignment UDF (K = n_centroids, a parameter) —
+    # the only collect _assign/_assign_topn route through
+    src = inspect.getsource(similarity._cents_matrix)
+    assert __import__("re").findall(r"\S+\.collect\(\)", src) == [
+        "cents.collect()"
+    ], src
     # ivf_knn: the ONLY permitted collect is the indexed-probe's
     # probed-bucket set — bounded by n_queries·nprobe (a parameter,
     # never corpus cardinality) and structurally pinned to the
