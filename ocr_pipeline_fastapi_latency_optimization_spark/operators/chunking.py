@@ -389,7 +389,11 @@ def cdc_chunks(
     """
     if divisor <= 1:
         raise ValueError(f"divisor must be > 1, got {divisor}")
-    docs = docs if docs is not None else _docs(spark, sf_dir)
+    from .scanpar import ensure_scan_parallelism
+
+    docs = ensure_scan_parallelism(
+        docs if docs is not None else _docs(spark, sf_dir)
+    )
     tok_hash = (
         "pmod(CAST(conv(substring(md5(element_at(toks, p)), 1, 15), 16, 10) "
         f"AS BIGINT), {int(divisor)})"

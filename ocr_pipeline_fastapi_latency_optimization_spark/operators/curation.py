@@ -77,6 +77,10 @@ def boilerplate_lines(
     The frequent set is tiny relative to the corpus (it IS the repeated
     content), so AQE broadcasts it; the rebuild is a per-doc aggregate
     ordered by original line position, never a global sort."""
+    # NOT scan-parallelized (round-8, measured): the lines frame feeds
+    # two consumers, and the repartition exchange re-executes per
+    # consumer subtree — 0.59 s → 1.6 s at sf0.1. Single-task explode
+    # is the cheaper shape for this operator.
     docs = docs if docs is not None else _docs(spark, sf_dir)
     lines = docs.select(
         "doc_id",
@@ -860,6 +864,10 @@ def lm_bigram_score(
     Self-training on the scored corpus is one pass; scoring against a
     reference corpus is the same plan with the count tables read from
     its tables instead."""
+    # NOT scan-parallelized (round-8, measured): the bigram frame feeds
+    # THREE consumers (per-doc counts, corpus bigram counts, unigram
+    # counts) and each subtree re-executes the repartition exchange —
+    # 1.14 s → 1.9 s at sf0.1.
     docs = docs if docs is not None else _docs(spark, sf_dir)
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
     pairs = F.when(
@@ -1359,7 +1367,7 @@ def _semantic_candidate_scores(spark, docs, ev):
         embed_totals,
     )
 
-    sums = embed_sums(docs).localCheckpoint(eager=True)
+    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
     # ONE 1-row collect serves both consumers (round-8, guide §1.2):
     # the centering totals become a LITERAL broadcast frame (dissolving
     # the totals agg from both banding branches) and the family-sizing

@@ -209,7 +209,13 @@ def word_shingles(
     """Word n-gram shingles per doc — built-ins only: split → sequence →
     transform(slice+join) → explode. ``distinct=True`` (a shuffle) is
     required for set-semantics consumers (Jaccard counts); MinHash skips
-    it — duplicate shingles cannot change a min."""
+    it — duplicate shingles cannot change a min. The scan-parallelism
+    floor keeps the explode+md5 work off a single task when the input
+    is one parquet row group (round-8, no-op at production split
+    counts)."""
+    from .scanpar import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     words = F.split(F.col("text"), " ")
     # guard: F.sequence(1, 0) would generate a *descending* [1, 0]
     shingles = F.when(
@@ -1366,7 +1372,9 @@ def _simhash_udf():
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
+    from .scanpar import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(_docs(spark, sf_dir)).select(
         "doc_id", _simhash_udf()(F.col("text")).alias("simhash")
     )
 
@@ -1477,6 +1485,9 @@ def substring_span_dedup(
     """
     if width <= 0 or stride <= 0:
         raise ValueError(f"width/stride must be positive: {width}/{stride}")
+    # NOT scan-parallelized (round-8, measured): the spans frame feeds
+    # two consumers (corpus hash counts + the semi-join probe side) and
+    # the repartition re-executes per subtree — 1.00 s → 1.15 s.
     docs = docs if docs is not None else _docs(spark, sf_dir)
     base = docs.select(
         "doc_id", "text", F.length("text").cast("long").alias("len")
@@ -1605,7 +1616,9 @@ def winnowing_overlap(
       minima → ``array_distinct``) — whole-stage codegen, zero Python,
       zero shuffle; a doc with fewer than ``k`` tokens has no grams and
       short docs (fewer than ``w`` grams) collapse to one whole-doc
-      window, so coverage never silently drops;
+      window, so coverage never silently drops (the corpus call-site
+      applies the scan-parallelism floor so this expression never runs
+      single-task on a one-row-group input — round-8);
     * the DF cap is the skew guard: a fingerprint present in more than
       ``max_df`` documents is boilerplate by definition (its gram text
       is ubiquitous, hence non-discriminative) and generating its
@@ -1632,7 +1645,15 @@ def winnowing_overlap(
             f"invalid winnowing params k={k} w={w} "
             f"max_df={max_df} min_shared={min_shared}"
         )
-    docs = docs if docs is not None else _docs(spark, sf_dir)
+    from .scanpar import ensure_scan_parallelism
+
+    # scan-parallelized at THIS call-site only (round-8, measured): the
+    # corpus pass wins (2.63 s → 1.9 s); the incremental probe's batch
+    # fingerprints are tiny and regressed under the extra exchange, so
+    # winnow_fingerprints itself stays unwrapped.
+    docs = ensure_scan_parallelism(
+        docs if docs is not None else _docs(spark, sf_dir)
+    )
     fp = winnow_fingerprints(docs, k, w)
     kept = fp.join(
         fp.groupBy("fp")

@@ -75,24 +75,36 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _token_base(docs: DataFrame) -> DataFrame:
+def _token_base(docs: DataFrame, parallel: bool = False) -> DataFrame:
     """(doc_id, b) — one row per token occurrence (multiset semantics:
     repeated tokens count), b = 31-bit md5 base. Empty tokens from
-    consecutive spaces are dropped on both engines."""
+    consecutive spaces are dropped on both engines. ``parallel=True``
+    applies the scan-parallelism floor so the explode+md5+64-sum work
+    never runs single-task on a one-row-group input (round-8, no-op at
+    production split counts) — opted into ONLY by call-sites that
+    materialize the sums once (the eager-checkpoint corpus passes);
+    measured: multi-consumer un-checkpointed frames re-execute the
+    repartition exchange per subtree and regress instead."""
+    if parallel:
+        from .scanpar import ensure_scan_parallelism
+
+        docs = ensure_scan_parallelism(docs)
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
     return docs.select(
         "doc_id", F.explode(toks).alias("tok")
     ).select("doc_id", _affine_base(F.col("tok"), "md5_affine").alias("b"))
 
 
-def embed_sums(docs: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+def embed_sums(
+    docs: DataFrame, dim: int = EMBED_DIM, parallel: bool = False
+) -> DataFrame:
     """(doc_id, n_tokens, s0..s{dim-1}) integer feature sums — the
     canonical (exactly comparable) form of the embedding. Aggregates are
     built as ``F.expr`` strings — one py4j call each instead of ~8
     (Column-by-Column construction cost ~1 s of driver time per plan on
     a 64-dim frame; semantics are pinned by the bit-equality oracle
-    tests)."""
-    base = _token_base(docs)
+    tests). ``parallel`` — see ``_token_base``."""
+    base = _token_base(docs, parallel=parallel)
     aggs = [F.count("*").alias("n_tokens")] + [
         F.expr(f"sum(((b * {a} + {b_}) & {_MASK31}) - {_CENTER})").alias(f"s{d}")
         for d, (a, b_) in enumerate(_embed_consts(dim))
@@ -133,7 +145,7 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     token count and an md5 fingerprint of the 64 integer feature sums —
     scalars, so the cross-engine hash comparison is exact (the array
     itself is what ``embed_documents_df`` serves to downstream ops)."""
-    sums = embed_sums(_docs(spark, sf_dir))
+    sums = embed_sums(_docs(spark, sf_dir), parallel=True)
     cols = ", ".join(f"CAST(s{d} AS STRING)" for d in range(EMBED_DIM))
     return sums.select(
         "doc_id",
@@ -487,7 +499,7 @@ def text_near_dup_pairs(
     materialization (control-plane scalar). The verify stage is pure
     JVM (``_sums_cosine_e6`` over the integer sums — no Python past
     the banding UDF; plan-asserted in tests)."""
-    sums = embed_sums(docs).localCheckpoint(eager=True)
+    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
     # ONE 1-row collect serves both consumers (round-8, guide §1.2):
     # the corpus centering totals become a LITERAL broadcast frame
     # (dissolving the totals agg subtree from the banded self-join
@@ -630,7 +642,7 @@ def persist_text_cosine_index(
     # three consumers (totals collect, banding write, watermark) — one
     # materialization instead of re-running the token explode+aggregate
     # per consumer (the module's materialize-once rule; round-5 review)
-    sums = embed_sums(docs).localCheckpoint(eager=True)
+    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
     totals_row = embed_totals(sums).collect()[0]  # 1 row — control plane
     n_planes, bands = _resolve_persist_family(
         n_planes, bands, int(totals_row["n"])
@@ -782,7 +794,7 @@ def persist_text_domain_index(
         write_bucketed_table,
     )
 
-    sums = embed_sums(docs).localCheckpoint(eager=True)
+    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
     sums_dom = sums.join(
         docs.select("doc_id", F.col(domain_col).alias("domain")), "doc_id"
     )
@@ -957,7 +969,7 @@ def incremental_text_domain_dedup(
         )
         sums_all = None
     else:
-        sums = embed_sums(docs).localCheckpoint(eager=True)
+        sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
         sums_dom = sums.join(
             docs.select("doc_id", F.col(domain_col).alias("domain")), "doc_id"
         )
@@ -1100,7 +1112,7 @@ def incremental_text_semantic_dedup(
         # the population an index built over it would have recorded
         # (keeps the split path byte-identical to the indexed path in
         # the driver-oracle scenario).
-        sums = embed_sums(docs).localCheckpoint(eager=True)
+        sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
         existing_sums = sums.filter(F.col("doc_id") < boundary)
         # ONE 1-row collect: literal centering totals + the family-
         # sizing count off the same row (round-8, guide §1.2)
@@ -1247,7 +1259,7 @@ def semantic_dedup_text_by_domain(
     from .dedup import connected_components
 
     docs = _docs(spark, sf_dir)
-    sums = embed_sums(docs).localCheckpoint(eager=True)
+    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
     sums_dom = sums.join(
         docs.select("doc_id", F.col(domain_col).alias("domain")), "doc_id"
     )
@@ -1432,7 +1444,7 @@ def persist_text_clustered_index(
     )
     from .similarity import _ivf_cents_frame_from_rows, kmeans_centroids
 
-    sums = embed_sums(docs).localCheckpoint(eager=True)
+    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
     cents_rows = kmeans_centroids(
         _scaled_text_emb(sums), n_centroids=n_clusters
     ).collect()  # K rows — control plane
@@ -1627,7 +1639,7 @@ def incremental_text_clustered_dedup(
 
         import json as _json
 
-        sums = embed_sums(docs).localCheckpoint(eager=True)
+        sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
         pre_sums = sums.filter(F.col("doc_id") < boundary)
         cents_rows = kmeans_centroids(
             _scaled_text_emb(pre_sums), n_centroids=n_clusters
@@ -1757,7 +1769,7 @@ def semantic_dedup_text_clustered(
     from .similarity import _assign_topn, kmeans_centroids
 
     docs = _docs(spark, sf_dir)
-    sums = embed_sums(docs).localCheckpoint(eager=True)
+    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
     emb = _scaled_text_emb(sums)
     cents = kmeans_centroids(emb, n_centroids=n_clusters)
     # ≤ soft_assign rows per doc; literal-centroid scoring, no window

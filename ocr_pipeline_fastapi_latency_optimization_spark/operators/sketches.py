@@ -85,7 +85,11 @@ def cms_token_counts(
     """
     if depth <= 0 or width <= 1 or k <= 0:
         raise ValueError(f"invalid cms params depth={depth} width={width} k={k}")
-    docs = docs if docs is not None else _docs(spark, sf_dir)
+    from .scanpar import ensure_scan_parallelism
+
+    docs = ensure_scan_parallelism(
+        docs if docs is not None else _docs(spark, sf_dir)
+    )
     toks = _tokens(docs)
     sketch = cms_sketch(toks, depth, width)
     top = (
@@ -158,7 +162,11 @@ def hll_register_sketch(
     shuffle carries ≤ 256 rows per map partition — distinct-counting
     state that never grows with the vocabulary.
     """
-    docs = docs if docs is not None else _docs(spark, sf_dir)
+    from .scanpar import ensure_scan_parallelism
+
+    docs = ensure_scan_parallelism(
+        docs if docs is not None else _docs(spark, sf_dir)
+    )
     m = 1 << HLL_LOG2M
     h = (
         "CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT)"
