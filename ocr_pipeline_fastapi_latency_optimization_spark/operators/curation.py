@@ -1367,7 +1367,7 @@ def _semantic_candidate_scores(spark, docs, ev):
         embed_totals,
     )
 
-    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
+    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=False)
     # ONE 1-row collect serves both consumers (round-8, guide §1.2):
     # the centering totals become a LITERAL broadcast frame (dissolving
     # the totals agg from both banding branches) and the family-sizing

@@ -499,7 +499,7 @@ def text_near_dup_pairs(
     materialization (control-plane scalar). The verify stage is pure
     JVM (``_sums_cosine_e6`` over the integer sums — no Python past
     the banding UDF; plan-asserted in tests)."""
-    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
+    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=False)
     # ONE 1-row collect serves both consumers (round-8, guide §1.2):
     # the corpus centering totals become a LITERAL broadcast frame
     # (dissolving the totals agg subtree from the banded self-join
@@ -642,7 +642,7 @@ def persist_text_cosine_index(
     # three consumers (totals collect, banding write, watermark) — one
     # materialization instead of re-running the token explode+aggregate
     # per consumer (the module's materialize-once rule; round-5 review)
-    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
+    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=False)
     totals_row = embed_totals(sums).collect()[0]  # 1 row — control plane
     n_planes, bands = _resolve_persist_family(
         n_planes, bands, int(totals_row["n"])
@@ -794,7 +794,7 @@ def persist_text_domain_index(
         write_bucketed_table,
     )
 
-    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
+    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=False)
     sums_dom = sums.join(
         docs.select("doc_id", F.col(domain_col).alias("domain")), "doc_id"
     )
@@ -969,7 +969,7 @@ def incremental_text_domain_dedup(
         )
         sums_all = None
     else:
-        sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
+        sums = embed_sums(docs, parallel=True).localCheckpoint(eager=False)
         sums_dom = sums.join(
             docs.select("doc_id", F.col(domain_col).alias("domain")), "doc_id"
         )
@@ -1112,7 +1112,7 @@ def incremental_text_semantic_dedup(
         # the population an index built over it would have recorded
         # (keeps the split path byte-identical to the indexed path in
         # the driver-oracle scenario).
-        sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
+        sums = embed_sums(docs, parallel=True).localCheckpoint(eager=False)
         existing_sums = sums.filter(F.col("doc_id") < boundary)
         # ONE 1-row collect: literal centering totals + the family-
         # sizing count off the same row (round-8, guide §1.2)
@@ -1259,6 +1259,11 @@ def semantic_dedup_text_by_domain(
     from .dedup import connected_components
 
     docs = _docs(spark, sf_dir)
+    # EAGER here (round-8, measured): the lazy form regressed 3.6→9.2 s
+    # — the first materializing job is the totals collect over
+    # sums ⋈ docs, and the broadcast-join build side re-evaluated the
+    # un-materialized sums in every downstream subtree instead of
+    # reading the cache.
     sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
     sums_dom = sums.join(
         docs.select("doc_id", F.col(domain_col).alias("domain")), "doc_id"
@@ -1444,7 +1449,7 @@ def persist_text_clustered_index(
     )
     from .similarity import _ivf_cents_frame_from_rows, kmeans_centroids
 
-    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
+    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=False)
     cents_rows = kmeans_centroids(
         _scaled_text_emb(sums), n_centroids=n_clusters
     ).collect()  # K rows — control plane
@@ -1639,14 +1644,14 @@ def incremental_text_clustered_dedup(
 
         import json as _json
 
-        sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
+        sums = embed_sums(docs, parallel=True).localCheckpoint(eager=False)
         pre_sums = sums.filter(F.col("doc_id") < boundary)
         cents_rows = kmeans_centroids(
             _scaled_text_emb(pre_sums), n_centroids=n_clusters
         ).collect()
         cents = _ivf_cents_frame_from_rows(spark, cents_rows)
         asg = _clustered_soft_assign(sums, cents, soft_assign).localCheckpoint(
-            eager=True
+            eager=False
         )
         primary_pre = asg.filter(
             (F.col("rn") == 1) & (F.col("doc_id") < boundary)
@@ -1769,11 +1774,11 @@ def semantic_dedup_text_clustered(
     from .similarity import _assign_topn, kmeans_centroids
 
     docs = _docs(spark, sf_dir)
-    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=True)
+    sums = embed_sums(docs, parallel=True).localCheckpoint(eager=False)
     emb = _scaled_text_emb(sums)
     cents = kmeans_centroids(emb, n_centroids=n_clusters)
     # ≤ soft_assign rows per doc; literal-centroid scoring, no window
-    asg = _assign_topn(emb, cents, n=soft_assign).localCheckpoint(eager=True)
+    asg = _assign_topn(emb, cents, n=soft_assign).localCheckpoint(eager=False)
     primary = asg.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("doc_id"), F.col("centroid_id").alias("domain")
     )
