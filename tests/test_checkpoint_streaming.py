@@ -1323,11 +1323,13 @@ def test_multimodal_compression_envelopes_roundtrip(spark):
 
 
 def test_streaming_bloom_verdicts_match_batch_probe(spark, tmp_path):
-    """The stateless streaming membership tier: verdicts from the
-    literal-map bloom probe over a file stream equal the batch
+    """The streaming membership tier (round-8 rewrite — r7 verdict #1):
+    foreachBatch over the shared broadcast-join bloom kernel. Verdicts
+    written per batch_id partition equal the batch
     bloom_dedup_probe(index_table=...) on the same docs — including a
-    canonical-form duplicate and a novel doc — with zero streaming
-    state (no watermark, no foreachBatch)."""
+    canonical-form duplicate and a novel doc; a replayed micro-batch
+    (same batch re-handled) leaves the output unchanged (partition
+    overwrite idempotence)."""
     import pandas as pd
     from datetime import datetime, timedelta
 
@@ -1362,23 +1364,22 @@ def test_streaming_bloom_verdicts_match_batch_probe(spark, tmp_path):
             spark.readStream.schema("doc_id long, text string, ts timestamp")
             .parquet(str(src / "b*"))
         )
-        qname = f"blmq_{uuid.uuid4().hex[:8]}"
+        out = str(tmp_path / "blm_out")
         q = (
-            streaming_bloom_verdicts(spark, stream, name)
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
+            streaming_bloom_verdicts(spark, stream, name, out)
             .option("checkpointLocation", str(tmp_path / "blm_ckpt"))
             .start()
         )
         q.processAllAvailable()
         q.stop()
-        got = {
-            r["doc_id"]: (r["bits_set"], r["verdict"])
-            for r in spark.sql(
-                f"SELECT doc_id, bits_set, verdict FROM {qname}"
-            ).collect()
-        }
+
+        def read_out():
+            return {
+                int(r["doc_id"]): (int(r["bits_set"]), r["verdict"])
+                for r in spark.read.parquet(out).collect()
+            }
+
+        got = read_out()
         batch_docs = corpus.unionByName(
             spark.createDataFrame(
                 [(d, t) for d, t, _ in arrivals], "doc_id long, text string"
@@ -1395,6 +1396,60 @@ def test_streaming_bloom_verdicts_match_batch_probe(spark, tmp_path):
         assert got == want
         assert got[100][1] == "dup_candidate" and got[102][1] == "dup_candidate"
         assert got[101][1] == "new"
+        # replay: re-handle the same micro-batch → byte-identical output
+        batch = spark.createDataFrame(
+            [(d, t) for d, t, _ in arrivals], "doc_id long, text string"
+        )
+        dedup.bloom_verdicts_for_batch(spark, batch, name).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/batch_id=0")
+        assert read_out() == got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_streaming_bloom_kernel_has_no_filter_sized_literal(spark, tmp_path):
+    """Scale guard for the round-8 rewrite (r7 verdict #1 'done'
+    criterion): at an AUTO-SIZED geometry for 10⁵ planted keys
+    (~25k filter words) the streaming micro-batch kernel's plan must
+    attach the filter as a broadcast JOIN side, never as a parsed
+    map literal — the plan text stays small and contains no inline
+    (word, mask) entries."""
+    import contextlib
+    import io
+
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import dedup
+
+    n = 100_000
+    corpus = spark.range(n).selectExpr(
+        "id AS doc_id", "concat('planted key ', CAST(id AS STRING)) AS text"
+    )
+    name = f"blmbig_{uuid.uuid4().hex[:8]}"
+    try:
+        dedup.persist_bloom_filter(
+            spark, corpus, name, str(tmp_path / "blmbigidx")
+        )
+        m = int(
+            spark.sql(f"SHOW TBLPROPERTIES {name}('bloom.m_bits')")
+            .collect()[0]["value"]
+        )
+        assert m >= n * 9  # auto-sized well past the sandbox floor
+        batch = spark.createDataFrame(
+            [(n + 1, "planted key 17"), (n + 2, "never seen")],
+            "doc_id long, text string",
+        )
+        verdicts = dedup.bloom_verdicts_for_batch(spark, batch, name)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            verdicts.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "map(" not in plan, "filter inlined as a literal again"
+        assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
+        # the plan must not scale with m: a filter-sized literal at this
+        # geometry would be megabytes of expression text
+        assert len(plan) < 100_000, len(plan)
+        got = {r["doc_id"]: r["verdict"] for r in verdicts.collect()}
+        assert got[n + 1] == "dup_candidate"  # exact member re-probed
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
