@@ -107,6 +107,8 @@ def _cents_matrix(cents: DataFrame):
         for r in cents.collect()
     )
     cids = np.array([c for c, _ in rows], dtype=np.int64)
+    if not rows:  # reshape(0, -1) raises; callers branch on len == 0
+        return cids, np.zeros((0, 0), dtype=np.float64)
     mat = np.array([v for _, v in rows], dtype=np.float64).reshape(
         len(rows), -1
     )

@@ -384,6 +384,29 @@ def test_semantic_dedup_clustered_unlabeled_mixture(spark, tmp_path):
     assert n_clu < n_glob, (n_clu, n_glob)
 
 
+def test_assign_empty_centroids_yields_no_rows(spark):
+    """Round-8 closure-matrix assignment: an EMPTY centroid frame must
+    degrade to zero assignment rows with the original schema (the
+    retired crossJoin forms' behavior — crossJoin([]) == no rows), not
+    crash in the matrix builder (np.reshape(0, -1) raises)."""
+    from ocr_pipeline_fastapi_latency_optimization_spark.operators import (
+        similarity,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [], "centroid_id long, c_emb array<double>"
+    )
+    a = similarity._assign(vecs, cents)
+    assert a.columns == ["vec_id", "embedding", "centroid_id"]
+    assert a.count() == 0
+    t = similarity._assign_topn(vecs, cents, n=2)
+    assert t.columns == ["vec_id", "centroid_id", "rn"]
+    assert t.count() == 0
+
+
 def test_assign_topn_rn1_equals_assign(spark):
     """The soft top-n assignment's rn=1 slice is exactly ``_assign``'s
     argmax (same quantized score, same min-cid tie-break) — the primary
